@@ -1,0 +1,149 @@
+"""Multi-head attention core with DTP scoring side-outputs.
+
+The reference computes attention, saves the full [B,H,N,N] probability map on
+the module, and later re-reads it to derive pruning signals
+(reference ``models/vit.py:81-101`` + ``:123-134``).  TPU-native version: the
+scoring signals are *side outputs of the same computation*, reduced inside the
+attention op so the full probability tensor never round-trips through HBM for
+the caller:
+
+* ``cls_attn`` — head-diversity-weighted CLS->patch attention
+  (AS-ViT style, reference ``models/vit.py:95-101``):
+  ``sum_h probs[b,h,0,1+n] * head_imp[b,h,n]`` with
+  ``head_imp = ||attn_out_head|| / (sum_h ||attn_out_head|| + 1e-8)``.
+* ``col_mass`` — patch-to-patch column mass
+  (reference ``models/vit.py:126-128``):
+  ``sum_{m alive} max_h probs[b,h,1+m,1+n]`` (un-normalized here; DTP
+  normalizes).
+
+Masking: dead slots (pruned in mask-mode) are excluded with an additive
+``-inf`` on keys, which makes their softmax weight *exactly* zero — equivalent
+to physically removing them.  Padding (text) uses the reference's finite
+additive bias (-10000-style) so numerics match the reference exactly
+(reference ``models/med.py:785``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+class AttnAux(NamedTuple):
+    cls_attn: Optional[jnp.ndarray]  # [B, N-1]
+    col_mass: Optional[jnp.ndarray]  # [B, N-1] (un-normalized)
+
+
+def _split_heads(x, num_heads):
+    B, N, D = x.shape
+    return x.reshape(B, N, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, N, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
+
+
+def attention_core(
+    q: jnp.ndarray,  # [B, H, Nq, Dh]
+    k: jnp.ndarray,  # [B, H, Nk, Dh]
+    v: jnp.ndarray,  # [B, H, Nk, Dh]
+    *,
+    scale: Optional[float] = None,
+    attn_bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to [B,H,Nq,Nk]
+    key_alive: Optional[jnp.ndarray] = None,  # [B, Nk] bool; False -> weight exactly 0
+    query_alive: Optional[jnp.ndarray] = None,  # [B, Nq] bool; used for col_mass reduction
+    need_scores: bool = False,
+):
+    """Returns ``(out [B,Nq,H*Dh], aux)``.
+
+    ``need_scores`` additionally computes the DTP signals; requires Nq == Nk
+    with slot 0 = CLS.
+    """
+    B, H, Nq, Dh = q.shape
+    Nk = k.shape[2]
+    if scale is None:
+        scale = Dh ** -0.5
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    if key_alive is not None:
+        logits = jnp.where(key_alive[:, None, None, :], logits, NEG_INF)
+
+    # Masked softmax; fully-masked rows (dead queries) yield zeros, not NaN.
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.maximum(s, 1e-30)  # fp32 [B,H,Nq,Nk]
+
+    attn_out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)  # [B,H,Nq,Dh]
+    out = _merge_heads(attn_out)
+
+    aux = AttnAux(None, None)
+    if need_scores:
+        # cls_attn with head-diversity weighting (reference models/vit.py:95-101)
+        cls_probs = probs[:, :, 0, 1:]  # [B,H,N-1]
+        head_imp = jnp.linalg.norm(
+            attn_out[:, :, 1:, :].astype(jnp.float32), axis=-1
+        )  # [B,H,N-1]
+        head_imp = head_imp / (jnp.sum(head_imp, axis=1, keepdims=True) + 1e-8)
+        cls_attn = jnp.sum(cls_probs * head_imp, axis=1)  # [B,N-1]
+
+        # column mass over the patch-only submatrix (reference models/vit.py:126-128)
+        patch_probs = probs[:, :, 1:, 1:]  # [B,H,N-1,N-1]
+        colmax = jnp.max(patch_probs, axis=1)  # [B,N-1,N-1] max over heads
+        if query_alive is not None:
+            colmax = colmax * query_alive[:, 1:, None].astype(colmax.dtype)
+        col_mass = jnp.sum(colmax, axis=1)  # [B,N-1] sum over (alive) queries
+        aux = AttnAux(cls_attn=cls_attn, col_mass=col_mass)
+
+    return out, aux
+
+
+def self_attention(
+    p,
+    x,
+    *,
+    num_heads: int,
+    attn_bias=None,
+    key_alive=None,
+    query_alive=None,
+    need_scores: bool = False,
+    qkv_packed: bool = True,
+):
+    """Self-attention matching the BLIP-ViT block layout (fused qkv + proj,
+    reference ``models/vit.py:39-103``).
+
+    Params (packed): ``{"qkv": {kernel [D,3D], bias [3D]}, "proj": {...}}``.
+    """
+    from madtp_tpu.ops.layers import linear
+
+    B, N, D = x.shape
+    if qkv_packed:
+        qkv = linear(p["qkv"], x)  # [B,N,3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(p["q"], x)
+        k = linear(p["k"], x)
+        v = linear(p["v"], x)
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    out, aux = attention_core(
+        qh,
+        kh,
+        vh,
+        attn_bias=attn_bias,
+        key_alive=key_alive,
+        query_alive=query_alive,
+        need_scores=need_scores,
+    )
+    return linear(p["proj"], out), aux

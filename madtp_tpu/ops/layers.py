@@ -1,0 +1,80 @@
+"""Elementary NN ops as pure functions on param dicts.
+
+Conventions:
+* Linear params: ``{"kernel": [in, out], "bias": [out]}`` — kernels stored
+  pre-transposed from torch's ``[out, in]`` so the hot path is ``x @ W``
+  (row-major MXU friendly), see :mod:`madtp_tpu.ckpt.remap`.
+* LayerNorm params: ``{"scale": [d], "bias": [d]}``.
+* All matmuls request fp32 accumulation via ``preferred_element_type`` so bf16
+  activations still accumulate in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(p, x):
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-6):
+    # Normalize in fp32 for stability regardless of activation dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def gelu(x):
+    """Exact (erf) GELU — matches torch ``nn.GELU()`` / HF ``gelu`` used by the
+    reference ViT and BERT (reference models/vit.py:18, med config hidden_act)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    """CLIP's QuickGELU: x * sigmoid(1.702 x) (reference clip/model.py:169-171)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp(p, x, act=gelu):
+    """Transformer FFN: fc1 -> act -> fc2 (reference models/vit.py:15-36)."""
+    return linear(p["fc2"], act(linear(p["fc1"], x)))
+
+
+def patch_embed(p, images):
+    """Conv-stem patchifier as reshape + one big matmul (MXU-friendly).
+
+    ``images``: [B, 3, H, W] (torch channel order, matching the data pipeline
+    and reference timm PatchEmbed).  Params: ``{"kernel": [3*ph*pw, D],
+    "bias": [D]}`` where the kernel rows are flattened in torch's (c, kh, kw)
+    order so a converted conv weight reproduces the conv exactly.
+    """
+    B, C, H, W = images.shape
+    D = p["kernel"].shape[1]
+    ph = pw = int(round((p["kernel"].shape[0] // C) ** 0.5))
+    gh, gw = H // ph, W // pw
+    x = images.reshape(B, C, gh, ph, gw, pw)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [B, gh, gw, C, ph, pw]
+    x = x.reshape(B, gh * gw, C * ph * pw)
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if p.get("bias") is not None:
+        y = y + p["bias"]
+    return y.astype(images.dtype)
+
+
+def cosine_embedding_loss(a, b, eps: float = 1e-8):
+    """torch ``nn.CosineEmbeddingLoss`` with target=+1: mean(1 - cos(a, b)).
+
+    Used for the FDT alignment loss (reference models/blip_nlvr.py:86-96).
+    torch clamps the denominator at eps."""
+    an = jnp.sqrt(jnp.sum(a * a, axis=-1))
+    bn = jnp.sqrt(jnp.sum(b * b, axis=-1))
+    cos = jnp.sum(a * b, axis=-1) / jnp.maximum(an * bn, eps)
+    return jnp.mean(1.0 - cos)

@@ -1,0 +1,232 @@
+"""Dynamic Token Pruning (DTP) — static-shape TPU reformulation.
+
+Reference semantics (``models/vit.py:123-163``, ``models/med.py:345-391``,
+``clip/model.py:194-234``; pseudocode in SURVEY.md §3.6): at each transformer
+layer, score every non-CLS token by the mean of three normalized signals
+(self-attention column mass, MAG token-codebook affinity, head-diversity
+weighted CLS attention), derive a per-sample threshold from a
+temperature-softmaxed codebook attention, keep the batch-max count of
+above-threshold tokens, and merge all dropped tokens into ONE new token by
+score-weighted sum.
+
+The reference implementation shrinks the sequence physically each layer and
+synchronizes with the host per layer (``topk_num = ....item()``,
+``models/vit.py:145``), which creates dynamic shapes and a device->host stall
+in the hottest loop.  Here instead:
+
+* **mask mode** — tokens live in a fixed buffer of ``1 + P0 + depth`` slots
+  (CLS + initial patches + one pre-allocated merge slot per layer) with a
+  boolean ``alive`` mask.  "Pruning" flips mask bits and writes the merged
+  token into this layer's merge slot.  Because attention masks dead keys with
+  ``-inf`` (exact zero weight), every surviving token computes exactly what it
+  would have computed on the physically compacted sequence.  The batch-max
+  keep count is a *traced scalar* used only in comparisons, so one XLA
+  compilation covers every batch and every temperature.
+
+* **gather mode** — identical decisions, followed by a physical compaction to
+  a static per-layer capacity (top-``C`` gather).  This is the eval fast path:
+  attention cost drops quadratically with the capacity schedule.  Capacities
+  are calibrated offline (mask-mode stats), so shapes remain static.
+
+Identity-preserving note: the reference's physical ``topk(sorted=False)``
+gather shuffles token order and, in two places, misaligns auxiliary data (the
+NLVR text mask is gathered with *sorted* indices, ``models/nlvr_encoder.py:452``;
+CLIP indexes the EOT embedding by its pre-pruning position,
+``clip/model.py:501``).  Order is semantically irrelevant to attention, so the
+mask-mode keeps each token in its own slot — matching the paper's intent and
+the reference wherever the reference is itself well-defined.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+class TokenState(NamedTuple):
+    """Fixed-shape token buffer.
+
+    ``x``: [B, S, D] token features; slot 0 is CLS/EOS (never pruned).
+    ``alive``: [B, S] bool; False = pruned/never-used slot (exact-zero attention).
+    ``bias``: [B, S] additive attention bias per key (text padding; the
+    reference's finite -1e4-style mask, kept separate from ``alive`` so padded
+    tokens still participate in scoring exactly like the reference).
+    """
+
+    x: jnp.ndarray
+    alive: jnp.ndarray
+    bias: Optional[jnp.ndarray]
+
+
+class DTPSignals(NamedTuple):
+    """Per-layer scoring inputs (slots 1..S-1 only)."""
+
+    cls_attn: jnp.ndarray  # [B, P] head-diversity weighted CLS attention
+    col_mass: jnp.ndarray  # [B, P] un-normalized column mass (dead cols exactly 0)
+    token_attn: jnp.ndarray  # [B, P, K] raw MAG inner products
+
+
+def init_token_state(
+    tokens: jnp.ndarray,  # [B, N, D] (CLS at slot 0)
+    depth: int,
+    bias: Optional[jnp.ndarray] = None,  # [B, N] additive key bias
+) -> TokenState:
+    """Pad with ``depth`` dead merge slots -> buffer of S = N + depth."""
+    B, N, D = tokens.shape
+    x = jnp.concatenate(
+        [tokens, jnp.zeros((B, depth, D), tokens.dtype)], axis=1
+    )
+    alive = jnp.concatenate(
+        [jnp.ones((B, N), bool), jnp.zeros((B, depth), bool)], axis=1
+    )
+    if bias is not None:
+        bias = jnp.concatenate([bias, jnp.zeros((B, depth), bias.dtype)], axis=1)
+    return TokenState(x=x, alive=alive, bias=bias)
+
+
+def importance_score(
+    signals: DTPSignals, palive: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean of three normalized signals (reference models/vit.py:126-134).
+
+    Dead slots score exactly 0 in each signal (they have zero attention mass
+    and are excluded from the normalizers), matching their absence in the
+    reference's physically compacted tensors.
+    Returns [B, P] with dead slots = 0.
+    """
+    col = signals.col_mass
+    col_w = col / (jnp.sum(col, axis=1, keepdims=True) + 1e-8)
+
+    tw = jnp.max(signals.token_attn, axis=2)  # [B,P]
+    tw = jnp.where(palive, tw, 0.0)
+    tw = tw / (jnp.sum(tw, axis=1, keepdims=True) + 1e-8)
+
+    cls_w = jnp.where(palive, signals.cls_attn, 0.0)
+    return (col_w + tw + cls_w) / 3.0
+
+
+def dtp_threshold(
+    token_attn: jnp.ndarray,  # [B,P,K] raw
+    score: jnp.ndarray,  # [B,P], dead slots 0
+    palive: jnp.ndarray,  # [B,P]
+    temperature: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-sample threshold (reference models/vit.py:137-141):
+    ``min_k softmax_tokens(token_attn/T)[:, :, k] . score``."""
+    logits = token_attn / temperature
+    logits = jnp.where(palive[:, :, None], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=1)  # softmax over tokens, [B,P,K]
+    score_weight = jnp.einsum(
+        "bpk,bp->bk", w, score, preferred_element_type=jnp.float32
+    )
+    return jnp.min(score_weight, axis=1)  # [B]
+
+
+def _rank_desc(score_masked: jnp.ndarray) -> jnp.ndarray:
+    """rank[b, n] = position of token n in a stable descending sort of scores
+    (ties broken by lower index, matching torch.topk determinism)."""
+    order = jnp.argsort(-score_masked, axis=-1, stable=True)
+    ranks = jnp.argsort(order, axis=-1, stable=True)
+    return ranks
+
+
+def dtp_prune(
+    state: TokenState,
+    signals: DTPSignals,
+    temperature,
+    merge_slot,  # int or traced scalar: buffer slot for this layer's merged token
+    *,
+    variant: str = "vit",
+    max_keep=None,  # CLIP text EOT guard (reference clip/model.py:220,492)
+) -> Tuple[TokenState, jnp.ndarray]:
+    """One DTP step.  Returns ``(new_state, kept_patch_count)`` where
+    ``kept_patch_count`` is the batch-uniform number of alive non-CLS slots
+    after pruning (feeds the analytic-FLOPs compute controller).
+
+    Guards (reference models/vit.py:148, med.py:372, clip/model.py:220): skip
+    entirely when nothing or almost-everything would be pruned.
+    """
+    x, alive, bias = state
+    B, S, D = x.shape
+    palive = alive[:, 1:]  # [B,P]
+    P = S - 1
+
+    temperature = jnp.asarray(temperature, jnp.float32)
+    score = importance_score(signals, palive)  # [B,P]
+    thr = dtp_threshold(signals.token_attn, score, palive, temperature)  # [B]
+
+    keep_decision = palive & (score > thr[:, None])
+    counts = jnp.sum(keep_decision, axis=1)  # [B]
+    topk_num = jnp.max(counts)  # traced scalar, batch-coupled like reference
+    alive_cnt = jnp.max(jnp.sum(palive, axis=1))  # batch-uniform by construction
+
+    if variant == "clip":
+        mk = jnp.asarray(1 if max_keep is None else max_keep)
+        apply = (topk_num > mk) & (alive_cnt - topk_num >= 2)
+    else:
+        apply = (topk_num >= 1) & (alive_cnt - topk_num >= 2)
+
+    # Per-sample keep set: top `topk_num` by score (batch-uniform count, so
+    # low-count samples retain below-threshold tokens — reference behavior).
+    score_ranked = jnp.where(palive, score, NEG_INF)
+    ranks = _rank_desc(score_ranked)
+    keep = palive & (ranks < topk_num)
+
+    # Merge all dropped tokens into one (reference models/vit.py:153-161).
+    merge_mask = palive & ~keep
+    w = jnp.where(merge_mask, score, 0.0)
+    w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)
+    merged = jnp.einsum(
+        "bp,bpd->bd", w, x[:, 1:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [B,D]
+
+    merge_slot = jnp.asarray(merge_slot, jnp.int32)
+    slot_iota = jnp.arange(S)
+    is_merge_slot = slot_iota[None, :] == merge_slot  # [1,S]
+
+    new_alive = jnp.concatenate([alive[:, :1], keep], axis=1)
+    new_alive = new_alive | is_merge_slot
+    new_x = jnp.where(is_merge_slot[:, :, None], merged[:, None, :], x)
+    new_bias = bias
+    if bias is not None:
+        # merged slot is attended (bias 0); kept slots keep their own padding
+        # bias (identity-preserving; see module docstring re the reference's
+        # sorted-gather mask misalignment).
+        new_bias = jnp.where(is_merge_slot, 0.0, bias)
+
+    out = TokenState(
+        x=jnp.where(apply, new_x, x),
+        alive=jnp.where(apply, new_alive, alive),
+        bias=new_bias if bias is None else jnp.where(apply, new_bias, bias),
+    )
+    kept = jnp.where(apply, topk_num + 1, alive_cnt)  # patches incl. merged
+    return out, kept
+
+
+def compact(
+    state: TokenState, capacity: int
+) -> Tuple[TokenState, jnp.ndarray]:
+    """Gather-mode physical compaction to ``capacity`` slots (static).
+
+    Keeps slot 0 plus the ``capacity - 1`` highest-priority remaining slots
+    (alive first, by slot order — a pure layout change, no semantic effect
+    since attention is permutation-invariant over keys and dead slots carry
+    exact-zero weight).  Returns the compacted state and the gather indices
+    (so callers can co-gather auxiliary per-slot data).
+    """
+    x, alive, bias = state
+    B, S, D = x.shape
+    assert capacity <= S
+    # priority: alive slots first (stable slot order), then dead slots.
+    prio = jnp.where(alive[:, 1:], -jnp.arange(1, S)[None, :], NEG_INF)
+    idx = jnp.argsort(-prio, axis=-1, stable=True)[:, : capacity - 1] + 1  # [B,C-1]
+    idx = jnp.concatenate([jnp.zeros((B, 1), idx.dtype), idx], axis=1)  # [B,C]
+    gx = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    galive = jnp.take_along_axis(alive, idx, axis=1)
+    gbias = None if bias is None else jnp.take_along_axis(bias, idx, axis=1)
+    return TokenState(gx, galive, gbias), idx
