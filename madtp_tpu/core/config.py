@@ -95,9 +95,12 @@ class CLIPConfig:
     sd_dim: int = 768
     dtype: str = "float32"
 
+    # 0 -> derive as vision_width // 64 (reference clip/model.py:361)
+    vision_heads_override: int = 0
+
     @property
     def vision_heads(self) -> int:
-        return self.vision_width // 64
+        return self.vision_heads_override or max(1, self.vision_width // 64)
 
     @property
     def vision_num_patches(self) -> int:

@@ -1,0 +1,288 @@
+"""BLIP task models assembled from ViT + MED, as pure functions on param trees.
+
+Covers the reference model zoo (SURVEY.md §2.2):
+
+* :func:`blip_nlvr_forward` — ``models/blip_nlvr.py`` (twin cross-attention
+  reasoning head; 2-image batch-concat trick at ``:64-79``);
+* :func:`blip_caption_forward` / decode helpers — ``models/blip.py``
+  (BLIP_Decoder);
+* :func:`blip_vqa_encode` + ranking in tasks/vqa — ``models/blip_vqa.py``;
+* :func:`blip_retrieval_features` / ITM scoring — ``models/blip_retrieval.py``.
+
+Tokenization happens in the data layer (outside jit), matching TPU execution
+semantics; the reference tokenizes inside ``forward`` on the host
+(``models/blip_nlvr.py:68``), a per-step host stall this design removes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models import med as M
+from madtp_tpu.models.vit import vit_forward
+from madtp_tpu.ops.layers import cosine_embedding_loss, linear
+from madtp_tpu.prune.dtp import TokenState
+
+
+class BlipConfig(NamedTuple):
+    vit: ViTConfig
+    med: MedConfig
+    sd_num: int = 100
+    sd_dim: int = 768
+
+
+def _split_state(state: TokenState, n: int) -> Tuple[TokenState, TokenState]:
+    return (
+        TokenState(state.x[:n], state.alive[:n],
+                   None if state.bias is None else state.bias[:n]),
+        TokenState(state.x[n:], state.alive[n:],
+                   None if state.bias is None else state.bias[n:]),
+    )
+
+
+def fdt_alignment_loss(sd_img_ft, sd_txt_ft, sd_dim: int):
+    """Cross-modal FDT loss: CosineEmbeddingLoss(+1) over L2-normalized,
+    depth-accumulated MAG features (reference models/blip_nlvr.py:86-96)."""
+    a = sd_img_ft / (jnp.linalg.norm(sd_img_ft, axis=-1, keepdims=True) + 1e-10)
+    b = sd_txt_ft / (jnp.linalg.norm(sd_txt_ft, axis=-1, keepdims=True) + 1e-10)
+    return cosine_embedding_loss(a.reshape(-1, sd_dim), b.reshape(-1, sd_dim))
+
+
+# ---------------------------------------------------------------------------
+# NLVR
+# ---------------------------------------------------------------------------
+
+
+def blip_nlvr_forward(
+    params,
+    images: jnp.ndarray,  # [2B, 3, H, W] (image0 ++ image1 on batch)
+    text_ids: jnp.ndarray,  # [B, N]
+    text_mask: jnp.ndarray,  # [B, N]
+    cfg: BlipConfig,
+    *,
+    temperature=0.0,
+    prune_active: bool = False,
+    train: bool = False,
+    targets: Optional[jnp.ndarray] = None,
+):
+    """Reference models/blip_nlvr.py:63-100.  Returns logits [B,2] at eval or
+    (loss_ori, loss_fdt, logits) at train."""
+    B = text_ids.shape[0]
+    vstate, sd_img_ft, v_kept = vit_forward(
+        params["visual_encoder"], images, cfg=cfg.vit,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+    st0, st1 = _split_state(vstate, B)
+    out = M.med_encoder(
+        params["text_encoder"], text_ids, text_mask, cfg.med,
+        mode="multimodal", encoder_state=st0, encoder_state1=st1,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+    hidden = out.state.x[:, 0, :]
+    h = jax.nn.relu(linear(params["cls_head"]["fc1"], hidden))
+    logits = linear(params["cls_head"]["fc2"], h)
+
+    if not train:
+        return logits, (v_kept, out.kept_counts)
+
+    loss_ori = -jnp.mean(
+        jnp.take_along_axis(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+            targets[:, None], axis=-1,
+        )
+    )
+    loss_fdt = loss_ori
+    if prune_active and sd_img_ft is not None and out.sd_txt_ft is not None:
+        # average the two images' FDT features (reference :88-89)
+        sd_img = (sd_img_ft[:B] + sd_img_ft[B:]) / 2.0
+        loss_fdt = fdt_alignment_loss(sd_img, out.sd_txt_ft, cfg.sd_dim)
+    return loss_ori, loss_fdt, logits
+
+
+# ---------------------------------------------------------------------------
+# Caption (BLIP_Decoder)
+# ---------------------------------------------------------------------------
+
+
+def blip_caption_encode_image(params, images, cfg: BlipConfig, *,
+                              temperature=0.0, prune_active=False):
+    """Visual half of BLIP_Decoder (pruning happens once on image tokens,
+    reference models/blip.py:161-163)."""
+    return vit_forward(
+        params["visual_encoder"], images, cfg=cfg.vit,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+
+
+def blip_caption_forward(
+    params, images, text_ids, text_mask, cfg: BlipConfig, *,
+    temperature=0.0, prune_active=False, labels=None,
+):
+    """Training/scoring pass (reference models/blip.py:111-159).  The decoder
+    runs without text pruning (space_dict not passed there, reference
+    :124-133)."""
+    vstate, sd_img_ft, _ = blip_caption_encode_image(
+        params, images, cfg, temperature=temperature, prune_active=prune_active
+    )
+    hidden = M.med_decoder_forward(
+        params["text_decoder"], text_ids, text_mask, cfg.med,
+        encoder_state=vstate,
+    )
+    logits = M.lm_head(params["text_decoder"], hidden, cfg.med)
+    if labels is None:
+        return logits
+    loss_lm = M.lm_loss(logits, labels)
+    return loss_lm, sd_img_ft, logits
+
+
+# ---------------------------------------------------------------------------
+# VQA
+# ---------------------------------------------------------------------------
+
+
+def blip_vqa_encode(
+    params, images, q_ids, q_mask, cfg: BlipConfig, *,
+    temperature=0.0, prune_active=False,
+):
+    """Image encoder + question encoder with image cross-attention
+    (reference models/blip_vqa.py:60-82,118-125).  Returns the question
+    TokenState (cross-attn memory for the answer decoder) and FDT features."""
+    vstate, sd_img_ft, _ = vit_forward(
+        params["visual_encoder"], images, cfg=cfg.vit,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+    out = M.med_encoder(
+        params["text_encoder"], q_ids, q_mask, cfg.med,
+        mode="multimodal", encoder_state=vstate,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+    return out, sd_img_ft
+
+
+# ---------------------------------------------------------------------------
+# Retrieval (ITC + ITM)
+# ---------------------------------------------------------------------------
+
+
+def blip_retrieval_image_features(params, images, cfg: BlipConfig, *,
+                                  temperature=0.0, prune_active=False):
+    """Image tower + projection (reference models/blip_retrieval.py:103-105).
+    Returns (feat [B,E] L2-normalized, TokenState for ITM rerank, sd_img_ft)."""
+    vstate, sd_img_ft, _ = vit_forward(
+        params["visual_encoder"], images, cfg=cfg.vit,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+    feat = linear(params["vision_proj"], vstate.x[:, 0, :])
+    feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+    return feat, vstate, sd_img_ft
+
+
+def blip_retrieval_text_features(params, text_ids, text_mask, cfg: BlipConfig, *,
+                                 temperature=0.0, prune_active=False):
+    """Text tower in 'text' mode + projection
+    (reference models/blip_retrieval.py:110-114)."""
+    out = M.med_encoder(
+        params["text_encoder"], text_ids, text_mask, cfg.med,
+        mode="text", space_dict=params["space_dict"],
+        temperature=temperature, prune_active=prune_active,
+    )
+    feat = linear(params["text_proj"], out.state.x[:, 0, :])
+    feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+    return feat, out
+
+
+def blip_itm_score(params, text_ids, text_mask, image_state: TokenState,
+                   cfg: BlipConfig, *, temperature=0.0, prune_active=False):
+    """ITM head over the multimodal encoder's CLS (reference
+    compress_retrieval_dtp.py:166-178): returns logits[:, 1] as the match
+    score."""
+    out = M.med_encoder(
+        params["text_encoder"], text_ids, text_mask, cfg.med,
+        mode="multimodal", encoder_state=image_state,
+        space_dict=params["space_dict"], temperature=temperature,
+        prune_active=prune_active,
+    )
+    logits = linear(params["itm_head"], out.state.x[:, 0, :])
+    return logits[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint assembly
+# ---------------------------------------------------------------------------
+
+
+def load_blip_nlvr(path: str, cfg: BlipConfig):
+    """Load a BLIP-NLVR checkpoint (base or compressed) into our tree.
+    Returns (params, temperature)."""
+    from madtp_tpu.ckpt import load_state_dict, remap_med, remap_vit
+
+    sd, extras = load_state_dict(path)
+    params = {
+        "visual_encoder": remap_vit(sd, num_patches=cfg.vit.num_patches),
+        "text_encoder": remap_med(sd, "text_encoder.", twin_cross=True),
+        "space_dict": np.asarray(sd["space_dict"], np.float32)
+        if "space_dict" in sd
+        else np.random.RandomState(0).randn(cfg.sd_num, cfg.sd_dim).astype(np.float32),
+        "cls_head": {
+            "fc1": {"kernel": np.ascontiguousarray(np.asarray(sd["cls_head.0.weight"], np.float32).T),
+                    "bias": np.asarray(sd["cls_head.0.bias"], np.float32)},
+            "fc2": {"kernel": np.ascontiguousarray(np.asarray(sd["cls_head.2.weight"], np.float32).T),
+                    "bias": np.asarray(sd["cls_head.2.bias"], np.float32)},
+        },
+    }
+    return params, float(extras.get("temperature", 0.0))
+
+
+def load_blip_retrieval(path: str, cfg: BlipConfig):
+    from madtp_tpu.ckpt import load_state_dict, remap_med, remap_vit
+
+    def lin(sd, p):
+        return {"kernel": np.ascontiguousarray(np.asarray(sd[p + ".weight"], np.float32).T),
+                "bias": np.asarray(sd[p + ".bias"], np.float32)}
+
+    sd, extras = load_state_dict(path)
+    params = {
+        "visual_encoder": remap_vit(sd, num_patches=cfg.vit.num_patches),
+        "text_encoder": remap_med(sd, "text_encoder."),
+        "space_dict": np.asarray(sd["space_dict"], np.float32),
+        "vision_proj": lin(sd, "vision_proj"),
+        "text_proj": lin(sd, "text_proj"),
+        "itm_head": lin(sd, "itm_head"),
+    }
+    return params, float(extras.get("temperature", 0.0))
+
+
+def load_blip_caption(path: str, cfg: BlipConfig):
+    from madtp_tpu.ckpt import load_state_dict, remap_med, remap_vit
+
+    sd, extras = load_state_dict(path)
+    params = {
+        "visual_encoder": remap_vit(sd, num_patches=cfg.vit.num_patches),
+        "text_decoder": remap_med(sd, "text_decoder.", has_lm_head=True),
+        "space_dict": np.asarray(sd["space_dict"], np.float32),
+    }
+    return params, float(extras.get("temperature", 0.0))
+
+
+def load_blip_vqa(path: str, cfg: BlipConfig):
+    from madtp_tpu.ckpt import load_state_dict, remap_med, remap_vit
+
+    sd, extras = load_state_dict(path)
+    params = {
+        "visual_encoder": remap_vit(sd, num_patches=cfg.vit.num_patches),
+        "text_encoder": remap_med(sd, "text_encoder."),
+        "text_decoder": remap_med(sd, "text_decoder.", has_lm_head=True),
+        "space_dict": np.asarray(sd["space_dict"], np.float32),
+    }
+    return params, float(extras.get("temperature", 0.0))

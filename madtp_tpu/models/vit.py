@@ -1,0 +1,162 @@
+"""BLIP ViT image encoder with per-layer DTP (TPU-native).
+
+Reference: ``models/vit.py`` (timm-style ViT, 421 LoC).  Differences by design:
+
+* The per-block python loop is a single ``lax.scan`` over stacked block
+  params — one compiled block regardless of depth.
+* DTP runs in the fixed-size masked token buffer
+  (:mod:`madtp_tpu.prune.dtp`): merge slot of layer ``i`` is buffer slot
+  ``1 + num_patches + i``.  No host syncs, no dynamic shapes
+  (vs reference ``models/vit.py:145``).
+* The pruning signals are attention side-outputs (no saved attention maps).
+
+Forward returns ``(TokenState, sd_img_ft_all, kept_counts)`` — kept token
+counts per layer feed the analytic FLOPs model that replaces fvcore tracing
+(reference ``utils.py:283-391``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.core.config import ViTConfig
+from madtp_tpu.ops.attention import self_attention
+from madtp_tpu.ops.layers import layer_norm, mlp, patch_embed
+from madtp_tpu.prune.dtp import DTPSignals, TokenState, dtp_prune, init_token_state
+from madtp_tpu.prune.query import query_model
+
+
+def vit_block(
+    p,
+    state: TokenState,
+    *,
+    cfg: ViTConfig,
+    temperature,
+    merge_slot,
+    token_attn: Optional[jnp.ndarray],
+    prune_active: bool,
+):
+    """One transformer block: attn -> (DTP) -> FFN
+    (reference models/vit.py:183-207)."""
+    x, alive, bias = state
+    h, aux = self_attention(
+        p["attn"],
+        layer_norm(p["norm1"], x, cfg.layer_norm_eps),
+        num_heads=cfg.num_heads,
+        key_alive=alive,
+        query_alive=alive,
+        need_scores=prune_active,
+    )
+    x = x + h
+    state = TokenState(x, alive, bias)
+
+    kept = jnp.sum(alive[:, 1:].any(axis=0))  # placeholder when not pruning
+    if prune_active:
+        signals = DTPSignals(
+            cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
+        )
+        state, kept = dtp_prune(state, signals, temperature, merge_slot)
+
+    x, alive, bias = state
+    x = x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+    return TokenState(x, alive, bias), kept
+
+
+def vit_forward(
+    params,
+    images: jnp.ndarray,  # [B, 3, H, W]
+    *,
+    cfg: ViTConfig,
+    space_dict: Optional[jnp.ndarray] = None,  # [K, sd_dim]
+    temperature=0.0,
+    prune_active: bool = False,
+) -> Tuple[TokenState, Optional[jnp.ndarray], jnp.ndarray]:
+    """Reference models/vit.py:281-310.
+
+    ``prune_active`` must be a static bool (True iff temperature > 0); the
+    temperature value itself is traced, so the compression controller never
+    triggers a recompile.
+    """
+    B = images.shape[0]
+    x = patch_embed(params["patch_embed"], images)  # [B, P0, D]
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"][:, : x.shape[1], :].astype(x.dtype)
+
+    depth = cfg.depth
+    P0 = x.shape[1] - 1
+    use_fdt = space_dict is not None
+    state = init_token_state(x, depth=depth if prune_active else 0)
+
+    def body(carry, layer):
+        state, sd_all = carry
+        p, idx = layer
+        token_attn = None
+        if use_fdt:
+            token_attn, sd_ft = query_model(
+                None, state.x[:, 1:], space_dict, alive=state.alive[:, 1:]
+            )
+            sd_all = sd_all + sd_ft
+        merge_slot = 1 + P0 + idx
+        state, kept = vit_block(
+            p,
+            state,
+            cfg=cfg,
+            temperature=temperature,
+            merge_slot=merge_slot,
+            token_attn=token_attn,
+            prune_active=prune_active,
+        )
+        return (state, sd_all), kept
+
+    sd_all0 = (
+        jnp.zeros((B, space_dict.shape[0], space_dict.shape[1]), jnp.float32)
+        if use_fdt
+        else jnp.zeros((), jnp.float32)
+    )
+    (state, sd_all), kept_counts = jax.lax.scan(
+        body,
+        (state, sd_all0),
+        (params["blocks"], jnp.arange(depth)),
+    )
+
+    x = layer_norm(params["norm"], state.x, cfg.layer_norm_eps)
+    state = TokenState(x, state.alive, state.bias)
+    return state, (sd_all if use_fdt else None), kept_counts
+
+
+def init_vit_params(cfg: ViTConfig, rng: np.random.RandomState, dtype=np.float32):
+    """Random init (shape-compatible with checkpoint loading; tests only —
+    real weights come from .pth via :mod:`madtp_tpu.ckpt`)."""
+    D, L = cfg.embed_dim, cfg.depth
+    hid = int(D * cfg.mlp_ratio)
+    pdim = 3 * cfg.patch_size ** 2
+
+    def lin(i, o):
+        return {
+            "kernel": (rng.randn(L, i, o) * 0.02).astype(dtype),
+            "bias": np.zeros((L, o), dtype),
+        }
+
+    def norm():
+        return {"scale": np.ones((L, D), dtype), "bias": np.zeros((L, D), dtype)}
+
+    return {
+        "cls_token": (rng.randn(1, 1, D) * 0.02).astype(dtype),
+        "pos_embed": (rng.randn(1, cfg.num_patches + 1, D) * 0.02).astype(dtype),
+        "patch_embed": {
+            "kernel": (rng.randn(pdim, D) * 0.02).astype(dtype),
+            "bias": np.zeros((D,), dtype),
+        },
+        "blocks": {
+            "norm1": norm(),
+            "attn": {"qkv": lin(D, 3 * D), "proj": lin(D, D)},
+            "norm2": norm(),
+            "mlp": {"fc1": lin(D, hid), "fc2": lin(hid, D)},
+        },
+        "norm": {"scale": np.ones((D,), dtype), "bias": np.zeros((D,), dtype)},
+    }

@@ -1,0 +1,74 @@
+"""ViT with DTP: static masked forward vs dynamic-shape oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from madtp_tpu.core.config import ViTConfig
+from madtp_tpu.models.vit import vit_forward, init_vit_params
+from tests import reference_oracle as oracle
+
+CFG = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=4, sd_dim=32)
+
+
+def setup(B=2, K=5, seed=0):
+    rng = np.random.RandomState(seed)
+    params = init_vit_params(CFG, rng)
+    images = rng.randn(B, 3, CFG.image_size, CFG.image_size).astype(np.float32)
+    sd = rng.randn(K, CFG.sd_dim).astype(np.float32)
+    return params, images, sd
+
+
+@pytest.mark.parametrize("temperature", [0.0, 1.0])
+def test_vit_matches_oracle(temperature):
+    params, images, sd = setup()
+    B = images.shape[0]
+    prune = temperature > 0
+    state, sd_all, kept = vit_forward(
+        {k: jnp.asarray(v) if not isinstance(v, dict) else v for k, v in params.items()},
+        jnp.asarray(images),
+        cfg=CFG,
+        space_dict=jnp.asarray(sd),
+        temperature=temperature,
+        prune_active=prune,
+    )
+    ox, ids, osd_all, okept = oracle.vit_forward_np(
+        params, images, CFG, sd=sd, temperature=temperature
+    )
+
+    xm, alive = np.asarray(state.x), np.asarray(state.alive)
+    P0 = CFG.num_patches
+    if prune:
+        np.testing.assert_array_equal(np.asarray(kept), np.asarray(okept))
+    for b in range(B):
+        np.testing.assert_allclose(xm[b, 0], ox[b, 0], rtol=2e-4, atol=2e-4)
+        alive_ids = [n for n in range(xm.shape[1] - 1) if alive[b, 1 + n]]
+        assert sorted(alive_ids) == sorted(ids[b].tolist())
+        for row, oid in enumerate(ids[b]):
+            np.testing.assert_allclose(
+                xm[b, 1 + oid], ox[b, 1 + row], rtol=5e-4, atol=5e-4,
+                err_msg=f"sample {b} token {oid}",
+            )
+    np.testing.assert_allclose(np.asarray(sd_all), osd_all, rtol=5e-4, atol=5e-4)
+
+
+def test_vit_jit_stable_across_temperatures():
+    """One compilation serves all temperatures (the controller's bang-bang
+    updates never recompile)."""
+    import jax
+
+    params, images, sd = setup()
+    traces = []
+
+    @jax.jit
+    def run(images, sd, t):
+        traces.append(1)
+        state, sd_all, kept = vit_forward(
+            params, images, cfg=CFG, space_dict=sd, temperature=t, prune_active=True
+        )
+        return state.x, kept
+
+    x1, k1 = run(jnp.asarray(images), jnp.asarray(sd), jnp.float32(0.7))
+    x2, k2 = run(jnp.asarray(images), jnp.asarray(sd), jnp.float32(2.3))
+    assert len(traces) == 1
+    assert x1.shape == x2.shape
