@@ -1,0 +1,146 @@
+"""Headline benchmark: BLIP-NLVR2 eval throughput at p=0.5 on one TPU chip.
+
+Mirrors the reference's operational benchmark (NLVR2 eval loop,
+``compress_nlvr_dtp.py:72-107``; north-star metric in BASELINE.md): samples/sec
+through the full pruned model (one sample = an image PAIR + sentence, as the
+reference counts accuracy per pair).
+
+Procedure:
+1. bisect the DTP temperature until the analytic GFLOPs hits
+   ``Ori * (1 - p)`` — the same target the reference's bang-bang controller
+   chases with fvcore tracing;
+2. calibrate a static per-layer capacity schedule from mask-mode kept counts;
+3. time the gather-mode eval step (the TPU fast path);
+4. baseline = the same model dense (temperature 0, no pruning).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Weights are random (no reference checkpoints are shipped in-tree); throughput
+is weight-independent.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
+         image_size: int = 384, text_len: int = 26):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _nlvr_setup
+    from madtp_tpu.models.blip import blip_nlvr_forward
+    from madtp_tpu.prune.calibrate import calibrate_capacities
+    from madtp_tpu.prune.flops import nlvr_gflops
+
+    cfg, params, images, ids, mask, _ = _nlvr_setup(
+        image_size=image_size, B=batch, text_len=text_len
+    )
+
+    ori = nlvr_gflops(cfg.vit, cfg.med, [cfg.vit.num_patches] * cfg.vit.depth,
+                      [text_len - 1] * cfg.med.num_hidden_layers, text_len)
+    target = ori * (1.0 - p_target)
+
+    @jax.jit
+    def fwd_mask(params, images, ids, mask, t):
+        logits, (vk, tk) = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=t, prune_active=True
+        )
+        return logits, vk, tk
+
+    def measured_gflops(t):
+        _, vk, tk = jax.block_until_ready(
+            fwd_mask(params, images, ids, mask, jnp.float32(t)))
+        return (
+            nlvr_gflops(cfg.vit, cfg.med, np.asarray(vk), np.asarray(tk), text_len),
+            np.asarray(vk), np.asarray(tk),
+        )
+
+    # temperature bisection toward the GFLOPs target (controller analogue)
+    lo_t, hi_t = 0.05, 60.0
+    best = None
+    for _ in range(18):
+        t = (lo_t * hi_t) ** 0.5  # geometric bisection
+        g, vk, tk = measured_gflops(t)
+        best = (t, g, vk, tk)
+        if g > target:
+            lo_t = t
+        else:
+            hi_t = t
+    t_star, g_star, vk, tk = best
+    caps_v = calibrate_capacities(vk[None, :], margin=8, multiple=32)
+    caps_t = calibrate_capacities(tk[None, :], margin=2, multiple=8)
+
+    @jax.jit
+    def fwd_gather(params, images, ids, mask, t):
+        from madtp_tpu.models import med as M
+        from madtp_tpu.models.blip import _split_state
+        from madtp_tpu.models.vit import vit_forward
+        from madtp_tpu.ops.layers import linear
+
+        B = ids.shape[0]
+        vstate, _, vkept = vit_forward(
+            params["visual_encoder"], images, cfg=cfg.vit,
+            space_dict=params["space_dict"], temperature=t,
+            prune_active=True, capacities=caps_v,
+        )
+        st0, st1 = _split_state(vstate, B)
+        out = M.med_encoder(
+            params["text_encoder"], ids, mask, cfg.med,
+            mode="multimodal", encoder_state=st0, encoder_state1=st1,
+            space_dict=params["space_dict"], temperature=t,
+            prune_active=True, capacities=caps_t,
+        )
+        h = jax.nn.relu(linear(params["cls_head"]["fc1"], out.state.x[:, 0, :]))
+        return linear(params["cls_head"]["fc2"], h)
+
+    def time_fn(f, *args):
+        jax.block_until_ready(f(*args))  # compile + warm
+        jax.block_until_ready(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / iters
+
+    tj = jnp.float32(t_star)
+    dt_pruned = time_fn(fwd_gather, params, images, ids, mask, tj)
+
+    @jax.jit
+    def fwd_dense(params, images, ids, mask):
+        logits, _ = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=0.0, prune_active=False
+        )
+        return logits
+
+    dt_dense = time_fn(fwd_dense, params, images, ids, mask)
+
+    sps = batch / dt_pruned
+    sps_dense = batch / dt_dense
+    result = {
+        "metric": f"nlvr2_eval_samples_per_sec_per_chip@p={p_target}",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / sps_dense, 3),
+        "detail": {
+            "dense_samples_per_sec": round(sps_dense, 2),
+            "temperature": round(float(t_star), 4),
+            "gflops_pruned": round(g_star, 2),
+            "gflops_dense": round(ori, 2),
+            "gflops_target": round(target, 2),
+            "capacities_vision": list(caps_v),
+            "capacities_text": list(caps_t),
+            "batch": batch,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,11 +143,13 @@ def med_encoder(
     space_dict: Optional[jnp.ndarray] = None,
     temperature=0.0,
     prune_active: bool = False,
+    capacities: Optional[Tuple[int, ...]] = None,
 ) -> MedEncoderOut:
     """BertModel encoder pass (reference models/med.py:478-598, 788-929).
 
     Slot 0 (CLS/ENC token) is never pruned; the padding mask rides along as a
     finite additive bias exactly like the reference's extended mask.
+    ``capacities`` switches to the unrolled gather fast path (see vit.py).
     """
     B, N = input_ids.shape
     emb = bert_embeddings(params["embeddings"], input_ids, cfg)
@@ -155,6 +157,14 @@ def med_encoder(
 
     L = cfg.num_hidden_layers
     use_fdt = space_dict is not None
+
+    if capacities is not None and prune_active:
+        return _med_encoder_gather(
+            params, emb, pad_bias, cfg,
+            mode=mode, encoder_state=encoder_state, encoder_state1=encoder_state1,
+            space_dict=space_dict, temperature=temperature, capacities=capacities,
+        )
+
     state = init_token_state(emb, depth=L if prune_active else 0, bias=pad_bias)
 
     twin = encoder_state1 is not None
@@ -212,6 +222,60 @@ def med_encoder(
         body, (state, sd_all0), (params["layers"], jnp.arange(L))
     )
     return MedEncoderOut(state, sd_all if use_fdt else None, kept_counts)
+
+
+
+def _med_encoder_gather(
+    params, emb, pad_bias, cfg: MedConfig, *, mode, encoder_state,
+    encoder_state1, space_dict, temperature, capacities,
+) -> MedEncoderOut:
+    """Unrolled gather-mode text encoder (static per-layer capacities)."""
+    from madtp_tpu.core.tree import layer_slice
+    from madtp_tpu.prune.dtp import dtp_prune_gather
+
+    L = cfg.num_hidden_layers
+    assert len(capacities) == L
+    B = emb.shape[0]
+    state = init_token_state(emb, depth=0, bias=pad_bias)
+    twin = encoder_state1 is not None
+    sd_all = jnp.zeros((B, space_dict.shape[0], space_dict.shape[1]), jnp.float32)
+    kept_list = []
+    for i in range(L):
+        p = layer_slice(params["layers"], i)
+        x, alive, bias = state
+        token_attn, sd_ft = query_model(
+            None, x[:, 1:], space_dict, alive=alive[:, 1:]
+        )
+        sd_all = sd_all + sd_ft
+        h, aux, _ = _self_attn(
+            p["attention"], x, cfg,
+            attn_bias=bias[:, None, None, :],
+            key_alive=alive, query_alive=alive, need_scores=True,
+        )
+        signals = DTPSignals(
+            cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
+        )
+        cap = min(capacities[i], h.shape[1])
+        state, kept, _ovf = dtp_prune_gather(
+            TokenState(h, alive, bias), signals, temperature, cap
+        )
+        x, alive, bias = state
+        if mode == "multimodal":
+            if twin:
+                x = _twin_cross_attn(
+                    p["crossattention"], x, encoder_state.x, encoder_state1.x,
+                    cfg, alive0=encoder_state.alive, alive1=encoder_state1.alive,
+                    layer_idx=i,
+                )
+            else:
+                x = _cross_attn(
+                    p["crossattention"], x, encoder_state.x, cfg,
+                    enc_bias=None, enc_alive=encoder_state.alive,
+                )
+        x = _ffn(p, x, cfg)
+        state = TokenState(x, alive, bias)
+        kept_list.append(kept)
+    return MedEncoderOut(state, sd_all, jnp.stack(kept_list))
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,25 @@ from madtp_tpu.prune.dtp import DTPSignals, TokenState, dtp_prune, init_token_st
 from madtp_tpu.prune.query import query_model
 
 
+def _attn_part(p, state: TokenState, cfg: ViTConfig, need_scores: bool):
+    x, alive, bias = state
+    h, aux = self_attention(
+        p["attn"],
+        layer_norm(p["norm1"], x, cfg.layer_norm_eps),
+        num_heads=cfg.num_heads,
+        key_alive=alive,
+        query_alive=alive,
+        need_scores=need_scores,
+    )
+    return TokenState(x + h, alive, bias), aux
+
+
+def _ffn_part(p, state: TokenState, cfg: ViTConfig) -> TokenState:
+    x, alive, bias = state
+    x = x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+    return TokenState(x, alive, bias)
+
+
 def vit_block(
     p,
     state: TokenState,
@@ -42,28 +61,16 @@ def vit_block(
 ):
     """One transformer block: attn -> (DTP) -> FFN
     (reference models/vit.py:183-207)."""
-    x, alive, bias = state
-    h, aux = self_attention(
-        p["attn"],
-        layer_norm(p["norm1"], x, cfg.layer_norm_eps),
-        num_heads=cfg.num_heads,
-        key_alive=alive,
-        query_alive=alive,
-        need_scores=prune_active,
-    )
-    x = x + h
-    state = TokenState(x, alive, bias)
+    state, aux = _attn_part(p, state, cfg, need_scores=prune_active)
 
-    kept = jnp.sum(alive[:, 1:].any(axis=0))  # placeholder when not pruning
+    kept = jnp.sum(state.alive[0, 1:])  # placeholder when not pruning
     if prune_active:
         signals = DTPSignals(
             cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
         )
         state, kept = dtp_prune(state, signals, temperature, merge_slot)
 
-    x, alive, bias = state
-    x = x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
-    return TokenState(x, alive, bias), kept
+    return _ffn_part(p, state, cfg), kept
 
 
 def vit_forward(
@@ -74,12 +81,19 @@ def vit_forward(
     space_dict: Optional[jnp.ndarray] = None,  # [K, sd_dim]
     temperature=0.0,
     prune_active: bool = False,
+    capacities: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[TokenState, Optional[jnp.ndarray], jnp.ndarray]:
     """Reference models/vit.py:281-310.
 
     ``prune_active`` must be a static bool (True iff temperature > 0); the
     temperature value itself is traced, so the compression controller never
     triggers a recompile.
+
+    ``capacities`` (static tuple, one per layer) switches to the gather fast
+    path: after each layer's DTP decision the buffer physically compacts to
+    ``capacities[i]`` slots, so attention/FFN cost shrinks with depth.  Use
+    :func:`madtp_tpu.prune.calibrate.calibrate_capacities` to derive a
+    schedule from mask-mode runs.
     """
     B = images.shape[0]
     x = patch_embed(params["patch_embed"], images)  # [B, P0, D]
@@ -90,6 +104,13 @@ def vit_forward(
     depth = cfg.depth
     P0 = x.shape[1] - 1
     use_fdt = space_dict is not None
+
+    if capacities is not None and prune_active:
+        return _vit_forward_gather(
+            params, x, cfg=cfg, space_dict=space_dict,
+            temperature=temperature, capacities=capacities,
+        )
+
     state = init_token_state(x, depth=depth if prune_active else 0)
 
     def body(carry, layer):
@@ -160,3 +181,37 @@ def init_vit_params(cfg: ViTConfig, rng: np.random.RandomState, dtype=np.float32
         },
         "norm": {"scale": np.ones((D,), dtype), "bias": np.zeros((D,), dtype)},
     }
+
+
+def _vit_forward_gather(params, x, *, cfg: ViTConfig, space_dict, temperature,
+                        capacities):
+    """Unrolled gather-mode forward: per-layer physical compaction to the
+    static capacity schedule.  Shapes differ per layer (by design), so the
+    loop is unrolled rather than scanned; XLA still compiles each distinct
+    capacity once."""
+    from madtp_tpu.core.tree import layer_slice
+    from madtp_tpu.prune.dtp import dtp_prune_gather
+
+    assert len(capacities) == cfg.depth
+    B = x.shape[0]
+    state = init_token_state(x, depth=0)
+    sd_all = jnp.zeros((B, space_dict.shape[0], space_dict.shape[1]), jnp.float32)
+    kept_list = []
+    for i in range(cfg.depth):
+        p = layer_slice(params["blocks"], i)
+        token_attn, sd_ft = query_model(
+            None, state.x[:, 1:], space_dict, alive=state.alive[:, 1:]
+        )
+        sd_all = sd_all + sd_ft
+        state, aux = _attn_part(p, state, cfg, need_scores=True)
+        signals = DTPSignals(
+            cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
+        )
+        cap = min(capacities[i], state.x.shape[1])
+        state, kept, _ovf = dtp_prune_gather(state, signals, temperature, cap)
+        state = _ffn_part(p, state, cfg)
+        kept_list.append(kept)
+
+    xf = layer_norm(params["norm"], state.x, cfg.layer_norm_eps)
+    state = TokenState(xf, state.alive, state.bias)
+    return state, sd_all, jnp.stack(kept_list)

@@ -1,0 +1,13 @@
+from madtp_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    model_parallel_param_shardings,
+)
+from madtp_tpu.parallel.dist import (
+    init_distributed,
+    process_count,
+    process_index,
+    all_gather_with_grad,
+    concat_all_gather,
+)

@@ -230,3 +230,87 @@ def compact(
     galive = jnp.take_along_axis(alive, idx, axis=1)
     gbias = None if bias is None else jnp.take_along_axis(bias, idx, axis=1)
     return TokenState(gx, galive, gbias), idx
+
+
+def dtp_prune_gather(
+    state: TokenState,
+    signals: DTPSignals,
+    temperature,
+    capacity: int,
+    *,
+    variant: str = "vit",
+    max_keep=None,
+) -> Tuple[TokenState, jnp.ndarray, jnp.ndarray]:
+    """DTP step + physical compaction to ``capacity`` slots (static shape).
+
+    Identical decisions to :func:`dtp_prune`, but the surviving tokens are
+    gathered into a fresh ``[B, capacity, D]`` buffer: slot 0 = CLS, slots
+    ``1..capacity-2`` = the highest-scored tokens (alive-flag marks the first
+    ``topk_num``), slot ``capacity-1`` = the merged token.  This is the eval
+    fast path — downstream attention cost scales with the capacity schedule,
+    which is how the TPU rebuild banks the FLOPs the reference saves via
+    dynamic shapes.
+
+    If the batch keeps more tokens than ``capacity - 2`` (mis-calibrated
+    schedule), the lowest-scored kept tokens overflow into the merged token;
+    the returned ``overflow`` count (traced scalar) lets callers log it
+    (SURVEY.md §5 "no silent caps").
+
+    Returns ``(new_state, kept_patch_count, overflow)``.
+    """
+    x, alive, bias = state
+    B, S, D = x.shape
+    palive = alive[:, 1:]
+    cap_p = capacity - 2  # patch slots available (excl. CLS + merge)
+
+    temperature = jnp.asarray(temperature, jnp.float32)
+    score = importance_score(signals, palive)
+    thr = dtp_threshold(signals.token_attn, score, palive, temperature)
+
+    keep_decision = palive & (score > thr[:, None])
+    counts = jnp.sum(keep_decision, axis=1)
+    topk_num = jnp.max(counts)
+    alive_cnt = jnp.max(jnp.sum(palive, axis=1))
+
+    if variant == "clip":
+        mk = jnp.asarray(1 if max_keep is None else max_keep)
+        apply = (topk_num > mk) & (alive_cnt - topk_num >= 2)
+    else:
+        apply = (topk_num >= 1) & (alive_cnt - topk_num >= 2)
+
+    # Effective keep count in this buffer (clamped by capacity)
+    eff_keep = jnp.where(apply, jnp.minimum(topk_num, cap_p), jnp.minimum(alive_cnt, cap_p))
+    overflow = jnp.maximum(jnp.where(apply, topk_num, alive_cnt) - cap_p, 0)
+
+    score_ranked = jnp.where(palive, score, NEG_INF)
+    order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, S-1] desc
+    sel = order[:, :cap_p]  # top cap_p patch indices (0-based into patches)
+    ranks_sel = jnp.arange(cap_p)[None, :]
+    sel_alive = jnp.take_along_axis(palive, sel, axis=1) & (ranks_sel < eff_keep)
+
+    gx = jnp.take_along_axis(x[:, 1:], sel[:, :, None], axis=1)  # [B,cap_p,D]
+    gbias = None if bias is None else jnp.take_along_axis(bias[:, 1:], sel, axis=1)
+
+    # merged token: everything alive and not effectively kept
+    rank_full = _rank_desc(score_ranked)
+    merge_mask = palive & (rank_full >= eff_keep)
+    w = jnp.where(merge_mask, score, 0.0)
+    w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)
+    merged = jnp.einsum(
+        "bp,bpd->bd", w, x[:, 1:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+    do_merge = apply | (overflow > 0)
+    new_x = jnp.concatenate([x[:, :1], gx, merged[:, None, :]], axis=1)
+    new_alive = jnp.concatenate(
+        [alive[:, :1], sel_alive,
+         jnp.broadcast_to(do_merge[None, None], (B, 1))], axis=1,
+    )
+    new_bias = None
+    if bias is not None:
+        new_bias = jnp.concatenate(
+            [bias[:, :1], gbias, jnp.zeros((B, 1), bias.dtype)], axis=1
+        )
+    kept = eff_keep + do_merge.astype(eff_keep.dtype)
+    return TokenState(new_x, new_alive, new_bias), kept, overflow

@@ -72,3 +72,50 @@ def test_vit_jit_stable_across_temperatures():
     x2, k2 = run(jnp.asarray(images), jnp.asarray(sd), jnp.float32(2.3))
     assert len(traces) == 1
     assert x1.shape == x2.shape
+
+
+def test_gather_mode_matches_mask_mode():
+    """Gather fast path with generous capacities must reproduce mask-mode
+    results: same CLS feature, same multiset of surviving token features,
+    same kept counts."""
+    import jax
+
+    params, images, sd = setup()
+    jp = jax.tree.map(jnp.asarray, params)
+    T = 1.0
+    st_m, sd_m, kept_m = vit_forward(
+        jp, jnp.asarray(images), cfg=CFG, space_dict=jnp.asarray(sd),
+        temperature=T, prune_active=True,
+    )
+    caps = tuple([CFG.num_patches + 2] * CFG.depth)  # generous
+    st_g, sd_g, kept_g = vit_forward(
+        jp, jnp.asarray(images), cfg=CFG, space_dict=jnp.asarray(sd),
+        temperature=T, prune_active=True, capacities=caps,
+    )
+    np.testing.assert_array_equal(np.asarray(kept_m), np.asarray(kept_g))
+    np.testing.assert_allclose(np.asarray(sd_m), np.asarray(sd_g), rtol=2e-4, atol=2e-4)
+    xm, am = np.asarray(st_m.x), np.asarray(st_m.alive)
+    xg, ag = np.asarray(st_g.x), np.asarray(st_g.alive)
+    for b in range(xm.shape[0]):
+        np.testing.assert_allclose(xm[b, 0], xg[b, 0], rtol=2e-4, atol=2e-4)
+        m_set = sorted(tuple(np.round(xm[b, s], 4)) for s in range(1, xm.shape[1]) if am[b, s])
+        g_set = sorted(tuple(np.round(xg[b, s], 4)) for s in range(1, xg.shape[1]) if ag[b, s])
+        assert len(m_set) == len(g_set)
+        for mv, gv in zip(m_set, g_set):
+            np.testing.assert_allclose(mv, gv, rtol=5e-3, atol=5e-3)
+
+
+def test_gather_tight_capacity_overflow_merges():
+    """A deliberately tight capacity folds overflow into the merged token and
+    still produces finite outputs (no silent corruption)."""
+    params, images, sd = setup()
+    import jax
+    jp = jax.tree.map(jnp.asarray, params)
+    caps = tuple([8] * CFG.depth)  # much tighter than kept counts
+    st, sd_all, kept = vit_forward(
+        jp, jnp.asarray(images), cfg=CFG, space_dict=jnp.asarray(sd),
+        temperature=1.0, prune_active=True, capacities=caps,
+    )
+    assert st.x.shape[1] == 8
+    assert np.all(np.isfinite(np.asarray(st.x)))
+    assert np.asarray(kept).max() <= 7
