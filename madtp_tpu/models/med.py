@@ -313,10 +313,14 @@ def med_decoder_forward(
         )
         h = _cross_attn(
             p["crossattention"], h, encoder_state.x, cfg,
-            enc_bias=None, enc_alive=encoder_state.alive,
+            enc_bias=enc_bias, enc_alive=encoder_state.alive,
         )
         return _ffn(p, h, cfg), None
 
+    enc_bias = (
+        None if encoder_state.bias is None
+        else encoder_state.bias[:, None, None, :]
+    )
     x, _ = jax.lax.scan(body, emb, params["layers"])
     return x
 
@@ -353,6 +357,10 @@ def med_decoder_step(
     max_len = cache.k.shape[3]
     valid = (jnp.arange(max_len) <= position)[None, None, None, :]  # [1,1,1,T]
     bias = jnp.where(valid, 0.0, PAD_BIAS)
+    enc_bias = (
+        None if encoder_state.bias is None
+        else encoder_state.bias[:, None, None, :]
+    )
 
     def body(x, layer):
         p, ck, cv = layer
@@ -363,7 +371,7 @@ def med_decoder_step(
         )
         h = _cross_attn(
             p["crossattention"], h, encoder_state.x, cfg,
-            enc_bias=None, enc_alive=encoder_state.alive,
+            enc_bias=enc_bias, enc_alive=encoder_state.alive,
         )
         return _ffn(p, h, cfg), new_kv
 

@@ -1,0 +1,155 @@
+"""BLIP image-text retrieval evaluation: ITC shortlist -> ITM rerank.
+
+Reference: ``compress_retrieval_dtp.py:84-205`` (SURVEY.md §3.4).  TPU-native
+differences:
+
+* the reference pads each eval batch's ragged (pruned) token features to the
+  global max by repeating the CLS token (``:142-154``); our gather/masked
+  states are batch-uniform by construction, so no rag fix is needed;
+* the ITM rerank runs as a jitted fixed-shape step (one image x k_test texts
+  per call), instead of a host loop with per-batch fvcore tracing;
+* multi-device sharding splits the i2t/t2i row loops across the 'data' axis
+  and sums the -100-initialized score matrices (the reference's
+  ``dist.all_reduce(SUM)`` at ``:202-205``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.models import med as M
+from madtp_tpu.models.blip import BlipConfig, blip_itm_score
+from madtp_tpu.prune.dtp import TokenState
+
+
+def encode_corpus(
+    params,
+    cfg: BlipConfig,
+    image_batches,  # iterable of [b,3,H,W] numpy
+    text_ids: np.ndarray,  # [n_texts, N] pre-tokenized, padded
+    text_mask: np.ndarray,
+    *,
+    temperature=0.0,
+    prune_active: bool = False,
+    capacities_v=None,
+    capacities_t=None,
+    text_batch: int = 256,
+):
+    """Stage 1: embed all texts and images (reference :95-125).
+
+    Returns (img_feats [ni,E], img_states TokenState stacked on host,
+    txt_feats [nt,E])."""
+    from madtp_tpu.models.blip import (
+        blip_retrieval_image_features,
+        blip_retrieval_text_features,
+    )
+
+    @jax.jit
+    def img_step(params, images, t):
+        feat, state, _ = blip_retrieval_image_features(
+            params, images, cfg, temperature=t, prune_active=prune_active,
+        )
+        return feat, state
+
+    @jax.jit
+    def txt_step(params, ids, mask, t):
+        feat, out = blip_retrieval_text_features(
+            params, ids, mask, cfg, temperature=t, prune_active=prune_active,
+        )
+        return feat
+
+    t = jnp.float32(temperature)
+    img_feats, xs, alives = [], [], []
+    for images in image_batches:
+        feat, state = img_step(params, jnp.asarray(images), t)
+        img_feats.append(np.asarray(feat))
+        xs.append(np.asarray(state.x))
+        alives.append(np.asarray(state.alive))
+    img_feats = np.concatenate(img_feats)
+    img_states = TokenState(
+        np.concatenate(xs), np.concatenate(alives), None
+    )
+
+    txt_feats = []
+    for i in range(0, len(text_ids), text_batch):
+        feat = txt_step(
+            params, jnp.asarray(text_ids[i : i + text_batch]),
+            jnp.asarray(text_mask[i : i + text_batch]), t,
+        )
+        txt_feats.append(np.asarray(feat))
+    txt_feats = np.concatenate(txt_feats)
+    return img_feats, img_states, txt_feats
+
+
+def rerank_scores(
+    params,
+    cfg: BlipConfig,
+    img_feats: np.ndarray,
+    img_states: TokenState,  # host arrays [ni, S, D] / [ni, S]
+    txt_feats: np.ndarray,
+    text_ids: np.ndarray,
+    text_mask: np.ndarray,
+    *,
+    k_test: int = 128,
+    temperature=0.0,
+    prune_active: bool = False,
+    row_slice: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stage 2 (reference :157-205): sims matrix, then ITM logits over each
+    row's top-k_test candidates.  ``row_slice`` shards rows across processes;
+    un-scored entries stay at -100 for the cross-process SUM."""
+    sims = img_feats @ txt_feats.T  # [ni, nt]
+    ni, nt = sims.shape
+    score_i2t = np.full((ni, nt), -100.0, np.float32)
+    score_t2i = np.full((nt, ni), -100.0, np.float32)
+
+    t = jnp.float32(temperature)
+
+    @jax.jit
+    def itm_batch(params, ids, mask, state_x, state_alive, t):
+        state = TokenState(state_x, state_alive, None)
+        return blip_itm_score(
+            params, ids, mask, state, cfg,
+            temperature=t, prune_active=prune_active,
+        )
+
+    i_lo, i_hi = (0, ni) if row_slice is None else row_slice
+    for i in range(i_lo, i_hi):
+        topk = np.argsort(-sims[i])[:k_test]
+        ids = jnp.asarray(text_ids[topk])
+        mask = jnp.asarray(text_mask[topk])
+        sx = jnp.broadcast_to(
+            jnp.asarray(img_states.x[i])[None], (k_test,) + img_states.x[i].shape
+        )
+        sa = jnp.broadcast_to(
+            jnp.asarray(img_states.alive[i])[None], (k_test,) + img_states.alive[i].shape
+        )
+        itm = np.asarray(itm_batch(params, ids, mask, sx, sa, t))
+        score_i2t[i, topk] = itm + sims[i, topk]
+
+    t_lo, t_hi = (0, nt) if row_slice is None else (
+        row_slice[0] * nt // ni, row_slice[1] * nt // ni
+    )
+    sims_t = sims.T  # [nt, ni]
+    for j in range(t_lo, t_hi):
+        topk = np.argsort(-sims_t[j])[:k_test]
+        ids = jnp.broadcast_to(jnp.asarray(text_ids[j])[None], (k_test, text_ids.shape[1]))
+        mask = jnp.broadcast_to(jnp.asarray(text_mask[j])[None], (k_test, text_mask.shape[1]))
+        sx = jnp.asarray(img_states.x[topk])
+        sa = jnp.asarray(img_states.alive[topk])
+        itm = np.asarray(itm_batch(params, ids, mask, sx, sa, t))
+        score_t2i[j, topk] = itm + sims_t[j, topk]
+
+    return score_i2t, score_t2i
+
+
+def clip_retrieval_scores(img_feats: np.ndarray, txt_feats: np.ndarray):
+    """CLIP variant: ITC similarity IS the score, no rerank
+    (reference compress_retrieval_clip_dtp.py:78-124)."""
+    sims = img_feats @ txt_feats.T
+    return sims, sims.T

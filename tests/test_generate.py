@@ -1,0 +1,162 @@
+"""Beam search + VQA ranking: jitted fixed-shape loops vs numpy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models import med as M
+from madtp_tpu.models.blip import BlipConfig
+from madtp_tpu.prune.dtp import TokenState
+from madtp_tpu.tasks.caption import beam_generate
+from madtp_tpu.tasks.vqa import rank_answers
+
+MED = MedConfig(
+    vocab_size=40, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=4, intermediate_size=64,
+    max_position_embeddings=32, encoder_width=32, sd_dim=32,
+)
+CFG = BlipConfig(vit=ViTConfig(), med=MED, sd_dim=32)
+EOS, PAD, BOS = 3, 0, 1
+
+
+def setup(B=2, seed=0):
+    rng = np.random.RandomState(seed)
+    params = M.init_med_params(MED, rng)
+    params = jax.tree.map(jnp.asarray, params)
+    enc = TokenState(
+        jnp.asarray(rng.randn(B, 6, 32).astype(np.float32)),
+        jnp.ones((B, 6), bool), None,
+    )
+    return params, enc, rng
+
+
+def full_logits(params, enc, seqs, upto):
+    """Trusted full-forward logits at position upto-1 for each sequence."""
+    ids = jnp.asarray(seqs[:, :upto])
+    mask = jnp.ones_like(ids)
+    h = M.med_decoder_forward(params, ids, mask, MED, encoder_state=enc)
+    return np.asarray(M.lm_head(params, h, MED))[:, -1, :]
+
+
+def numpy_beam_oracle(params, enc, prompt, nb, max_length, min_length):
+    """Reference beam logic (HF semantics) in numpy using the trusted
+    full-forward for logits; dynamic python lists, no cache."""
+    B, Lp = prompt.shape
+    results = []
+    for b in range(B):
+        enc_b = TokenState(enc.x[b : b + 1], enc.alive[b : b + 1], None)
+        beams = [(list(prompt[b]), 0.0)]
+        finished = []
+        for t in range(Lp, max_length):
+            cand = []
+            seqs = np.array([s for s, _ in beams])
+            logits = full_logits(params, TokenState(
+                jnp.repeat(enc_b.x, len(beams), 0),
+                jnp.repeat(enc_b.alive, len(beams), 0), None), seqs, t)
+            logp = logits - logits.max(-1, keepdims=True)
+            logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+            if t < min_length:
+                logp[:, EOS] = -1e9
+            for bi, (s, sc) in enumerate(beams):
+                for v in range(MED.vocab_size):
+                    cand.append((sc + logp[bi, v], s + [v], bi))
+            cand.sort(key=lambda c: -c[0])
+            cand = cand[: 2 * nb]
+            new_beams = []
+            for score, s, bi in cand:
+                if s[-1] == EOS:
+                    finished.append((score / (t + 1), s))
+                elif len(new_beams) < nb:
+                    new_beams.append((s, score))
+            beams = new_beams or beams
+            if not new_beams:
+                break
+        for s, sc in beams:
+            finished.append((sc / max_length, s))
+        finished.sort(key=lambda c: -c[0])
+        best = finished[0][1]
+        best = best + [PAD] * (max_length - len(best))
+        results.append(best[:max_length])
+    return np.array(results)
+
+
+def test_beam_matches_numpy_oracle():
+    params, enc, rng = setup()
+    B = 2
+    prompt = np.full((B, 2), BOS, np.int32)
+    prompt[:, 1] = 5
+    out = np.asarray(beam_generate(
+        params, enc, jnp.asarray(prompt), CFG,
+        num_beams=3, max_length=10, min_length=3,
+        eos_token_id=EOS, pad_token_id=PAD,
+    ))
+    ref = numpy_beam_oracle(params, enc, prompt, nb=3, max_length=10, min_length=3)
+    # compare up to (and including) the first EOS
+    for b in range(B):
+        oe = np.where(out[b] == EOS)[0]
+        re = np.where(ref[b] == EOS)[0]
+        o_end = oe[0] + 1 if len(oe) else 10
+        r_end = re[0] + 1 if len(re) else 10
+        assert out[b, :o_end].tolist() == ref[b, :r_end].tolist(), (
+            f"sample {b}: {out[b]} vs {ref[b]}"
+        )
+
+
+def test_beam_respects_min_length_and_pads_after_eos():
+    params, enc, _ = setup(seed=3)
+    prompt = np.full((2, 1), BOS, np.int32)
+    out = np.asarray(beam_generate(
+        params, enc, jnp.asarray(prompt), CFG,
+        num_beams=2, max_length=12, min_length=6,
+        eos_token_id=EOS, pad_token_id=PAD,
+    ))
+    for b in range(2):
+        eos_pos = np.where(out[b] == EOS)[0]
+        if len(eos_pos):
+            assert eos_pos[0] >= 6
+            assert np.all(out[b, eos_pos[0] + 1 :] == PAD)
+
+
+def test_rank_answers_selects_forced_answer():
+    """If the encoder memory is rigged so one answer has much higher LM
+    probability, ranking must select it.  Uses a tiny answer list and checks
+    the two-stage (first-token topk -> full LM score) mechanics."""
+    params, enc, rng = setup(seed=1)
+    B = 2
+    nA, La = 6, 4
+    answer_ids = rng.randint(4, MED.vocab_size, size=(nA, La)).astype(np.int32)
+    answer_ids[:, 0] = BOS
+    answer_mask = np.ones((nA, La), np.int32)
+
+    best, topk = rank_answers(
+        params, enc,
+        jnp.asarray(answer_ids), jnp.asarray(answer_mask), CFG,
+        k=4, pad_token_id=PAD,
+    )
+    best = np.asarray(best)
+    assert best.shape == (B,)
+    assert np.all((best >= 0) & (best < nA))
+
+    # oracle: score ALL answers by full-LM loss, restricted to the top-4
+    # first-token candidates the ranker saw
+    h = None
+    start = jnp.full((B, 1), BOS, jnp.int32)
+    hid = M.med_decoder_forward(params, start, jnp.ones((B, 1), jnp.int32),
+                                MED, encoder_state=enc)
+    logits0 = np.asarray(M.lm_head(params, hid, MED))[:, 0, :]
+    prob = np.exp(logits0 - logits0.max(-1, keepdims=True))
+    prob /= prob.sum(-1, keepdims=True)
+    pf = prob[:, answer_ids[:, 1]]
+    for b in range(B):
+        cand = np.argsort(-pf[b])[:4]
+        scores = []
+        for a in cand:
+            ids = jnp.asarray(answer_ids[a : a + 1])
+            msk = jnp.asarray(answer_mask[a : a + 1])
+            tgt = jnp.where(ids == PAD, -100, ids)
+            st = TokenState(enc.x[b : b + 1], enc.alive[b : b + 1], None)
+            hh = M.med_decoder_forward(params, ids, msk, MED, encoder_state=st)
+            lg = M.lm_head(params, hh, MED)
+            scores.append(-float(M.lm_loss(lg, tgt, reduction="none")[0]))
+        assert best[b] == cand[int(np.argmax(scores))]
