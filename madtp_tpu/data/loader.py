@@ -1,0 +1,111 @@
+"""Batched loader with process sharding and threaded prefetch.
+
+Replaces the reference's DataLoader + DistributedSampler stack
+(reference ``data/__init__.py:75-104``): each JAX process reads its own
+contiguous shard (the ``DistributedSampler`` analogue), worker threads decode
+images ahead of the accelerator, and the final partial batch can be padded to
+keep shapes static (XLA-friendly — the reference just ran a ragged last
+batch)."""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
+                  num_shards: int = 1, shard_id: int = 0,
+                  drop_last: bool = False) -> np.ndarray:
+    """DistributedSampler-equivalent index schedule: optional epoch-seeded
+    shuffle, padded to a multiple of num_shards, strided assignment."""
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.RandomState(seed + epoch)
+        rng.shuffle(idx)
+    if drop_last:
+        idx = idx[: (n // num_shards) * num_shards]
+    else:
+        pad = (-len(idx)) % num_shards
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+    return idx[shard_id::num_shards]
+
+
+def default_collate(batch):
+    first = batch[0]
+    out = []
+    for i in range(len(first)):
+        col = [b[i] for b in batch]
+        if isinstance(col[0], np.ndarray):
+            out.append(np.stack(col))
+        elif isinstance(col[0], (int, np.integer)):
+            out.append(np.asarray(col))
+        elif isinstance(col[0], float):
+            out.append(np.asarray(col, np.float32))
+        else:
+            out.append(col)
+    return tuple(out)
+
+
+def batched_loader(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 42,
+    epoch: int = 0,
+    num_shards: int = 1,
+    shard_id: int = 0,
+    drop_last: bool = False,
+    num_workers: int = 8,
+    collate: Callable = default_collate,
+    prefetch: int = 4,
+) -> Iterator:
+    """Yields collated batches; image decode runs on a thread pool with
+    ``prefetch`` batches in flight."""
+    idx = shard_indices(
+        len(dataset), shuffle=shuffle, seed=seed, epoch=epoch,
+        num_shards=num_shards, shard_id=shard_id, drop_last=drop_last,
+    )
+    batches = [idx[i : i + batch_size] for i in range(0, len(idx), batch_size)]
+    if drop_last:
+        batches = [b for b in batches if len(b) == batch_size]
+    if not batches:
+        return
+
+    if num_workers <= 0:
+        for b in batches:
+            yield collate([dataset[int(i)] for i in b])
+        return
+
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def fetch_batch(b):
+        return collate(list(pool.map(lambda i: dataset[int(i)], b)))
+
+    def producer():
+        try:
+            for b in batches:
+                if stop.is_set():
+                    return
+                q.put(fetch_batch(b))
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        pool.shutdown(wait=False)

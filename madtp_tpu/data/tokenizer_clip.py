@@ -1,0 +1,144 @@
+"""CLIP byte-level BPE tokenizer (clean-room).
+
+Reference: ``clip/simple_tokenizer.py`` + ``clip/clip.py:202-242``
+(``tokenize`` pads to context length 77 with <|startoftext|>/<|endoftext|>).
+The merge table is the standard public ``bpe_simple_vocab_16e6.txt.gz`` data
+file; its default location points at the read-only reference mount so no
+vendoring is needed (override via ``vocab_path``).
+
+Vocab layout (OpenAI CLIP): 256 byte-units + 256 byte-units+'</w>' +
+48894 merged symbols + 2 specials = 49408.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import os
+from functools import lru_cache
+from typing import List, Sequence
+
+import numpy as np
+
+DEFAULT_BPE = "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz"
+SOT, EOT = "<|startoftext|>", "<|endoftext|>"
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Reversible byte <-> printable-unicode map (GPT-2 convention)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _pairs(word):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+class ClipBPETokenizer:
+    def __init__(self, vocab_path: str = DEFAULT_BPE):
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        with gzip.open(vocab_path, "rt", encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        merges = merges[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges]
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        vocab.extend("".join(m) for m in merges)
+        vocab.extend([SOT, EOT])
+        self.encoder = {t: i for i, t in enumerate(vocab)}
+        self.decoder = {i: t for t, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache = {SOT: SOT, EOT: EOT}
+        import regex
+
+        self.pat = regex.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            regex.IGNORECASE,
+        )
+        self.sot_token = self.encoder[SOT]
+        self.eot_token = self.encoder[EOT]
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        text = html.unescape(html.unescape(text))
+        text = " ".join(text.split())  # whitespace_clean
+        text = text.strip().lower()
+        ids: List[int] = []
+        for token in self.pat.findall(text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder.get(int(i), "") for i in ids)
+        data = bytearray(self.byte_decoder.get(c, 32) for c in text)
+        return data.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+
+
+def clip_tokenize(
+    tokenizer: ClipBPETokenizer,
+    texts: Sequence[str],
+    context_length: int = 77,
+    truncate: bool = True,
+) -> np.ndarray:
+    """[B, context_length] int32, sot + tokens + eot, zero-padded
+    (reference clip/clip.py:202-242; truncation keeps EOT at the end)."""
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        ids = [tokenizer.sot_token] + tokenizer.encode(text) + [tokenizer.eot_token]
+        if len(ids) > context_length:
+            if not truncate:
+                raise RuntimeError(f"text too long: {text!r}")
+            ids = ids[:context_length]
+            ids[-1] = tokenizer.eot_token
+        result[i, : len(ids)] = ids
+    return result

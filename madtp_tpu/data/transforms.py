@@ -1,0 +1,112 @@
+"""Image preprocessing (reference ``data/__init__.py:20-33`` transforms +
+``transform/randaugment.py`` RandAugment, reimplemented on PIL/numpy).
+
+Eval: bicubic resize to (S, S), scale to [0,1], normalize with CLIP stats
+(0.48145466, 0.4578275, 0.40821073) / (0.26862954, 0.26130258, 0.27577711),
+CHW float32.  Train adds RandomResizedCrop(0.5-1.0, bicubic), horizontal
+flip, and RandAugment(2, 5) over the reference's 10-op palette.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def normalize_chw(img: Image.Image) -> np.ndarray:
+    a = np.asarray(img, np.float32) / 255.0
+    a = (a - MEAN) / STD
+    return a.transpose(2, 0, 1)
+
+
+def eval_transform(img: Image.Image, image_size: int) -> np.ndarray:
+    img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
+    return normalize_chw(img)
+
+
+def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
+                        scale=(0.5, 1.0), ratio=(3 / 4, 4 / 3)) -> Image.Image:
+    W, H = img.size
+    area = W * H
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = (np.log(ratio[0]), np.log(ratio[1]))
+        ar = np.exp(rng.uniform(*log_r))
+        w = int(round((target * ar) ** 0.5))
+        h = int(round((target / ar) ** 0.5))
+        if 0 < w <= W and 0 < h <= H:
+            x = rng.randint(0, W - w)
+            y = rng.randint(0, H - h)
+            return img.crop((x, y, x + w, y + h)).resize((size, size), Image.BICUBIC)
+    return img.resize((size, size), Image.BICUBIC)
+
+
+# ---------------------------------------------------------------------------
+# RandAugment (10-op palette, reference data/__init__.py:24-25)
+# ---------------------------------------------------------------------------
+
+
+def _shear_x(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0),
+                         resample=Image.BICUBIC)
+
+
+def _shear_y(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0),
+                         resample=Image.BICUBIC)
+
+
+def _translate_x(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, v * img.size[0], 0, 1, 0),
+                         resample=Image.BICUBIC)
+
+
+def _translate_y(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v * img.size[1]),
+                         resample=Image.BICUBIC)
+
+
+_OPS = {
+    "Identity": (lambda img, v: img, 0.0, 0.0),
+    "AutoContrast": (lambda img, v: ImageOps.autocontrast(img), 0.0, 0.0),
+    "Equalize": (lambda img, v: ImageOps.equalize(img), 0.0, 0.0),
+    "Brightness": (lambda img, v: ImageEnhance.Brightness(img).enhance(1 + v),
+                   -0.9, 0.9),
+    "Sharpness": (lambda img, v: ImageEnhance.Sharpness(img).enhance(1 + v),
+                  -0.9, 0.9),
+    "ShearX": (_shear_x, -0.3, 0.3),
+    "ShearY": (_shear_y, -0.3, 0.3),
+    "TranslateX": (_translate_x, -0.3, 0.3),
+    "TranslateY": (_translate_y, -0.3, 0.3),
+    "Rotate": (lambda img, v: img.rotate(v, resample=Image.BICUBIC), -30, 30),
+}
+
+DEFAULT_AUGS = ["Identity", "AutoContrast", "Brightness", "Sharpness",
+                "Equalize", "ShearX", "ShearY", "TranslateX", "TranslateY",
+                "Rotate"]
+
+
+def rand_augment(img: Image.Image, n: int, m: int, rng: random.Random,
+                 augs: Sequence[str] = tuple(DEFAULT_AUGS)) -> Image.Image:
+    """Apply ``n`` random ops at magnitude ``m`` (0-10 scale)."""
+    for name in rng.choices(list(augs), k=n):
+        fn, lo, hi = _OPS[name]
+        v = lo + (hi - lo) * (m / 10.0) * rng.random()
+        img = fn(img, v)
+    return img
+
+
+def train_transform(img: Image.Image, image_size: int, rng: random.Random,
+                    min_scale: float = 0.5) -> np.ndarray:
+    img = img.convert("RGB")
+    img = random_resized_crop(img, image_size, rng, scale=(min_scale, 1.0))
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    img = rand_augment(img, 2, 5, rng)
+    return normalize_chw(img)

@@ -1,0 +1,142 @@
+"""Data layer: tokenizers, text preproc, transforms, loader, datasets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from madtp_tpu.data.tokenizer_bert import BertWordPieceTokenizer
+from madtp_tpu.data.text_utils import pre_caption, pre_question, save_result
+from madtp_tpu.data.transforms import eval_transform, train_transform
+from madtp_tpu.data.loader import batched_loader, shard_indices
+
+BPE_PATH = "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz"
+
+
+def test_bert_wordpiece_basic():
+    tok = BertWordPieceTokenizer.toy(
+        ["a", "picture", "of", "cat", "##s", "play", "##ing", "the"]
+    )
+    ids = tok.encode("A picture of cats playing!")
+    toks = [tok.ids_to_tokens[i] for i in ids]
+    assert toks[0] == "[CLS]" and toks[-1] == "[SEP]"
+    assert "cat" in toks and "##s" in toks and "play" in toks and "##ing" in toks
+    assert "[UNK]" in toks  # '!' not in toy vocab
+
+    batch = tok(["a cat", "a picture of cats"], padding="longest")
+    assert batch["input_ids"].shape == batch["attention_mask"].shape
+    assert batch["attention_mask"][0].sum() < batch["attention_mask"][1].sum()
+    # decode strips specials and merges wordpieces
+    assert tok.decode(tok.encode("a picture of cats")) == "a picture of cats"
+
+
+def test_bert_special_tokens_match_reference_ids():
+    """[DEC]/[ENC] are appended after the base vocab (reference
+    models/blip.py:219-225 -> vocab 30522 + 2 = 30524)."""
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + [f"tok{i}" for i in range(10)]
+    )}
+    tok = BertWordPieceTokenizer(vocab=vocab)
+    assert tok.bos_token_id == len(vocab)      # [DEC]
+    assert tok.enc_token_id == len(vocab) + 1  # [ENC]
+
+
+@pytest.mark.skipif(not os.path.exists(BPE_PATH), reason="bpe vocab not present")
+def test_clip_bpe_roundtrip():
+    from madtp_tpu.data.tokenizer_clip import ClipBPETokenizer, clip_tokenize
+
+    tok = ClipBPETokenizer(BPE_PATH)
+    assert len(tok.encoder) == 49408
+    assert tok.sot_token == 49406 and tok.eot_token == 49407
+    text = "a photo of a cat sitting on the mat"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    arr = clip_tokenize(tok, [text, "dog"], context_length=77)
+    assert arr.shape == (2, 77)
+    assert arr[0, 0] == 49406
+    eot_pos = int(np.argmax(arr[0]))  # eot is the max id
+    assert arr[0, eot_pos] == 49407
+
+
+def test_pre_caption_and_question():
+    # regex semantics from reference data/utils.py:10-44
+    assert pre_caption('A man; riding "a horse."') == "a man riding a horse"
+    assert pre_question("Where is the cat?") == "where is the cat?"
+    assert pre_question("What: is. this!") == "what is this"
+    long = " ".join(["word"] * 60)
+    assert len(pre_caption(long, 50).split()) == 50
+
+
+def test_save_result_merges_and_dedups(tmp_path):
+    d = str(tmp_path)
+    save_result([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], d, "res",
+                remove_duplicate="id", rank=0, world_size=1)
+    # simulate a second rank writing overlapping results then re-merge
+    json.dump([{"id": 2, "v": "b"}, {"id": 3, "v": "c"}],
+              open(os.path.join(d, "res_rank1.json"), "w"))
+    out = save_result([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], d, "res",
+                      remove_duplicate="id", rank=0, world_size=2)
+    merged = json.load(open(out))
+    assert sorted(r["id"] for r in merged) == [1, 2, 3]
+
+
+def test_transforms_shapes_and_stats():
+    import random
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(100, 120, 3) * 255).astype(np.uint8))
+    a = eval_transform(img, 64)
+    assert a.shape == (3, 64, 64) and a.dtype == np.float32
+    t = train_transform(img, 64, random.Random(0))
+    assert t.shape == (3, 64, 64)
+    # normalization: a mid-gray image maps near (0.5 - mean)/std
+    gray = Image.fromarray(np.full((32, 32, 3), 128, np.uint8))
+    g = eval_transform(gray, 32)
+    expect = (128 / 255 - 0.48145466) / 0.26862954
+    assert abs(g[0].mean() - expect) < 1e-4
+
+
+def test_shard_indices_cover_all():
+    for n, shards in [(10, 3), (16, 4), (7, 2)]:
+        got = np.concatenate([
+            shard_indices(n, shuffle=False, seed=0, epoch=0,
+                          num_shards=shards, shard_id=s)
+            for s in range(shards)
+        ])
+        assert set(got.tolist()) == set(range(n))
+        lens = {len(shard_indices(n, shuffle=False, seed=0, epoch=0,
+                                  num_shards=shards, shard_id=s))
+                for s in range(shards)}
+        assert len(lens) == 1  # equal shard sizes (padded)
+
+
+def test_batched_loader_and_nlvr_dataset(tmp_path):
+    from madtp_tpu.data.datasets import NLVRDataset
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ann = []
+    for i in range(6):
+        for j in (0, 1):
+            Image.fromarray(
+                np.full((40, 40, 3), 10 * i + j, np.uint8)
+            ).save(img_dir / f"{i}_{j}.png")
+        ann.append({
+            "images": [f"{i}_0.png", f"{i}_1.png"],
+            "sentence": f"The object {i} is on the left.",
+            "label": "True" if i % 2 else "False",
+        })
+    json.dump(ann, open(tmp_path / "nlvr_test.json", "w"))
+
+    ds = NLVRDataset(lambda im: eval_transform(im, 32), str(img_dir),
+                     str(tmp_path), "test")
+    assert len(ds) == 6
+    batches = list(batched_loader(ds, 4, num_workers=2))
+    assert len(batches) == 2
+    im0, im1, sents, labels = batches[0]
+    assert im0.shape == (4, 3, 32, 32)
+    assert isinstance(sents[0], str) and "left" in sents[0]
+    assert labels.tolist() == [0, 1, 0, 1]
