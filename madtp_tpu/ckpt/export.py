@@ -1,0 +1,149 @@
+"""Param tree -> torch-layout state_dict export.
+
+Makes our compressed checkpoints interchangeable with the reference's
+(``{'model': state_dict, 'epoch', 'temperature'}`` .pth files,
+reference ``compress_nlvr_dtp.py:229-236``): a model fine-tuned here can be
+evaluated by the reference and vice versa.  Also the roundtrip oracle for
+:mod:`madtp_tpu.ckpt.remap` tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _unstack(tree, depth):
+    """Split scan-stacked leaves back into per-layer trees."""
+    out = []
+    for i in range(depth):
+        def sl(t):
+            return {k: (sl(v) if isinstance(v, dict) else np.asarray(v)[i])
+                    for k, v in t.items()}
+        out.append(sl(tree))
+    return out
+
+
+def _lin(sd, prefix, p):
+    sd[prefix + ".weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _ln(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def export_vit(tree, prefix: str = "visual_encoder.",
+               patch_size: int = 16) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    sd[prefix + "cls_token"] = np.asarray(tree["cls_token"])
+    sd[prefix + "pos_embed"] = np.asarray(tree["pos_embed"])
+    k = np.asarray(tree["patch_embed"]["kernel"])  # [3*p*p, D]
+    D = k.shape[1]
+    sd[prefix + "patch_embed.proj.weight"] = np.ascontiguousarray(
+        k.T.reshape(D, 3, patch_size, patch_size))
+    sd[prefix + "patch_embed.proj.bias"] = np.asarray(tree["patch_embed"]["bias"])
+    depth = np.asarray(tree["blocks"]["norm1"]["scale"]).shape[0]
+    for i, blk in enumerate(_unstack(tree["blocks"], depth)):
+        b = f"{prefix}blocks.{i}."
+        _ln(sd, b + "norm1", blk["norm1"])
+        _lin(sd, b + "attn.qkv", blk["attn"]["qkv"])
+        _lin(sd, b + "attn.proj", blk["attn"]["proj"])
+        _ln(sd, b + "norm2", blk["norm2"])
+        _lin(sd, b + "mlp.fc1", blk["mlp"]["fc1"])
+        _lin(sd, b + "mlp.fc2", blk["mlp"]["fc2"])
+    _ln(sd, prefix + "norm", tree["norm"])
+    return sd
+
+
+def export_med(tree, prefix: str = "text_encoder.", *, twin_cross=False,
+               has_lm_head=False) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    bert = prefix + ("bert." if has_lm_head else "")
+    emb = tree["embeddings"]
+    sd[bert + "embeddings.word_embeddings.weight"] = np.asarray(
+        emb["word_embeddings"])
+    sd[bert + "embeddings.position_embeddings.weight"] = np.asarray(
+        emb["position_embeddings"])
+    _ln(sd, bert + "embeddings.LayerNorm", emb["LayerNorm"])
+    depth = np.asarray(
+        tree["layers"]["attention"]["output"]["LayerNorm"]["scale"]).shape[0]
+    for i, layer in enumerate(_unstack(tree["layers"], depth)):
+        b = f"{bert}encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            _lin(sd, b + f"attention.self.{nm}", layer["attention"]["self"][nm])
+        _lin(sd, b + "attention.output.dense", layer["attention"]["output"]["dense"])
+        _ln(sd, b + "attention.output.LayerNorm",
+            layer["attention"]["output"]["LayerNorm"])
+        if "crossattention" in layer:
+            ca = layer["crossattention"]
+            if twin_cross:
+                for s in ("self0", "self1"):
+                    for nm in ("query", "key", "value"):
+                        _lin(sd, b + f"crossattention.{s}.{nm}", ca[s][nm])
+                _lin(sd, b + "crossattention.output.dense0", ca["output"]["dense0"])
+                _lin(sd, b + "crossattention.output.dense1", ca["output"]["dense1"])
+                _lin(sd, b + "crossattention.output.merge_layer",
+                     ca["output"]["merge_layer"])
+            else:
+                for nm in ("query", "key", "value"):
+                    _lin(sd, b + f"crossattention.self.{nm}", ca["self"][nm])
+                _lin(sd, b + "crossattention.output.dense", ca["output"]["dense"])
+            _ln(sd, b + "crossattention.output.LayerNorm", ca["output"]["LayerNorm"])
+        _lin(sd, b + "intermediate.dense", layer["intermediate"]["dense"])
+        _lin(sd, b + "output.dense", layer["output"]["dense"])
+        _ln(sd, b + "output.LayerNorm", layer["output"]["LayerNorm"])
+    if "pooler" in tree:
+        _lin(sd, bert + "pooler.dense", tree["pooler"]["dense"])
+    if has_lm_head and "cls" in tree:
+        cp = prefix + "cls.predictions."
+        _lin(sd, cp + "transform.dense", tree["cls"]["transform"]["dense"])
+        _ln(sd, cp + "transform.LayerNorm", tree["cls"]["transform"]["LayerNorm"])
+        sd[cp + "bias"] = np.asarray(tree["cls"]["bias"])
+        # tied decoder weight, exported for reference compatibility
+        sd[cp + "decoder.weight"] = np.asarray(emb["word_embeddings"])
+        sd[cp + "decoder.bias"] = np.asarray(tree["cls"]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, state_dict: Dict[str, np.ndarray],
+                          *, epoch: int = 0, temperature: float = 0.0):
+    """Write a reference-compatible .pth (requires torch, present in this
+    environment as CPU build)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()}
+    torch.save({"model": sd, "epoch": epoch, "temperature": temperature}, path)
+
+
+def save_native(path: str, tree, extras: dict | None = None):
+    """Native checkpoint (numpy npz of the flat tree + json extras) — unlike
+    the reference, includes whatever the caller passes (e.g. optimizer state
+    flattened) enabling true resume (reference has none, SURVEY.md §5)."""
+    import json
+    import os
+
+    from madtp_tpu.core.tree import flatten_tree
+
+    flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
+    np.savez(path, **flat)
+    if extras is not None:
+        with open(os.path.splitext(path)[0] + ".json", "w") as f:
+            json.dump(extras, f)
+
+
+def load_native(path: str):
+    import json
+    import os
+
+    from madtp_tpu.core.tree import unflatten_tree
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    extras = {}
+    jpath = os.path.splitext(path)[0] + ".json"
+    if os.path.exists(jpath):
+        extras = json.load(open(jpath))
+    return unflatten_tree(flat), extras

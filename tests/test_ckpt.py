@@ -1,0 +1,133 @@
+"""Checkpoint subsystem: torch .pth roundtrip through export -> load -> remap."""
+
+import numpy as np
+import pytest
+
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.ckpt.export import (
+    export_med,
+    export_vit,
+    load_native,
+    save_native,
+    save_torch_checkpoint,
+)
+from madtp_tpu.ckpt.remap import interpolate_pos_embed, remap_med, remap_vit
+from madtp_tpu.ckpt.torch_reader import load_state_dict
+from madtp_tpu.models.med import init_med_params
+from madtp_tpu.models.vit import init_vit_params
+
+VIT = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                num_heads=4, sd_dim=32)
+MED = MedConfig(vocab_size=50, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64,
+                max_position_embeddings=32, encoder_width=32)
+
+
+def trees_close(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            trees_close(a[k], b[k], path + "." + k)
+    else:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=path)
+
+
+def test_vit_pth_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    tree = init_vit_params(VIT, rng)
+    sd = export_vit(tree, patch_size=VIT.patch_size)
+    path = str(tmp_path / "ckpt.pth")
+    save_torch_checkpoint(path, sd, epoch=3, temperature=2.5)
+    sd2, extras = load_state_dict(path)
+    assert extras["temperature"] == 2.5 and extras["epoch"] == 3
+    tree2 = remap_vit(sd2)
+    trees_close(tree, tree2)
+
+
+@pytest.mark.parametrize("twin", [False, True])
+def test_med_pth_roundtrip(tmp_path, twin):
+    rng = np.random.RandomState(1)
+    cfg = MedConfig(**{**MED.__dict__, "twin_cross": twin})
+    tree = init_med_params(cfg, rng)
+    sd = export_med(tree, "text_encoder.", twin_cross=twin)
+    path = str(tmp_path / "ckpt.pth")
+    save_torch_checkpoint(path, sd)
+    sd2, _ = load_state_dict(path)
+    tree2 = remap_med(sd2, "text_encoder.", twin_cross=twin)
+    tree.pop("cls")  # not exported without lm head
+    trees_close(tree, tree2)
+
+
+def test_med_lm_head_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    tree = init_med_params(MED, rng)
+    tree.pop("pooler")
+    sd = export_med(tree, "text_decoder.", has_lm_head=True)
+    path = str(tmp_path / "d.pth")
+    save_torch_checkpoint(path, sd)
+    sd2, _ = load_state_dict(path)
+    tree2 = remap_med(sd2, "text_decoder.", has_lm_head=True)
+    trees_close(tree, tree2)
+
+
+def test_nlvr_base_checkpoint_key_duplication(tmp_path):
+    """A *base* (non-twin) checkpoint must load into the twin-cross tree with
+    self->self0/self1 duplication (reference models/blip_nlvr.py:146-156)."""
+    rng = np.random.RandomState(3)
+    base = init_med_params(MED, rng)  # single-stream cross-attn
+    sd = export_med(base, "text_encoder.")
+    path = str(tmp_path / "base.pth")
+    save_torch_checkpoint(path, sd)
+    sd2, _ = load_state_dict(path)
+    twin = remap_med(sd2, "text_encoder.", twin_cross=True)
+    ca = twin["layers"]["crossattention"]
+    np.testing.assert_allclose(
+        ca["self0"]["query"]["kernel"], ca["self1"]["query"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(ca["self0"]["query"]["kernel"]),
+        np.asarray(base["layers"]["crossattention"]["self"]["query"]["kernel"]),
+        rtol=1e-6,
+    )
+    # merge_layer absent in base ckpt -> zero-init
+    assert np.all(np.asarray(ca["output"]["merge_layer"]["kernel"]) == 0)
+
+
+def test_pos_embed_interpolation():
+    rng = np.random.RandomState(4)
+    pe = rng.randn(1, 1 + 16, 8).astype(np.float32)  # 4x4 grid
+    out = interpolate_pos_embed(pe, num_patches=64)  # -> 8x8
+    assert out.shape == (1, 65, 8)
+    np.testing.assert_allclose(out[:, 0], pe[:, 0])  # cls untouched
+    out_same = interpolate_pos_embed(pe, num_patches=16)
+    np.testing.assert_allclose(out_same, pe)
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    rng = np.random.RandomState(5)
+    tree = init_vit_params(VIT, rng)
+    p = str(tmp_path / "native.npz")
+    save_native(p, tree, extras={"temperature": 1.5, "step": 7})
+    tree2, extras = load_native(p)
+    trees_close(tree, tree2)
+    assert extras == {"temperature": 1.5, "step": 7}
+
+
+def test_pure_python_reader_matches_torch(tmp_path):
+    """The torch-free zipfile+pickle fallback reads the same tensors."""
+    import torch
+
+    from madtp_tpu.ckpt.torch_reader import _load_pure_python
+
+    rng = np.random.RandomState(6)
+    sd = {
+        "a.weight": torch.from_numpy(rng.randn(4, 6).astype(np.float32)),
+        "b.bias": torch.from_numpy(rng.randn(3).astype(np.float16)),
+        "c": torch.from_numpy(rng.randint(0, 5, (2, 2)).astype(np.int64)),
+    }
+    path = str(tmp_path / "t.pth")
+    torch.save({"model": sd, "temperature": 0.5}, path)
+    obj = _load_pure_python(path)
+    assert obj["temperature"] == 0.5
+    for k, v in sd.items():
+        np.testing.assert_array_equal(obj["model"][k], v.numpy())
