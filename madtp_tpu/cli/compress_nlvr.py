@@ -1,0 +1,222 @@
+"""NLVR2 compression / evaluation driver.
+
+CLI parity with the reference (``compress_nlvr_dtp.py``):
+
+    python -m madtp_tpu.cli.compress_nlvr --p 0.5 \
+        --pretrained pretrained/model_base_nlvr.pth --config configs/nlvr.yaml
+    python -m madtp_tpu.cli.compress_nlvr --evaluate \
+        --pretrained output/NLVR/checkpoint_best.pth
+
+``--synthetic`` runs the identical pipeline on random weights/data (no
+checkpoints or datasets needed) — the operational smoke test this repo uses
+in place of the reference's "single-GPU fallback" mode.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.cli.common import (
+    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
+    set_seed,
+)
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models.blip import BlipConfig, load_blip_nlvr
+from madtp_tpu.tasks import nlvr as task
+from madtp_tpu.train.controller import TemperatureController
+from madtp_tpu.train.loops import make_nlvr_train_step
+from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
+
+ORI_GFLOPS = 132.54  # reference compress_nlvr_dtp.py:162
+
+
+def build_cfg(config, image_size):
+    vit = ViTConfig(
+        image_size=image_size,
+        **(ViTConfig.large().__dict__ | {"image_size": image_size}
+           if config.get("vit") == "large" else {}),
+    ) if config.get("vit") == "large" else ViTConfig(image_size=image_size)
+    med = MedConfig(twin_cross=True, encoder_width=vit.embed_dim)
+    return BlipConfig(vit=vit, med=med,
+                      sd_num=config.get("sd_num", 100),
+                      sd_dim=config.get("sd_dim", 768))
+
+
+def synthetic_loader(n_batches, batch, image_size, seed=0):
+    rng = np.random.RandomState(seed)
+    data = []
+    for _ in range(n_batches):
+        img0 = rng.randn(batch, 3, image_size, image_size).astype(np.float32)
+        img1 = rng.randn(batch, 3, image_size, image_size).astype(np.float32)
+        sents = ["the object is on the left" for _ in range(batch)]
+        targets = rng.randint(0, 2, size=(batch,))
+        data.append((img0, img1, sents, targets))
+    return lambda: iter(data)
+
+
+def real_loader(config, split, tokenizer, *, train, batch, epoch=0):
+    from madtp_tpu.data.datasets import NLVRDataset
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.transforms import eval_transform, train_transform
+    import random as _random
+
+    size = config["image_size"]
+    if train:
+        rng = _random.Random(42 + epoch)
+        tf = lambda im: train_transform(im, size, rng)
+    else:
+        tf = lambda im: eval_transform(im, size)
+    ds = NLVRDataset(tf, config["image_root"], config["ann_root"], split)
+
+    def it():
+        for batch_data in batched_loader(ds, batch, shuffle=train, epoch=epoch):
+            yield batch_data
+
+    return it
+
+
+def main():
+    args = base_parser("configs/nlvr.yaml",
+                       "pretrained/model_base_nlvr.pth").parse_args()
+    config = load_config(args)
+    set_seed(args.seed)
+    enable_compile_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    image_size = config.get("image_size", 64 if args.synthetic else 384)
+    if args.synthetic:
+        config.setdefault("image_size", image_size)
+    cfg = build_cfg(config, image_size)
+    tokenizer = make_tokenizer(args, config)
+
+    def tokenize(sentences):
+        out = tokenizer(sentences, padding="longest")
+        return out["input_ids"], out["attention_mask"]
+
+    # ---- model ----
+    temperature = 1.0
+    if args.synthetic:
+        from __graft_entry__ import _nlvr_setup
+
+        if image_size <= 128:
+            cfg_small, params, *_ = _nlvr_setup(
+                image_size=image_size, B=2, text_len=12,
+                vit_kw=dict(patch_size=16, embed_dim=64, depth=2, num_heads=4,
+                            sd_dim=64),
+                med_kw=dict(vocab_size=len(tokenizer.vocab), hidden_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=256, max_position_embeddings=64),
+            )
+            cfg = cfg_small._replace(sd_dim=64)
+        else:
+            _, params, *_ = _nlvr_setup(image_size=image_size)
+        if args.evaluate and args.pretrained and os.path.exists(args.pretrained):
+            params, temperature = load_blip_nlvr(args.pretrained, cfg)
+            params = jax.tree.map(jnp.asarray, params)
+    else:
+        params, ckpt_temp = load_blip_nlvr(config["pretrained"], cfg)
+        params = jax.tree.map(jnp.asarray, params)
+        if args.evaluate:
+            temperature = ckpt_temp
+
+    target_gflops = ORI_GFLOPS * (1.0 - config["p"])
+    batch_train = config.get("batch_size_train", 4 if args.synthetic else 16)
+    batch_test = config.get("batch_size_test", 4 if args.synthetic else 32)
+
+    def get_loader(split, train=False, epoch=0):
+        if args.synthetic:
+            return synthetic_loader(args.synthetic_batches, batch_test,
+                                    image_size)
+        return real_loader(config, split, tokenizer, train=train,
+                           batch=batch_train if train else batch_test,
+                           epoch=epoch)
+
+    if args.evaluate:
+        val_stats, cur_g = task.evaluate(
+            params, get_loader("val"), tokenize, cfg, temperature,
+            prune_active=temperature > 0, enc_token_id=tokenizer.enc_token_id,
+        )
+        test_stats, _ = task.evaluate(
+            params, get_loader("test"), tokenize, cfg, temperature,
+            prune_active=temperature > 0, enc_token_id=tokenizer.enc_token_id,
+        )
+        log = {**{f"val_{k}": v for k, v in val_stats.items()},
+               **{f"test_{k}": v for k, v in test_stats.items()},
+               "Cur_Gflops": round(cur_g, 2)}
+        dump_log(args.output_dir, "evaluate.txt", log, append=False)
+        print("LOG:", log)
+        return
+
+    # ---- compression training ----
+    tx = make_adamw_injectable(config.get("weight_decay", 0.05))
+    opt_state = tx.init(params)
+    train_step = make_nlvr_train_step(cfg, tx)
+    controller = TemperatureController(target_gflops=target_gflops)
+    if args.synthetic:
+        controller.target_gflops = 1e-3  # tiny model: exercise the ladder
+
+    best, best_epoch = 0.0, 0
+    cur_g = ORI_GFLOPS
+    for epoch in range(config["max_epoch"]):
+        if epoch > 0:
+            controller.update(cur_g)
+        temperature = controller.temperature
+        print("Temperature:", temperature)
+
+        lr = cosine_lr(epoch, config["max_epoch"],
+                       config.get("init_lr", 3e-6), config.get("min_lr", 0.0))
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        params, opt_state, train_stats = task.train_epoch(
+            params, opt_state, train_step, get_loader("train", True, epoch),
+            tokenize, tokenizer.enc_token_id, temperature, lr=lr,
+        )
+        val_stats, cur_g = task.evaluate(
+            params, get_loader("val"), tokenize, cfg, temperature,
+            prune_active=True, enc_token_id=tokenizer.enc_token_id,
+        )
+        test_stats, _ = task.evaluate(
+            params, get_loader("test"), tokenize, cfg, temperature,
+            prune_active=True, enc_token_id=tokenizer.enc_token_id,
+        )
+        log = {**{f"train_{k}": v for k, v in train_stats.items()},
+               **{f"val_{k}": v for k, v in val_stats.items()},
+               **{f"test_{k}": v for k, v in test_stats.items()},
+               "epoch": epoch, "Cur_Gflops": round(cur_g, 2)}
+        acc = float(test_stats["acc"])
+        if acc > best and cur_g - controller.target_gflops < 5.0:
+            from madtp_tpu.ckpt.export import (
+                export_med, export_vit, save_torch_checkpoint,
+            )
+
+            sd = {}
+            sd.update(export_vit(jax.tree.map(np.asarray,
+                                              params["visual_encoder"]),
+                                 patch_size=cfg.vit.patch_size))
+            sd.update(export_med(jax.tree.map(np.asarray,
+                                              params["text_encoder"]),
+                                 "text_encoder.", twin_cross=True))
+            sd["space_dict"] = np.asarray(params["space_dict"])
+            sd["cls_head.0.weight"] = np.asarray(params["cls_head"]["fc1"]["kernel"]).T
+            sd["cls_head.0.bias"] = np.asarray(params["cls_head"]["fc1"]["bias"])
+            sd["cls_head.2.weight"] = np.asarray(params["cls_head"]["fc2"]["kernel"]).T
+            sd["cls_head.2.bias"] = np.asarray(params["cls_head"]["fc2"]["bias"])
+            save_torch_checkpoint(
+                os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
+                epoch=epoch, temperature=temperature,
+            )
+            best, best_epoch = acc, epoch
+        dump_log(args.output_dir, "log.txt", log)
+        print("LOG:", log)
+    print(f"LOG: best epoch: {best_epoch}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    main()

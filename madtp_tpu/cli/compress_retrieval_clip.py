@@ -1,0 +1,149 @@
+"""CLIP retrieval compression / evaluation driver
+(reference ``compress_retrieval_clip_dtp.py``): dual-tower ITC scoring only,
+no ITM rerank (``:78-124``).
+
+    python -m madtp_tpu.cli.compress_retrieval_clip \
+        --config configs/retrieval_flickr_clip.yaml --evaluate --pretrained ...
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.cli.common import (
+    base_parser, dump_log, enable_compile_cache, load_config, set_seed,
+)
+from madtp_tpu.core.config import CLIPConfig
+from madtp_tpu.eval.metrics import itm_eval
+from madtp_tpu.models.clip import clip_encode_image, clip_encode_text
+from madtp_tpu.prune.flops import clip_gflops
+
+ORI_GFLOPS = 395.7  # reference compress_retrieval_clip_dtp.py:281
+
+
+def infer_clip_config(sd, sd_dim=768) -> CLIPConfig:
+    """Arch from checkpoint shapes (reference clip/model.py:678-701)."""
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    vision_layers = len([k for k in sd
+                         if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
+    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+    grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+    return CLIPConfig(
+        embed_dim=sd["text_projection"].shape[1],
+        image_resolution=vision_patch_size * grid,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
+        vision_patch_size=vision_patch_size,
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len({k.split(".")[2] for k in sd
+                                if k.startswith("transformer.resblocks")}),
+        sd_dim=sd_dim,
+    )
+
+
+def main():
+    args = base_parser("configs/retrieval_flickr_clip.yaml").parse_args()
+    config = load_config(args)
+    set_seed(args.seed)
+    enable_compile_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.synthetic:
+        from madtp_tpu.models.clip import init_clip_params
+
+        cfg = CLIPConfig(
+            embed_dim=16, image_resolution=64, vision_layers=2,
+            vision_width=64, vision_patch_size=16, vision_heads_override=4,
+            context_length=16, vocab_size=200, transformer_width=64,
+            transformer_heads=4, transformer_layers=2, sd_dim=64,
+        )
+        rng = np.random.RandomState(0)
+        params = jax.tree.map(jnp.asarray, init_clip_params(cfg, rng))
+        space_dict = jnp.asarray(rng.randn(10, 64).astype(np.float32))
+        temperature = 1.0
+        n = 6
+        images = rng.randn(n, 3, 64, 64).astype(np.float32)
+        text = np.zeros((n, 16), np.int64)
+        for i in range(n):
+            text[i, 0] = 197  # sot
+            text[i, 1 : 3 + i % 3] = rng.randint(5, 190, size=2 + i % 3)
+            text[i, 3 + i % 3] = 199  # eot (highest id)
+        txt2img = {i: i for i in range(n)}
+        img2txt = {i: [i] for i in range(n)}
+    else:
+        from madtp_tpu.ckpt import load_state_dict, remap_clip
+        from madtp_tpu.data.tokenizer_clip import ClipBPETokenizer, clip_tokenize
+
+        sd, extras = load_state_dict(config["pretrained"])
+        cfg = infer_clip_config(sd, config.get("sd_dim", 768))
+        params = jax.tree.map(jnp.asarray, remap_clip(sd))
+        space_dict = jnp.asarray(np.asarray(sd["space_dict"], np.float32)) \
+            if "space_dict" in sd else None
+        temperature = float(extras.get("temperature", 0.0))
+
+        from madtp_tpu.data.datasets import RetrievalEvalDataset
+        from madtp_tpu.data.loader import batched_loader
+        from madtp_tpu.data.transforms import eval_transform
+
+        ds = RetrievalEvalDataset(
+            lambda im: eval_transform(im, cfg.image_resolution),
+            config["image_root"], config["ann_root"], "test",
+            dataset=config.get("dataset", "flickr"))
+        tokzr = ClipBPETokenizer()
+        text = clip_tokenize(tokzr, ds.text, cfg.context_length)
+        txt2img, img2txt = ds.txt2img, ds.img2txt
+        images = np.concatenate(
+            [b[0] for b in batched_loader(ds, config.get("batch_size_test", 32))])
+
+    prune = temperature > 0
+
+    @jax.jit
+    def img_step(params, images, sd, t):
+        f, _, kept = clip_encode_image(
+            params, images, cfg, space_dict=sd, temperature=t,
+            prune_active=prune)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
+
+    @jax.jit
+    def txt_step(params, text, sd, t):
+        f, _, kept = clip_encode_text(
+            params, text, cfg, space_dict=sd, temperature=t,
+            prune_active=prune)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
+
+    t = jnp.float32(temperature)
+    bt = 32
+    img_feats, txt_feats = [], []
+    v_kept = t_kept = None
+    for i in range(0, len(images), bt):
+        f, v_kept = img_step(params, jnp.asarray(images[i : i + bt]),
+                             space_dict, t)
+        img_feats.append(np.asarray(f))
+    for i in range(0, len(text), bt):
+        f, t_kept = txt_step(params, jnp.asarray(text[i : i + bt]),
+                             space_dict, t)
+        txt_feats.append(np.asarray(f))
+    img_feats = np.concatenate(img_feats)
+    txt_feats = np.concatenate(txt_feats)
+
+    sims = img_feats @ txt_feats.T
+    stats = itm_eval(sims, sims.T, txt2img, img2txt)
+    cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept)) \
+        if prune else clip_gflops(
+            cfg, [cfg.vision_num_patches] * cfg.vision_layers,
+            [cfg.context_length - 1] * cfg.transformer_layers)
+    log = {**{k: round(v, 3) for k, v in stats.items()},
+           "Cur_Gflops": round(cur_g, 3)}
+    dump_log(args.output_dir, "evaluate.txt", log, append=False)
+    print("LOG:", log)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""VQAv2 compression / evaluation driver (reference ``compress_vqa_dtp.py``).
+
+    python -m madtp_tpu.cli.compress_vqa --p 0.5 \
+        --pretrained pretrained/model_base_vqa_capfilt_large.pth
+    python -m madtp_tpu.cli.compress_vqa --evaluate --pretrained ...
+
+Eval ranks each question against the 3,128-answer list (k_test=128 two-stage
+rerank, reference ``models/blip_vqa.py:156-203``) and writes the eval.ai
+submission JSON (reference ``README.md:114``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.cli.common import (
+    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
+    set_seed,
+)
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models.blip import BlipConfig, blip_vqa_encode, load_blip_vqa
+from madtp_tpu.prune.flops import vqa_gflops
+from madtp_tpu.tasks.vqa import rank_answers
+from madtp_tpu.utils.logging import MetricLogger
+
+ORI_GFLOPS = 186.1  # reference compress_vqa_dtp.py:239
+
+
+def tokenize_answers(tokenizer, answers, bos_id):
+    out = tokenizer(list(answers), padding="longest")
+    ids, mask = out["input_ids"], out["attention_mask"]
+    ids[:, 0] = bos_id  # reference models/blip_vqa.py:73,86
+    return ids, mask
+
+
+def main():
+    args = base_parser("configs/vqa.yaml").parse_args()
+    config = load_config(args)
+    set_seed(args.seed)
+    enable_compile_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    image_size = config.get("image_size", 64 if args.synthetic else 480)
+    tokenizer = make_tokenizer(args, config)
+    k_test = config.get("k_test", 8 if args.synthetic else 128)
+
+    if args.synthetic:
+        from madtp_tpu.models.med import init_med_params
+        from madtp_tpu.models.vit import init_vit_params
+
+        vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
+                        depth=2, num_heads=4, sd_dim=64)
+        med = MedConfig(vocab_size=len(tokenizer.vocab), hidden_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        intermediate_size=256, max_position_embeddings=64,
+                        encoder_width=64, sd_dim=64)
+        cfg = BlipConfig(vit=vit, med=med, sd_dim=64)
+        rng = np.random.RandomState(0)
+        params = jax.tree.map(jnp.asarray, {
+            "visual_encoder": init_vit_params(vit, rng),
+            "text_encoder": init_med_params(med, rng),
+            "text_decoder": init_med_params(med, rng),
+            "space_dict": rng.randn(10, 64).astype(np.float32),
+        })
+        temperature = 1.0
+        answer_list = [f"w{i}" for i in range(16)]
+    else:
+        vit = ViTConfig(image_size=image_size)
+        med = MedConfig(encoder_width=vit.embed_dim)
+        cfg = BlipConfig(vit=vit, med=med)
+        params, temperature = load_blip_vqa(config["pretrained"], cfg)
+        params = jax.tree.map(jnp.asarray, params)
+        import json
+
+        answer_list = json.load(
+            open(os.path.join(config["ann_root"], "answer_list.json")))
+
+    a_ids, a_mask = tokenize_answers(tokenizer, answer_list,
+                                     tokenizer.bos_token_id)
+    a_ids, a_mask = jnp.asarray(a_ids), jnp.asarray(a_mask)
+
+    @jax.jit
+    def eval_step(params, images, q_ids, q_mask, t):
+        out, _ = blip_vqa_encode(
+            params, images, q_ids, q_mask, cfg,
+            temperature=t, prune_active=True,
+        )
+        best, _ = rank_answers(
+            params["text_decoder"], out.state, a_ids, a_mask, cfg,
+            k=min(k_test, len(answer_list)),
+            pad_token_id=tokenizer.pad_token_id,
+        )
+        return best, out.kept_counts
+
+    def run_eval(loader):
+        logger = MetricLogger()
+        results = []
+        g_sum, n = 0.0, 0
+        for images, questions, qids in logger.log_every(loader(), 10, "VQA:"):
+            q = tokenizer(list(questions), padding="longest")
+            q_ids_np = q["input_ids"]
+            q_ids_np[:, 0] = tokenizer.enc_token_id
+            best, kept = eval_step(
+                params, jnp.asarray(images), jnp.asarray(q_ids_np),
+                jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
+            for b, qid in zip(np.asarray(best), qids):
+                results.append({"question_id": int(qid),
+                                "answer": answer_list[int(b)]})
+            g_sum += vqa_gflops(
+                cfg.vit, cfg.med,
+                [cfg.vit.num_patches] * cfg.vit.depth,
+                np.asarray(kept), q_ids_np.shape[1], n_answers=k_test)
+            n += 1
+        return results, g_sum / max(n, 1)
+
+    if args.synthetic:
+        rng = np.random.RandomState(1)
+
+        def loader():
+            for i in range(args.synthetic_batches):
+                yield (rng.randn(2, 3, image_size, image_size).astype(np.float32),
+                       ["where is the object"] * 2, np.arange(2) + 2 * i)
+
+        results, cur_g = run_eval(loader)
+        log = {"n_answers": len(results), "Cur_Gflops": round(cur_g, 4),
+               "sample": results[0]["answer"]}
+        dump_log(args.output_dir, "evaluate.txt", log, append=False)
+        print("LOG:", log)
+        return
+
+    from madtp_tpu.data.datasets import VQADataset
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.transforms import eval_transform
+    from madtp_tpu.data.text_utils import save_result
+
+    ds = VQADataset(lambda im: eval_transform(im, image_size),
+                    config["ann_root"], config["vqa_root"],
+                    config.get("vg_root", ""), split="test")
+
+    results, cur_g = run_eval(
+        lambda: batched_loader(ds, config.get("batch_size_test", 16)))
+    save_result(results, args.output_dir, "vqa_result")
+    dump_log(args.output_dir, "evaluate.txt",
+             {"Cur_Gflops": round(cur_g, 2)}, append=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""NLVR2 task: eval + compression-train epochs.
+
+Reference: ``compress_nlvr_dtp.py`` (271 LoC driver).  The eval loop returns
+both accuracy and the analytic per-sample GFLOPs (replacing per-batch fvcore
+tracing, reference ``:93-98``), which feeds the temperature controller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madtp_tpu.models.blip import BlipConfig, blip_nlvr_forward
+from madtp_tpu.prune.flops import nlvr_gflops
+from madtp_tpu.utils.logging import MetricLogger
+
+
+@functools.lru_cache(maxsize=None)
+def make_eval_step(cfg: BlipConfig, prune_active: bool,
+                   capacities_v=None, capacities_t=None):
+    if capacities_v is not None:
+        from madtp_tpu.models import med as M
+        from madtp_tpu.models.blip import _split_state
+        from madtp_tpu.models.vit import vit_forward
+        from madtp_tpu.ops.layers import linear
+
+        @jax.jit
+        def step(params, images, ids, mask, t):
+            B = ids.shape[0]
+            vstate, _, vk = vit_forward(
+                params["visual_encoder"], images, cfg=cfg.vit,
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True, capacities=capacities_v,
+            )
+            st0, st1 = _split_state(vstate, B)
+            out = M.med_encoder(
+                params["text_encoder"], ids, mask, cfg.med,
+                mode="multimodal", encoder_state=st0, encoder_state1=st1,
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True, capacities=capacities_t,
+            )
+            h = jax.nn.relu(linear(params["cls_head"]["fc1"], out.state.x[:, 0, :]))
+            logits = linear(params["cls_head"]["fc2"], h)
+            return logits, vk, out.kept_counts
+    else:
+        @jax.jit
+        def step(params, images, ids, mask, t):
+            logits, (vk, tk) = blip_nlvr_forward(
+                params, images, ids, mask, cfg,
+                temperature=t, prune_active=prune_active,
+            )
+            return logits, vk, tk
+
+    return step
+
+
+def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfig,
+             temperature: float, *, prune_active: bool, enc_token_id: int,
+             capacities_v=None, capacities_t=None, print_fn=print,
+             print_freq: int = 50) -> Tuple[dict, float]:
+    """Returns (stats, Cur_Gflops) like the reference eval
+    (compress_nlvr_dtp.py:72-107).  ``loader_fn()`` yields
+    (image0, image1, sentences, targets) numpy batches; ``tokenize`` maps the
+    sentence list to (ids, mask)."""
+    step = make_eval_step(cfg, prune_active, capacities_v, capacities_t)
+    logger = MetricLogger(print_fn=print_fn)
+    t = jnp.float32(temperature)
+    gflops_sum, n_batches = 0.0, 0
+    for image0, image1, sentences, targets in logger.log_every(
+        loader_fn(), print_freq, "Evaluation:"
+    ):
+        images = np.concatenate([image0, image1], axis=0)
+        ids, mask = tokenize(sentences)
+        ids[:, 0] = enc_token_id  # reference models/blip_nlvr.py:69
+        logits, vk, tk = step(
+            params, jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask), t
+        )
+        preds = np.asarray(logits).argmax(-1)
+        acc = float((preds == np.asarray(targets)).mean())
+        logger.meters["acc"].update(acc, n=len(targets))
+        if prune_active:
+            g = nlvr_gflops(cfg.vit, cfg.med, np.asarray(vk), np.asarray(tk),
+                            ids.shape[1])
+        else:
+            g = nlvr_gflops(
+                cfg.vit, cfg.med, [cfg.vit.num_patches] * cfg.vit.depth,
+                [ids.shape[1] - 1] * cfg.med.num_hidden_layers, ids.shape[1])
+        gflops_sum += g
+        n_batches += 1
+    cur_gflops = gflops_sum / max(n_batches, 1)
+    print_fn(f"Current Temperature: {temperature}")
+    print_fn(f"Averaged GFLOPS: {cur_gflops}")
+    stats = {k: f"{m.global_avg:.4f}" for k, m in logger.meters.items()}
+    return stats, cur_gflops
+
+
+def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
+                enc_token_id: int, temperature: float, *, print_fn=print,
+                print_freq: int = 50, lr: float = 0.0):
+    logger = MetricLogger(print_fn=print_fn)
+    t = jnp.float32(temperature)
+    for image0, image1, sentences, targets in logger.log_every(
+        loader_fn(), print_freq, "Train:"
+    ):
+        images = np.concatenate([image0, image1], axis=0)
+        ids, mask = tokenize(sentences)
+        ids[:, 0] = enc_token_id
+        params, opt_state, metrics = train_step(
+            params, opt_state, jnp.asarray(images), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(targets), t,
+        )
+        logger.update(temperature=float(temperature), lr=lr,
+                      **{k: float(v) for k, v in metrics.items()})
+    stats = {k: f"{m.global_avg:.4f}" for k, m in logger.meters.items()}
+    return params, opt_state, stats

@@ -1,0 +1,3 @@
+#!/bin/bash
+python -m madtp_tpu.cli.compress_retrieval_clip --p 0.5 --config configs/retrieval_coco_clip.yaml \
+    --output_dir output/retrieval_coco_clip_compression_p0.5
