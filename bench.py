@@ -33,6 +33,10 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
     import jax
     import jax.numpy as jnp
 
+    from madtp_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
     from __graft_entry__ import _nlvr_setup
     from madtp_tpu.models.blip import blip_nlvr_forward
     from madtp_tpu.prune.calibrate import calibrate_capacities
@@ -73,7 +77,7 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
         else:
             hi_t = t
     t_star, g_star, vk, tk = best
-    caps_v = calibrate_capacities(vk[None, :], margin=8, multiple=32)
+    caps_v = calibrate_capacities(vk[None, :], margin=8, multiple=128)
     caps_t = calibrate_capacities(tk[None, :], margin=2, multiple=8)
 
     @jax.jit
@@ -100,13 +104,15 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
         return linear(params["cls_head"]["fc2"], h)
 
     def time_fn(f, *args):
-        jax.block_until_ready(f(*args))  # compile + warm
-        jax.block_until_ready(f(*args))
-        t0 = time.perf_counter()
+        # a scalar host readback per call defeats the remote runtime's async
+        # pipelining, giving honest per-batch latency
+        float(jnp.sum(f(*args)))  # compile + warm
+        times = []
         for _ in range(iters):
-            r = f(*args)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / iters
+            t0 = time.perf_counter()
+            float(jnp.sum(f(*args)))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
 
     tj = jnp.float32(t_star)
     dt_pruned = time_fn(fwd_gather, params, images, ids, mask, tj)

@@ -54,7 +54,8 @@ def bert_embeddings(p, input_ids, cfg: MedConfig, position_offset=0):
     return layer_norm(p["LayerNorm"], we + pe, cfg.layer_norm_eps)
 
 
-def _self_attn(p, x, cfg, *, attn_bias, key_alive, query_alive, need_scores,
+def _self_attn(p, x, cfg, *, attn_bias=None, key_bias=None, key_alive=None,
+               query_alive=None, need_scores=False,
                cache=None, cache_index=None):
     """BertSelfAttention + output dense + residual LN
     (reference models/med.py:89-250).  Returns (hidden, aux, new_cache)."""
@@ -72,6 +73,7 @@ def _self_attn(p, x, cfg, *, attn_bias, key_alive, query_alive, need_scores,
     out, aux = attention_core(
         q, k, v,
         attn_bias=attn_bias,
+        key_bias=key_bias,
         key_alive=key_alive,
         query_alive=query_alive,
         need_scores=need_scores,
@@ -165,7 +167,9 @@ def med_encoder(
             space_dict=space_dict, temperature=temperature, capacities=capacities,
         )
 
-    state = init_token_state(emb, depth=L if prune_active else 0, bias=pad_bias)
+    state = init_token_state(emb, depth=L if prune_active else 0,
+                             bias=pad_bias,
+                             pad_to=128 if prune_active else 1)
 
     twin = encoder_state1 is not None
 
@@ -180,10 +184,9 @@ def med_encoder(
             )
             sd_all = sd_all + sd_ft
 
-        attn_bias = bias[:, None, None, :]  # broadcast over heads/queries
         h, aux, _ = _self_attn(
             p["attention"], x, cfg,
-            attn_bias=attn_bias,
+            key_bias=bias,
             key_alive=alive,
             query_alive=alive,
             need_scores=prune_active,
@@ -249,7 +252,7 @@ def _med_encoder_gather(
         sd_all = sd_all + sd_ft
         h, aux, _ = _self_attn(
             p["attention"], x, cfg,
-            attn_bias=bias[:, None, None, :],
+            key_bias=bias,
             key_alive=alive, query_alive=alive, need_scores=True,
         )
         signals = DTPSignals(

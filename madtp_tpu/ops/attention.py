@@ -48,6 +48,19 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
 
 
+def _fused_eligible(q, key_bias, key_alive, need_scores):
+    """The Pallas fused kernel handles the scoring self-attention pattern:
+    per-key bias only, alive masking, N a lane multiple, on TPU."""
+    import jax
+
+    if not need_scores or key_alive is None:
+        return False
+    B, H, N, Dh = q.shape
+    if N % 128 != 0 or Dh % 8 != 0:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def attention_core(
     q: jnp.ndarray,  # [B, H, Nq, Dh]
     k: jnp.ndarray,  # [B, H, Nk, Dh]
@@ -55,6 +68,7 @@ def attention_core(
     *,
     scale: Optional[float] = None,
     attn_bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to [B,H,Nq,Nk]
+    key_bias: Optional[jnp.ndarray] = None,  # additive per-key [B, Nk]
     key_alive: Optional[jnp.ndarray] = None,  # [B, Nk] bool; False -> weight exactly 0
     query_alive: Optional[jnp.ndarray] = None,  # [B, Nq] bool; used for col_mass reduction
     need_scores: bool = False,
@@ -62,12 +76,28 @@ def attention_core(
     """Returns ``(out [B,Nq,H*Dh], aux)``.
 
     ``need_scores`` additionally computes the DTP signals; requires Nq == Nk
-    with slot 0 = CLS.
+    with slot 0 = CLS.  When the shapes allow it on TPU, dispatches to the
+    fused Pallas kernel (:mod:`madtp_tpu.ops.pallas.fused_attention`) so the
+    [B,H,N,N] probabilities never hit HBM.
     """
     B, H, Nq, Dh = q.shape
     Nk = k.shape[2]
     if scale is None:
         scale = Dh ** -0.5
+
+    if attn_bias is None and _fused_eligible(q, key_bias, key_alive, need_scores):
+        from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores
+
+        qt, kt, vt = (x.transpose(0, 1, 3, 2) for x in (q, k, v))
+        out_t, col, cls = fused_attention_scores(
+            qt, kt, vt, key_alive, key_bias, num_heads=H, scale=scale
+        )
+        out = out_t.transpose(0, 3, 1, 2).reshape(B, Nq, H * Dh).astype(v.dtype)
+        return out, AttnAux(cls_attn=cls[:, 1:], col_mass=col[:, 1:])
+
+    if key_bias is not None:
+        b4 = key_bias[:, None, None, :]
+        attn_bias = b4 if attn_bias is None else attn_bias + b4
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -31,8 +31,11 @@ def calibrate_capacities(
     per_layer = kept.max(axis=0)
     caps = []
     for k in per_layer:
-        cap_p = round_up(int(k) - 1 + margin, multiple)  # patch slots >= topk
-        caps.append(min(cap_p + 2, max_tokens))
+        # total buffer (CLS + >=topk patches + merge) rounded so the buffer
+        # size itself is lane-aligned (the fused attention kernel requires
+        # N % 128 == 0 to engage)
+        cap = round_up(int(k) - 1 + margin + 2, multiple)
+        caps.append(min(cap, max_tokens))
     # enforce non-increasing (token counts never grow in DTP)
     for i in range(1, len(caps)):
         caps[i] = min(caps[i], caps[i - 1])

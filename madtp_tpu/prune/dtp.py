@@ -74,17 +74,24 @@ def init_token_state(
     tokens: jnp.ndarray,  # [B, N, D] (CLS at slot 0)
     depth: int,
     bias: Optional[jnp.ndarray] = None,  # [B, N] additive key bias
+    pad_to: int = 1,
 ) -> TokenState:
-    """Pad with ``depth`` dead merge slots -> buffer of S = N + depth."""
+    """Pad with ``depth`` dead merge slots -> buffer of S = N + depth, rounded
+    up to a multiple of ``pad_to`` (lane alignment for the fused attention
+    kernel; extra slots stay dead forever)."""
     B, N, D = tokens.shape
+    S = N + depth
+    if pad_to > 1:
+        S = ((S + pad_to - 1) // pad_to) * pad_to
+    extra = S - N
     x = jnp.concatenate(
-        [tokens, jnp.zeros((B, depth, D), tokens.dtype)], axis=1
+        [tokens, jnp.zeros((B, extra, D), tokens.dtype)], axis=1
     )
     alive = jnp.concatenate(
-        [jnp.ones((B, N), bool), jnp.zeros((B, depth), bool)], axis=1
+        [jnp.ones((B, N), bool), jnp.zeros((B, extra), bool)], axis=1
     )
     if bias is not None:
-        bias = jnp.concatenate([bias, jnp.zeros((B, depth), bias.dtype)], axis=1)
+        bias = jnp.concatenate([bias, jnp.zeros((B, extra), bias.dtype)], axis=1)
     return TokenState(x=x, alive=alive, bias=bias)
 
 

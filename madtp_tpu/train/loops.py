@@ -253,3 +253,93 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         return RetrievalTrainState(params, params_m, opt_state, queue, temp), metrics
 
     return step
+
+
+class ClipTrainState(NamedTuple):
+    params: dict
+    params_m: dict  # momentum tower copies
+    opt_state: optax.OptState
+    queue: FeatureQueue
+    space_dict: jnp.ndarray  # shared FDT codebook (trained)
+
+
+CLIP_MOMENTUM_KEYS = ("visual", "token_embedding", "positional_embedding",
+                      "blocks", "ln_final", "text_projection")
+
+
+def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
+                         alpha: float = 0.4, momentum: float = 0.995,
+                         prune_active: bool = True):
+    """CLIP compression step (reference clip/model.py:529-595): queue-based
+    soft-target InfoNCE on both towers + FDT alignment from online AND
+    momentum towers; logit_scale clamped to [0, 4.6052] (:530-531)."""
+    from madtp_tpu.models.blip import fdt_alignment_loss
+    from madtp_tpu.models.clip import clip_encode_image, clip_encode_text
+
+    def towers(params, space_dict, images, text, temperature):
+        img, sd_img, _ = clip_encode_image(
+            params, images, cfg, space_dict=space_dict,
+            temperature=temperature, prune_active=prune_active)
+        txt, sd_txt, _ = clip_encode_text(
+            params, text, cfg, space_dict=space_dict,
+            temperature=temperature, prune_active=prune_active)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        return img, txt, sd_img, sd_txt
+
+    def loss_fn(params, space_dict, params_m, queue, images, text, idx,
+                temperature):
+        logit_scale = jnp.exp(jnp.clip(params["logit_scale"], 0.0, 4.6052))
+        img, txt, sd_img, sd_txt = towers(params, space_dict, images, text,
+                                          temperature)
+        m_img, m_txt, sd_img_m, sd_txt_m = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            towers({**params, **params_m}, space_dict, images, text,
+                   temperature))
+
+        idx_all = jnp.concatenate([idx, queue.idx])
+        sim_targets = L.id_match_targets(idx, idx_all)
+        img_all = jnp.concatenate([m_img.T, queue.image], axis=1)
+        txt_all = jnp.concatenate([m_txt.T, queue.text], axis=1)
+
+        sim_i2t_m = logit_scale * (m_img @ txt_all)
+        sim_t2i_m = logit_scale * (m_txt @ img_all)
+        t_i2t = jax.lax.stop_gradient(
+            alpha * jax.nn.softmax(sim_i2t_m, axis=1) + (1 - alpha) * sim_targets)
+        t_t2i = jax.lax.stop_gradient(
+            alpha * jax.nn.softmax(sim_t2i_m, axis=1) + (1 - alpha) * sim_targets)
+
+        lp_i = jax.nn.log_softmax(logit_scale * (img @ txt_all), axis=1)
+        lp_t = jax.nn.log_softmax(logit_scale * (txt @ img_all), axis=1)
+        loss_ita = 0.5 * (-jnp.mean(jnp.sum(lp_i * t_i2t, axis=1))
+                          - jnp.mean(jnp.sum(lp_t * t_t2i, axis=1)))
+
+        loss_fdt = loss_ita
+        loss_fdt_m = loss_ita
+        if prune_active and sd_img is not None and sd_txt is not None:
+            loss_fdt = fdt_alignment_loss(sd_img, sd_txt, cfg.sd_dim)
+            loss_fdt_m = fdt_alignment_loss(sd_img_m, sd_txt_m, cfg.sd_dim)
+        loss = loss_ita + FDT_WEIGHT * loss_fdt + FDT_WEIGHT * loss_fdt_m
+        metrics = {"loss": loss, "loss_ita": loss_ita, "loss_fdt": loss_fdt,
+                   "loss_fdt_m": loss_fdt_m}
+        return loss, (metrics, img, txt)
+
+    @jax.jit
+    def step(state: ClipTrainState, images, text, idx, temperature):
+        params_m = momentum_update(
+            {k: state.params[k] for k in CLIP_MOMENTUM_KEYS}, state.params_m,
+            momentum)
+        (_, (metrics, img, txt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True, argnums=(0, 1)
+        )(state.params, state.space_dict, params_m, state.queue, images, text,
+          idx, temperature)
+        updates, opt_state = tx.update(
+            {"params": grads[0], "space_dict": grads[1]}, state.opt_state,
+            {"params": state.params, "space_dict": state.space_dict})
+        new = optax.apply_updates(
+            {"params": state.params, "space_dict": state.space_dict}, updates)
+        queue = enqueue(state.queue, img, txt, idx)
+        return ClipTrainState(new["params"], params_m, opt_state, queue,
+                              new["space_dict"]), metrics
+
+    return step

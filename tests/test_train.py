@@ -168,3 +168,39 @@ def test_vqa_train_step_runs():
         params, tx.init(params), images, q_ids, q_mask, a_ids, a_mask,
         weights, jnp.float32(1.0))
     assert np.isfinite(float(metrics["loss_vqa"]))
+
+
+def test_clip_train_step_runs():
+    from madtp_tpu.core.config import CLIPConfig
+    from madtp_tpu.models.clip import init_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=32, vision_layers=2, vision_width=32,
+        vision_patch_size=8, vision_heads_override=4, context_length=12,
+        vocab_size=60, transformer_width=32, transformer_heads=4,
+        transformer_layers=2, sd_dim=32,
+    )
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, init_clip_params(cfg, rng))
+    space_dict = jnp.asarray(rng.randn(10, 32).astype(np.float32))
+    tx = optax.adamw(1e-4)
+    step = loops.make_clip_train_step(cfg, tx)
+    B = 4
+    state = loops.ClipTrainState(
+        params=params,
+        params_m={k: params[k] for k in loops.CLIP_MOMENTUM_KEYS},
+        opt_state=tx.init({"params": params, "space_dict": space_dict}),
+        queue=init_queue(16, 8),
+        space_dict=space_dict,
+    )
+    images = jnp.asarray(rng.randn(B, 3, 32, 32).astype(np.float32))
+    text = np.zeros((B, 12), np.int64)
+    text[:, 0] = 57
+    text[:, 1:4] = rng.randint(5, 50, size=(B, 3))
+    text[:, 4] = 59  # eot
+    state2, metrics = step(state, images, jnp.asarray(text), jnp.arange(B),
+                           jnp.float32(1.0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.queue.ptr) == B
+    assert not np.allclose(np.asarray(state2.space_dict), np.asarray(space_dict))
