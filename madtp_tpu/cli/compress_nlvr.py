@@ -137,14 +137,32 @@ def main():
                            batch=batch_train if train else batch_test,
                            epoch=epoch)
 
+    caps_v = caps_t = None
+    if args.evaluate and args.fast_eval and temperature > 0:
+        # calibrate static gather capacities from one mask-mode batch
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        step = task.make_eval_step(cfg, True)
+        image0, image1, sentences, _ = next(iter(get_loader("val")()))
+        ids0, mask0 = tokenize(sentences)
+        ids0[:, 0] = tokenizer.enc_token_id
+        _, vk, tk = step(params, jnp.asarray(np.concatenate([image0, image1])),
+                         jnp.asarray(ids0), jnp.asarray(mask0),
+                         jnp.float32(temperature))
+        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16, multiple=64)
+        caps_t = calibrate_capacities(np.asarray(tk)[None], margin=4, multiple=8)
+        print("fast_eval capacities:", caps_v, caps_t)
+
     if args.evaluate:
         val_stats, cur_g = task.evaluate(
             params, get_loader("val"), tokenize, cfg, temperature,
             prune_active=temperature > 0, enc_token_id=tokenizer.enc_token_id,
+            capacities_v=caps_v, capacities_t=caps_t,
         )
         test_stats, _ = task.evaluate(
             params, get_loader("test"), tokenize, cfg, temperature,
             prune_active=temperature > 0, enc_token_id=tokenizer.enc_token_id,
+            capacities_v=caps_v, capacities_t=caps_t,
         )
         log = {**{f"val_{k}": v for k, v in val_stats.items()},
                **{f"test_{k}": v for k, v in test_stats.items()},

@@ -169,7 +169,7 @@ def med_encoder(
 
     state = init_token_state(emb, depth=L if prune_active else 0,
                              bias=pad_bias,
-                             pad_to=128 if prune_active else 1)
+                             pad_to=8 if prune_active else 1)
 
     twin = encoder_state1 is not None
 

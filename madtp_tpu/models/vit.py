@@ -111,7 +111,7 @@ def vit_forward(
             temperature=temperature, capacities=capacities,
         )
 
-    pad_to = 128 if prune_active else 1
+    pad_to = 8 if prune_active else 1
     state = init_token_state(x, depth=depth if prune_active else 0,
                              pad_to=pad_to)
 

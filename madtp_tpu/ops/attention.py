@@ -56,8 +56,8 @@ def _fused_eligible(q, key_bias, key_alive, need_scores):
     if not need_scores or key_alive is None:
         return False
     B, H, N, Dh = q.shape
-    if N % 128 != 0 or Dh % 8 != 0:
-        return False
+    if N % 8 != 0 or Dh % 8 != 0:
+        return False  # kernel wrapper pads N up to a lane multiple itself
     return jax.default_backend() == "tpu"
 
 
@@ -88,12 +88,22 @@ def attention_core(
     if attn_bias is None and _fused_eligible(q, key_bias, key_alive, need_scores):
         from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores
 
-        qt, kt, vt = (x.transpose(0, 1, 3, 2) for x in (q, k, v))
-        out_t, col, cls = fused_attention_scores(
-            qt, kt, vt, key_alive, key_bias, num_heads=H, scale=scale
+        Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
+        pad = Np - Nq
+        qt, kt, vt = (
+            jnp.pad(x.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, 0), (0, pad)))
+            for x in (q, k, v)
         )
-        out = out_t.transpose(0, 3, 1, 2).reshape(B, Nq, H * Dh).astype(v.dtype)
-        return out, AttnAux(cls_attn=cls[:, 1:], col_mass=col[:, 1:])
+        alive_p = jnp.pad(key_alive, ((0, 0), (0, pad)))
+        bias_p = None if key_bias is None else jnp.pad(key_bias, ((0, 0), (0, pad)))
+        out_t, col, cls = fused_attention_scores(
+            qt, kt, vt, alive_p, bias_p, num_heads=H, scale=scale
+        )
+        out = (
+            out_t[..., :Nq].transpose(0, 3, 1, 2)
+            .reshape(B, Nq, H * Dh).astype(v.dtype)
+        )
+        return out, AttnAux(cls_attn=cls[:, 1:Nq], col_mass=col[:, 1:Nq])
 
     if key_bias is not None:
         b4 = key_bias[:, None, None, :]
