@@ -132,7 +132,7 @@ def main():
 
     from madtp_tpu.data.datasets import CaptionEvalDataset, CaptionTrainDataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import eval_transform
+    from madtp_tpu.data.transforms import eval_transform  # noqa: F401
 
     def make_loader(split):
         ds = CaptionEvalDataset(
@@ -150,12 +150,90 @@ def main():
                  {"Cur_Gflops": round(cur_g, 2)}, append=False)
         return
 
-    # compression training (reference :218-311; temperature pre-search then
-    # epoch loop gated on CIDEr+SPICE — local scoring via caption_metrics)
-    raise SystemExit(
-        "caption compression training requires COCO data; run with real "
-        "image_root/ann_root configured (see configs/caption_coco.yaml)"
+    # ---- compression training ----
+    # (reference compress_caption_dtp.py:218-311: temperature pre-search then
+    # an epoch loop gated on caption quality + the GFLOPs budget; quality
+    # gate here is CIDEr from the offline scorer)
+    import jax.numpy as jnp
+
+    from madtp_tpu.ckpt.export import (
+        export_med, export_vit, save_torch_checkpoint,
     )
+    from madtp_tpu.train.controller import TemperatureController
+    from madtp_tpu.train.loops import make_caption_train_step
+    from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
+
+    target = ORI_GFLOPS * (1.0 - config["p"])
+    tx = make_adamw_injectable(config.get("weight_decay", 0.05))
+    opt_state = tx.init(params)
+    train_step = make_caption_train_step(cfg, tx)
+    controller = TemperatureController(target_gflops=target)
+
+    import random as _random
+
+    from madtp_tpu.data.transforms import train_transform
+
+    _trng = _random.Random(args.seed)
+    ds = CaptionTrainDataset(
+        lambda im: train_transform(im, image_size, _trng),
+        config["image_root"], config["ann_root"],
+        prompt=config.get("prompt", PROMPT))
+    # reference models/blip.py:109: prompt_length = len(tok(prompt).ids) - 1
+    prompt_length = len(tokenizer.encode(config.get("prompt", PROMPT))) - 1
+
+    from madtp_tpu.utils.logging import MetricLogger
+
+    best, cur_g = -1.0, ORI_GFLOPS
+    for epoch in range(config["max_epoch"]):
+        if epoch > 0:
+            controller.update(cur_g)
+        temperature = controller.temperature
+        lr = cosine_lr(epoch, config["max_epoch"],
+                       config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        logger = MetricLogger()
+        for images, captions, img_ids in logger.log_every(
+            batched_loader(ds, config.get("batch_size", 32), shuffle=True,
+                           epoch=epoch), 50, f"Train [{epoch}]"):
+            tok = tokenizer(list(captions), padding="longest", max_length=40)
+            ids, mask = tok["input_ids"], tok["attention_mask"]
+            ids[:, 0] = tokenizer.bos_token_id  # reference models/blip.py:118
+            labels = np.where(ids == tokenizer.pad_token_id, -100, ids)
+            labels[:, :prompt_length] = -100  # reference models/blip.py:121
+            params, opt_state, metrics = train_step(
+                params, opt_state, jnp.asarray(images), jnp.asarray(ids),
+                jnp.asarray(mask), jnp.asarray(labels),
+                jnp.float32(temperature))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        results, cur_g = eval_epoch(temperature, make_loader("val"))
+        log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
+               "train_loss": f"{logger.meters['loss'].global_avg:.4f}"}
+        gt_path = os.path.join(config.get("coco_gt_root", ""), "gt.json")
+        if os.path.exists(gt_path):
+            import json as _json
+
+            from madtp_tpu.eval.caption_metrics import coco_caption_scores
+
+            scores = coco_caption_scores(results, _json.load(open(gt_path)))
+            log.update({k: round(v, 4) for k, v in scores.items()})
+            metric = scores["CIDEr"]
+        else:
+            metric = 0.0
+        if metric >= best and cur_g - target < 5.0:
+            sd = {}
+            sd.update(export_vit(jax.tree.map(np.asarray,
+                                              params["visual_encoder"]),
+                                 patch_size=cfg.vit.patch_size))
+            sd.update(export_med(jax.tree.map(np.asarray,
+                                              params["text_decoder"]),
+                                 "text_decoder.", has_lm_head=True))
+            sd["space_dict"] = np.asarray(params["space_dict"])
+            save_torch_checkpoint(
+                os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
+                epoch=epoch, temperature=temperature)
+            best = metric
+        dump_log(args.output_dir, "log.txt", log)
+        print("LOG:", log)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,7 @@ def main():
         rng2 = np.random.RandomState(1)
         image_batches = [rng2.randn(3, 3, image_size, image_size).astype(np.float32)
                          for _ in range(2)]
+        image_batches_fn = lambda: iter(list(image_batches))
         texts = [f"a picture of w{i}" for i in range(n_img)]
         txt2img = {i: i for i in range(n_img)}
         img2txt = {i: [i] for i in range(n_img)}
@@ -86,8 +87,11 @@ def main():
             dataset=config.get("dataset", "coco"))
         texts = ds.text
         txt2img, img2txt = ds.txt2img, ds.img2txt
-        image_batches = (b[0] for b in batched_loader(
-            ds, config.get("batch_size_test", 32)))
+        def image_batches_fn():
+            return (b[0] for b in batched_loader(
+                ds, config.get("batch_size_test", 32)))
+
+        image_batches = image_batches_fn()
 
     tok = tokenizer(texts, padding="longest", max_length=35)
     text_ids, text_mask = tok["input_ids"], tok["attention_mask"]
@@ -109,6 +113,118 @@ def main():
     log = {k: round(v, 3) for k, v in stats.items()}
     dump_log(args.output_dir, "evaluate.txt", log, append=False)
     print("LOG:", log)
+
+    if args.evaluate or args.synthetic:
+        return
+
+    # ---- compression training ----
+    # (reference compress_retrieval_dtp.py:389-470: controller-driven epochs;
+    # best checkpoint gated on r_mean AND a <10-GFLOPs budget slack)
+    import random as _random
+
+    import jax.random as jrandom
+
+    from madtp_tpu.ckpt.export import (
+        export_med, export_vit, save_torch_checkpoint,
+    )
+    from madtp_tpu.data.datasets import CaptionTrainDataset
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.prune.flops import retrieval_gflops
+    from madtp_tpu.train.controller import TemperatureController
+    from madtp_tpu.train.loops import (
+        MOMENTUM_KEYS, RetrievalTrainState, make_retrieval_train_step,
+    )
+    from madtp_tpu.train.momentum import init_queue
+    from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
+    from madtp_tpu.utils.logging import MetricLogger
+
+    target = ORI_GFLOPS * (1.0 - config["p"])
+    tx = make_adamw_injectable(config.get("weight_decay", 0.05))
+    train_step = make_retrieval_train_step(
+        cfg, tx, alpha=config.get("alpha", 0.4),
+        enc_token_id=tokenizer.enc_token_id,
+        negative_all_rank=config.get("negative_all_rank", False))
+    state = RetrievalTrainState(
+        params=params,
+        params_m={k: params[k] for k in MOMENTUM_KEYS},
+        opt_state=tx.init(params),
+        queue=init_queue(np.asarray(params["vision_proj"]["kernel"]).shape[1],
+                         config.get("queue_size", 57600)),
+        temp=jnp.float32(0.07),
+    )
+    controller = TemperatureController(target_gflops=target)
+
+    _trng = _random.Random(args.seed)
+    train_ds = CaptionTrainDataset(
+        lambda im: train_transform(im, image_size, _trng),
+        config["image_root"], config["ann_root"],
+        dataset=config.get("dataset", "coco"))
+
+    rng_key = jrandom.PRNGKey(args.seed)
+    best, cur_g = 0.0, ORI_GFLOPS
+    for epoch in range(config["max_epoch"]):
+        if epoch > 0:
+            controller.update(cur_g)
+        temperature = controller.temperature
+        lr = cosine_lr(epoch, config["max_epoch"],
+                       config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        logger = MetricLogger()
+        for images, captions, img_idx in logger.log_every(
+            batched_loader(train_ds, config.get("batch_size_train", 16),
+                           shuffle=True, epoch=epoch, drop_last=True),
+            50, f"Train [{epoch}]"):
+            tok = tokenizer(list(captions), padding="max_length", max_length=35)
+            rng_key, sub = jrandom.split(rng_key)
+            state, metrics = train_step(
+                state, sub, jnp.asarray(images), jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"]), jnp.asarray(img_idx),
+                jnp.float32(temperature))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        # eval epoch: re-embed + rerank with current weights
+        params = state.params
+        img_feats, img_states, txt_feats = encode_corpus(
+            params, cfg, iter(image_batches_fn()), text_ids, text_mask,
+            temperature=temperature, prune_active=True)
+        s_i2t, s_t2i = rerank_scores(
+            params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
+            k_test=min(k_test, len(texts)), temperature=temperature,
+            prune_active=True)
+        stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
+        # analytic GFLOPs from a mask-mode probe
+        from madtp_tpu.models.blip import (
+            blip_retrieval_image_features, blip_retrieval_text_features,
+        )
+        probe_im = next(iter(image_batches_fn()))
+        _, vs, _ = blip_retrieval_image_features(
+            params, jnp.asarray(probe_im), cfg,
+            temperature=jnp.float32(temperature), prune_active=True)
+        v_alive = int(np.asarray(vs.alive[0]).sum()) - 1
+        cur_g = retrieval_gflops(
+            cfg.vit, cfg.med, [v_alive] * cfg.vit.depth,
+            [text_ids.shape[1] - 1] * cfg.med.num_hidden_layers,
+            text_ids.shape[1])
+        log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
+               **{k: round(v, 3) for k, v in stats.items()}}
+        if stats["r_mean"] > best and cur_g - target < 10.0:
+            sd = {}
+            sd.update(export_vit(jax.tree.map(np.asarray,
+                                              params["visual_encoder"]),
+                                 patch_size=cfg.vit.patch_size))
+            sd.update(export_med(jax.tree.map(np.asarray,
+                                              params["text_encoder"]),
+                                 "text_encoder."))
+            for nm in ("vision_proj", "text_proj", "itm_head"):
+                sd[nm + ".weight"] = np.asarray(params[nm]["kernel"]).T
+                sd[nm + ".bias"] = np.asarray(params[nm]["bias"])
+            sd["space_dict"] = np.asarray(params["space_dict"])
+            save_torch_checkpoint(
+                os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
+                epoch=epoch, temperature=temperature)
+            best = stats["r_mean"]
+        dump_log(args.output_dir, "log.txt", log)
+        print("LOG:", log)
 
 
 if __name__ == "__main__":

@@ -101,6 +101,7 @@ def main():
         txt2img, img2txt = ds.txt2img, ds.img2txt
         images = np.concatenate(
             [b[0] for b in batched_loader(ds, config.get("batch_size_test", 32))])
+    images_all = images
 
     prune = temperature > 0
 
@@ -143,6 +144,88 @@ def main():
            "Cur_Gflops": round(cur_g, 3)}
     dump_log(args.output_dir, "evaluate.txt", log, append=False)
     print("LOG:", log)
+
+    if args.evaluate or args.synthetic:
+        return
+
+    # ---- compression training ----
+    # (reference compress_retrieval_clip_dtp.py:283-365: queue-InfoNCE epochs
+    # under the controller; best gated on r_mean and a <5-GFLOPs slack)
+    import random as _random
+
+    from madtp_tpu.data.datasets import CaptionTrainDataset
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.train.controller import TemperatureController
+    from madtp_tpu.train.loops import (
+        CLIP_MOMENTUM_KEYS, ClipTrainState, make_clip_train_step,
+    )
+    from madtp_tpu.train.momentum import init_queue
+    from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
+    from madtp_tpu.utils.logging import MetricLogger
+
+    target = ORI_GFLOPS * (1.0 - config["p"])
+    tx = make_adamw_injectable(config.get("weight_decay", 0.2))
+    train_step = make_clip_train_step(cfg, tx, alpha=config.get("alpha", 0.4))
+    state = ClipTrainState(
+        params=params,
+        params_m={k: params[k] for k in CLIP_MOMENTUM_KEYS},
+        opt_state=tx.init({"params": params, "space_dict": space_dict}),
+        queue=init_queue(cfg.embed_dim, config.get("queue_size", 57600)),
+        space_dict=space_dict,
+    )
+    controller = TemperatureController(target_gflops=target)
+
+    _trng = _random.Random(args.seed)
+    train_ds = CaptionTrainDataset(
+        lambda im: train_transform(im, cfg.image_resolution, _trng),
+        config["image_root"], config["ann_root"],
+        dataset=config.get("dataset", "flickr"))
+
+    best, cur_g = 0.0, ORI_GFLOPS
+    for epoch in range(config["max_epoch"]):
+        if epoch > 0:
+            controller.update(cur_g)
+        temperature = controller.temperature
+        lr = cosine_lr(epoch, config["max_epoch"],
+                       config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        logger = MetricLogger()
+        for images, captions, img_idx in logger.log_every(
+            batched_loader(train_ds, config.get("batch_size_train", 16),
+                           shuffle=True, epoch=epoch, drop_last=True),
+            50, f"Train [{epoch}]"):
+            txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
+            state, metrics = train_step(
+                state, jnp.asarray(images), jnp.asarray(txt),
+                jnp.asarray(img_idx), jnp.float32(temperature))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        params, space_dict = state.params, state.space_dict
+        # eval epoch (ITC-only like the reference CLIP driver)
+        img_feats, txt_feats = [], []
+        for i in range(0, len(images_all), bt):
+            f, v_kept = img_step(params, jnp.asarray(images_all[i:i+bt]),
+                                 space_dict, jnp.float32(temperature))
+            img_feats.append(np.asarray(f))
+        for i in range(0, len(text), bt):
+            f, t_kept = txt_step(params, jnp.asarray(text[i:i+bt]),
+                                 space_dict, jnp.float32(temperature))
+            txt_feats.append(np.asarray(f))
+        sims = np.concatenate(img_feats) @ np.concatenate(txt_feats).T
+        stats = itm_eval(sims, sims.T, txt2img, img2txt)
+        cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
+        log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
+               **{k: round(v, 3) for k, v in stats.items()}}
+        if stats["r_mean"] > best and cur_g - target < 5.0:
+            from madtp_tpu.ckpt.export import save_native
+
+            save_native(os.path.join(args.output_dir, "checkpoint_best.npz"),
+                        {"params": params, "space_dict": space_dict},
+                        extras={"temperature": float(temperature),
+                                "epoch": epoch})
+            best = stats["r_mean"]
+        dump_log(args.output_dir, "log.txt", log)
+        print("LOG:", log)
 
 
 if __name__ == "__main__":

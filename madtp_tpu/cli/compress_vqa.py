@@ -141,11 +141,94 @@ def main():
                     config["ann_root"], config["vqa_root"],
                     config.get("vg_root", ""), split="test")
 
-    results, cur_g = run_eval(
-        lambda: batched_loader(ds, config.get("batch_size_test", 16)))
-    save_result(results, args.output_dir, "vqa_result")
-    dump_log(args.output_dir, "evaluate.txt",
-             {"Cur_Gflops": round(cur_g, 2)}, append=False)
+    if args.evaluate:
+        results, cur_g = run_eval(
+            lambda: batched_loader(ds, config.get("batch_size_test", 16)))
+        save_result(results, args.output_dir, "vqa_result")
+        dump_log(args.output_dir, "evaluate.txt",
+                 {"Cur_Gflops": round(cur_g, 2)}, append=False)
+        return
+
+    # ---- compression training ----
+    # (reference compress_vqa_dtp.py:246-292: controller-driven epochs, a
+    # checkpoint saved EVERY epoch)
+    import random as _random
+
+    from madtp_tpu.ckpt.export import (
+        export_med, export_vit, save_torch_checkpoint,
+    )
+    from madtp_tpu.data.datasets import VQADataset, vqa_collate
+    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.train.controller import TemperatureController
+    from madtp_tpu.train.loops import make_vqa_train_step
+    from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
+
+    target = ORI_GFLOPS * (1.0 - config["p"])
+    tx = make_adamw_injectable(config.get("weight_decay", 0.05))
+    opt_state = tx.init(params)
+    MAX_A = 10  # VQAv2 has 10 annotators; soft-weight lists fit in 10
+    train_step = make_vqa_train_step(cfg, tx, max_answers_per_q=MAX_A)
+    controller = TemperatureController(target_gflops=target)
+
+    _trng = _random.Random(args.seed)
+    train_ds = VQADataset(
+        lambda im: train_transform(im, image_size, _trng),
+        config["ann_root"], config["vqa_root"], config.get("vg_root", ""),
+        split="train", train_files=tuple(config.get(
+            "train_files", ("vqa_train", "vqa_val", "vg_qa"))))
+
+    cur_g = ORI_GFLOPS
+    for epoch in range(config["max_epoch"]):
+        if epoch > 0:
+            controller.update(cur_g)
+        temperature = controller.temperature
+        lr = cosine_lr(epoch, config["max_epoch"],
+                       config.get("init_lr", 2e-5), config.get("min_lr", 0.0))
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        logger = MetricLogger()
+        for images, questions, answers, weights, n in logger.log_every(
+            batched_loader(train_ds, config.get("batch_size_train", 16),
+                           shuffle=True, epoch=epoch, collate=vqa_collate),
+            50, f"Train [{epoch}]"):
+            B = images.shape[0]
+            q = tokenizer(list(questions), padding="longest", max_length=35)
+            q_ids = q["input_ids"]; q_ids[:, 0] = tokenizer.enc_token_id
+            # pad the ragged flattened answers to [B, MAX_A, La]
+            a = tokenizer(list(answers), padding="longest")
+            La = a["input_ids"].shape[1]
+            a_ids = np.zeros((B, MAX_A, La), np.int32)
+            a_msk = np.zeros((B, MAX_A, La), np.int32)
+            w = np.zeros((B, MAX_A), np.float32)
+            pos = 0
+            for b, cnt in enumerate(n):
+                cnt = min(cnt, MAX_A)
+                a_ids[b, :cnt] = a["input_ids"][pos : pos + cnt]
+                a_ids[b, :cnt, 0] = tokenizer.bos_token_id
+                a_msk[b, :cnt] = a["attention_mask"][pos : pos + cnt]
+                w[b, :cnt] = weights[pos : pos + cnt]
+                pos += cnt
+            params, opt_state, metrics = train_step(
+                params, opt_state, jnp.asarray(images), jnp.asarray(q_ids),
+                jnp.asarray(q["attention_mask"]), jnp.asarray(a_ids),
+                jnp.asarray(a_msk), jnp.asarray(w), jnp.float32(temperature))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        results, cur_g = run_eval(
+            lambda: batched_loader(ds, config.get("batch_size_test", 16)))
+        save_result(results, args.output_dir, f"vqa_result_epoch{epoch}")
+        sd = {}
+        sd.update(export_vit(jax.tree.map(np.asarray, params["visual_encoder"]),
+                             patch_size=cfg.vit.patch_size))
+        sd.update(export_med(jax.tree.map(np.asarray, params["text_encoder"]),
+                             "text_encoder."))
+        sd.update(export_med(jax.tree.map(np.asarray, params["text_decoder"]),
+                             "text_decoder.", has_lm_head=True))
+        sd["space_dict"] = np.asarray(params["space_dict"])
+        save_torch_checkpoint(
+            os.path.join(args.output_dir, f"checkpoint_{epoch:02d}.pth"), sd,
+            epoch=epoch, temperature=temperature)
+        dump_log(args.output_dir, "log.txt",
+                 {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
+                  "train_loss": f"{logger.meters['loss'].global_avg:.4f}"})
 
 
 if __name__ == "__main__":

@@ -286,3 +286,27 @@ def load_blip_vqa(path: str, cfg: BlipConfig):
         "space_dict": np.asarray(sd["space_dict"], np.float32),
     }
     return params, float(extras.get("temperature", 0.0))
+
+
+def blip_base_features(
+    params, cfg: BlipConfig, *, images=None, text_ids=None, text_mask=None,
+    mode: str = "multimodal", enc_token_id: Optional[int] = None,
+):
+    """BLIP_Base feature extractor (reference models/blip.py:18-69):
+    'image' -> ViT token features; 'text' -> text-encoder hidden states;
+    'multimodal' -> cross-attended hidden states (text ids' slot 0 replaced
+    with [ENC] like the reference :62)."""
+    assert mode in ("image", "text", "multimodal")
+    if mode == "image":
+        state, _, _ = vit_forward(params["visual_encoder"], images, cfg=cfg.vit)
+        return state.x
+    if mode == "text":
+        out = M.med_encoder(
+            params["text_encoder"], text_ids, text_mask, cfg.med, mode="text")
+        return out.state.x
+    vstate, _, _ = vit_forward(params["visual_encoder"], images, cfg=cfg.vit)
+    ids = text_ids if enc_token_id is None else text_ids.at[:, 0].set(enc_token_id)
+    out = M.med_encoder(
+        params["text_encoder"], ids, text_mask, cfg.med,
+        mode="multimodal", encoder_state=vstate)
+    return out.state.x

@@ -321,3 +321,25 @@ def dtp_prune_gather(
         )
     kept = eff_keep + do_merge.astype(eff_keep.dtype)
     return TokenState(new_x, new_alive, new_bias), kept, overflow
+
+
+def dtp_prune_static(
+    state: TokenState,
+    cls_attn: jnp.ndarray,  # [B, P] importance (CLS attention only)
+    keep_num: int,
+) -> Tuple[TokenState, jnp.ndarray]:
+    """Static top-k variant (``Reduce_token_static``): keep a FIXED number of
+    tokens per layer ranked by CLS attention alone, no merge token.
+
+    Present in the reference but commented out of every forward path
+    (reference ``models/vit.py:165-181,200-201``); provided for capability
+    parity and as the simplest pruning baseline.  Returns (state, kept).
+    """
+    x, alive, bias = state
+    palive = alive[:, 1:]
+    score = jnp.where(palive, cls_attn, NEG_INF)
+    ranks = _rank_desc(score)
+    keep = palive & (ranks < keep_num)
+    new_alive = jnp.concatenate([alive[:, :1], keep], axis=1)
+    kept = jnp.minimum(jnp.max(jnp.sum(palive, axis=1)), keep_num)
+    return TokenState(x, new_alive, bias), kept

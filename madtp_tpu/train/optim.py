@@ -37,3 +37,8 @@ def make_adamw_injectable(weight_decay: float) -> optax.GradientTransformation:
             weight_decay=weight_decay,
         )
     )(learning_rate=1e-5)
+
+
+def step_lr(epoch: int, init_lr: float, min_lr: float, decay_rate: float = 1.0) -> float:
+    """Exponential step decay (reference utils.py:13-18)."""
+    return max(min_lr, init_lr * (decay_rate ** epoch))
