@@ -30,6 +30,10 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                    help="random weights + synthetic data (pipeline smoke run; "
                         "no checkpoints/datasets required)")
     p.add_argument("--synthetic_batches", default=4, type=int)
+    p.add_argument("--resume", default="", type=str,
+                   help="resume compression from an orbax checkpoint dir "
+                        "(params + optimizer state + controller state; "
+                        "capability the reference lacks, SURVEY.md §5)")
     return p
 
 

@@ -181,7 +181,25 @@ def main():
 
     best, best_epoch = 0.0, 0
     cur_g = ORI_GFLOPS
-    for epoch in range(config["max_epoch"]):
+    start_epoch = 0
+    if args.resume:
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(args.resume),
+                item={"params": params, "opt_state": opt_state,
+                      "meta": {"epoch": 0, "temperature": 0.0,
+                               "cur_gflops": 0.0, "best": 0.0}},
+            )
+        params, opt_state = restored["params"], restored["opt_state"]
+        meta = restored["meta"]
+        start_epoch = int(meta["epoch"]) + 1
+        controller.temperature = float(meta["temperature"])
+        cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, config["max_epoch"]):
         if epoch > 0:
             controller.update(cur_g)
         temperature = controller.temperature
@@ -231,6 +249,19 @@ def main():
             best, best_epoch = acc, epoch
         dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
+
+        # mid-run resume checkpoint (params + optimizer + controller)
+        import orbax.checkpoint as ocp
+
+        rdir = os.path.abspath(os.path.join(args.output_dir, "resume_ckpt"))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                rdir,
+                {"params": params, "opt_state": opt_state,
+                 "meta": {"epoch": epoch, "temperature": float(temperature),
+                          "cur_gflops": float(cur_g), "best": float(best)}},
+                force=True,
+            )
     print(f"LOG: best epoch: {best_epoch}")
 
 

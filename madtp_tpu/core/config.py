@@ -24,6 +24,9 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
     sd_dim: int = 768  # FDT codebook dim
+    # stochastic depth at train time (reference create_vit drop_path_rate:
+    # 0.1 for NLVR/VQA, 0 for caption/retrieval, models/blip.py:228-247)
+    drop_path_rate: float = 0.0
     # DTP execution
     dtype: str = "float32"
 
@@ -59,6 +62,10 @@ class MedConfig:
     add_cross_attention: bool = True
     encoder_width: int = 768
     hidden_act: str = "gelu"
+    # train-time dropout (reference configs/med_config.json: 0.1); active
+    # only when a dropout rng is supplied to the forward
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
     sd_dim: int = 768
     # NLVR twin-cross-attention variant (reference models/nlvr_encoder.py:274-282):
     # layers >= merge_start_layer concat the two cross-attn streams through a

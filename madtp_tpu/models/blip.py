@@ -69,21 +69,25 @@ def blip_nlvr_forward(
     prune_active: bool = False,
     train: bool = False,
     targets: Optional[jnp.ndarray] = None,
+    dropout_rng=None,
 ):
     """Reference models/blip_nlvr.py:63-100.  Returns logits [B,2] at eval or
     (loss_ori, loss_fdt, logits) at train."""
     B = text_ids.shape[0]
+    r_v = r_t = None
+    if dropout_rng is not None:
+        r_v, r_t = jax.random.split(dropout_rng)
     vstate, sd_img_ft, v_kept = vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, dropout_rng=r_v,
     )
     st0, st1 = _split_state(vstate, B)
     out = M.med_encoder(
         params["text_encoder"], text_ids, text_mask, cfg.med,
         mode="multimodal", encoder_state=st0, encoder_state1=st1,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, dropout_rng=r_t,
     )
     hidden = out.state.x[:, 0, :]
     h = jax.nn.relu(linear(params["cls_head"]["fc1"], hidden))

@@ -33,7 +33,7 @@ import numpy as np
 
 from madtp_tpu.core.config import MedConfig
 from madtp_tpu.ops.attention import attention_core
-from madtp_tpu.ops.layers import gelu, layer_norm, linear
+from madtp_tpu.ops.layers import dropout, gelu, layer_norm, linear
 from madtp_tpu.prune.dtp import DTPSignals, TokenState, dtp_prune, init_token_state
 from madtp_tpu.prune.query import query_model
 
@@ -56,7 +56,7 @@ def bert_embeddings(p, input_ids, cfg: MedConfig, position_offset=0):
 
 def _self_attn(p, x, cfg, *, attn_bias=None, key_bias=None, key_alive=None,
                query_alive=None, need_scores=False,
-               cache=None, cache_index=None):
+               cache=None, cache_index=None, rng=None):
     """BertSelfAttention + output dense + residual LN
     (reference models/med.py:89-250).  Returns (hidden, aux, new_cache)."""
     H = cfg.num_attention_heads
@@ -70,6 +70,9 @@ def _self_attn(p, x, cfg, *, attn_bias=None, key_bias=None, key_alive=None,
         cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
         k, v = ck, cv
         new_cache = (ck, cv)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
     out, aux = attention_core(
         q, k, v,
         attn_bias=attn_bias,
@@ -77,9 +80,13 @@ def _self_attn(p, x, cfg, *, attn_bias=None, key_bias=None, key_alive=None,
         key_alive=key_alive,
         query_alive=query_alive,
         need_scores=need_scores,
+        dropout_rate=cfg.attention_probs_dropout_prob if r1 is not None else 0.0,
+        dropout_rng=r1,
     )
+    h = dropout(r2, linear(p["output"]["dense"], out),
+                cfg.hidden_dropout_prob if r2 is not None else 0.0)
     hidden = layer_norm(
-        p["output"]["LayerNorm"], linear(p["output"]["dense"], out) + x,
+        p["output"]["LayerNorm"], h + x,
         cfg.layer_norm_eps,
     )
     return hidden, aux, new_cache
@@ -119,10 +126,12 @@ def _twin_cross_attn(p, x, enc0, enc1, cfg, *, alive0, alive1, layer_idx):
     return layer_norm(p["output"]["LayerNorm"], h + x, cfg.layer_norm_eps)
 
 
-def _ffn(p, x, cfg):
+def _ffn(p, x, cfg, rng=None):
     h = gelu(linear(p["intermediate"]["dense"], x))
+    h = dropout(rng, linear(p["output"]["dense"], h),
+                cfg.hidden_dropout_prob if rng is not None else 0.0)
     return layer_norm(
-        p["output"]["LayerNorm"], linear(p["output"]["dense"], h) + x,
+        p["output"]["LayerNorm"], h + x,
         cfg.layer_norm_eps,
     )
 
@@ -146,6 +155,7 @@ def med_encoder(
     temperature=0.0,
     prune_active: bool = False,
     capacities: Optional[Tuple[int, ...]] = None,
+    dropout_rng=None,
 ) -> MedEncoderOut:
     """BertModel encoder pass (reference models/med.py:478-598, 788-929).
 
@@ -155,6 +165,9 @@ def med_encoder(
     """
     B, N = input_ids.shape
     emb = bert_embeddings(params["embeddings"], input_ids, cfg)
+    if dropout_rng is not None:
+        dropout_rng, r_emb = jax.random.split(dropout_rng)
+        emb = dropout(r_emb, emb, cfg.hidden_dropout_prob)
     pad_bias = (1.0 - attention_mask.astype(jnp.float32)) * PAD_BIAS  # [B,N]
 
     L = cfg.num_hidden_layers
@@ -184,12 +197,18 @@ def med_encoder(
             )
             sd_all = sd_all + sd_ft
 
+        rng_l = (None if dropout_rng is None
+                 else jax.random.fold_in(dropout_rng, idx))
+        r_sa = r_ffn = None
+        if rng_l is not None:
+            r_sa, r_ffn = jax.random.split(rng_l)
         h, aux, _ = _self_attn(
             p["attention"], x, cfg,
             key_bias=bias,
             key_alive=alive,
             query_alive=alive,
             need_scores=prune_active,
+            rng=r_sa,
         )
         state = TokenState(h, alive, bias)
 
@@ -213,7 +232,7 @@ def med_encoder(
                     p["crossattention"], x, encoder_state.x, cfg,
                     enc_bias=None, enc_alive=encoder_state.alive,
                 )
-        x = _ffn(p, x, cfg)
+        x = _ffn(p, x, cfg, rng=r_ffn)
         return (TokenState(x, alive, bias), sd_all), kept
 
     sd_all0 = (

@@ -25,12 +25,13 @@ import numpy as np
 
 from madtp_tpu.core.config import ViTConfig
 from madtp_tpu.ops.attention import self_attention
-from madtp_tpu.ops.layers import layer_norm, mlp, patch_embed
+from madtp_tpu.ops.layers import drop_path, layer_norm, mlp, patch_embed
 from madtp_tpu.prune.dtp import DTPSignals, TokenState, dtp_prune, init_token_state
 from madtp_tpu.prune.query import query_model
 
 
-def _attn_part(p, state: TokenState, cfg: ViTConfig, need_scores: bool):
+def _attn_part(p, state: TokenState, cfg: ViTConfig, need_scores: bool,
+               rng=None, dp_rate=0.0):
     x, alive, bias = state
     h, aux = self_attention(
         p["attn"],
@@ -40,13 +41,16 @@ def _attn_part(p, state: TokenState, cfg: ViTConfig, need_scores: bool):
         query_alive=alive,
         need_scores=need_scores,
     )
+    h = drop_path(rng, h, dp_rate) if rng is not None else h
     return TokenState(x + h, alive, bias), aux
 
 
-def _ffn_part(p, state: TokenState, cfg: ViTConfig) -> TokenState:
+def _ffn_part(p, state: TokenState, cfg: ViTConfig, rng=None,
+              dp_rate=0.0) -> TokenState:
     x, alive, bias = state
-    x = x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
-    return TokenState(x, alive, bias)
+    h = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+    h = drop_path(rng, h, dp_rate) if rng is not None else h
+    return TokenState(x + h, alive, bias)
 
 
 def vit_block(
@@ -58,10 +62,16 @@ def vit_block(
     merge_slot,
     token_attn: Optional[jnp.ndarray],
     prune_active: bool,
+    rng=None,
+    dp_rate=0.0,
 ):
     """One transformer block: attn -> (DTP) -> FFN
     (reference models/vit.py:183-207)."""
-    state, aux = _attn_part(p, state, cfg, need_scores=prune_active)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    state, aux = _attn_part(p, state, cfg, need_scores=prune_active,
+                            rng=r1, dp_rate=dp_rate)
 
     kept = jnp.sum(state.alive[0, 1:])  # placeholder when not pruning
     if prune_active:
@@ -70,7 +80,7 @@ def vit_block(
         )
         state, kept = dtp_prune(state, signals, temperature, merge_slot)
 
-    return _ffn_part(p, state, cfg), kept
+    return _ffn_part(p, state, cfg, rng=r2, dp_rate=dp_rate), kept
 
 
 def vit_forward(
@@ -82,6 +92,7 @@ def vit_forward(
     temperature=0.0,
     prune_active: bool = False,
     capacities: Optional[Tuple[int, ...]] = None,
+    dropout_rng=None,
 ) -> Tuple[TokenState, Optional[jnp.ndarray], jnp.ndarray]:
     """Reference models/vit.py:281-310.
 
@@ -125,6 +136,9 @@ def vit_forward(
             )
             sd_all = sd_all + sd_ft
         merge_slot = 1 + P0 + idx
+        rng_l = (None if dropout_rng is None
+                 else jax.random.fold_in(dropout_rng, idx))
+        dp_rate = cfg.drop_path_rate * idx / max(depth - 1, 1)
         state, kept = vit_block(
             p,
             state,
@@ -133,6 +147,8 @@ def vit_forward(
             merge_slot=merge_slot,
             token_attn=token_attn,
             prune_active=prune_active,
+            rng=rng_l,
+            dp_rate=dp_rate,
         )
         return (state, sd_all), kept
 

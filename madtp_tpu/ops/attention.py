@@ -72,6 +72,8 @@ def attention_core(
     key_alive: Optional[jnp.ndarray] = None,  # [B, Nk] bool; False -> weight exactly 0
     query_alive: Optional[jnp.ndarray] = None,  # [B, Nq] bool; used for col_mass reduction
     need_scores: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ):
     """Returns ``(out [B,Nq,H*Dh], aux)``.
 
@@ -85,7 +87,9 @@ def attention_core(
     if scale is None:
         scale = Dh ** -0.5
 
-    if attn_bias is None and _fused_eligible(q, key_bias, key_alive, need_scores):
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if (attn_bias is None and not use_dropout
+            and _fused_eligible(q, key_bias, key_alive, need_scores)):
         from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores
 
         Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
@@ -124,8 +128,19 @@ def attention_core(
     s = jnp.sum(e, axis=-1, keepdims=True)
     probs = e / jnp.maximum(s, 1e-30)  # fp32 [B,H,Nq,Nk]
 
+    # token-dropout on the probabilities (reference models/med.py:210-212);
+    # the saved/scored probabilities stay pre-dropout like the reference
+    probs_used = probs
+    if use_dropout:
+        import jax as _jax
+
+        keep = _jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs_used = probs * keep / (1.0 - dropout_rate)
+
     attn_out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+        "bhqk,bhkd->bhqd", probs_used.astype(v.dtype), v,
+        preferred_element_type=jnp.float32
     ).astype(v.dtype)  # [B,H,Nq,Dh]
     out = _merge_heads(attn_out)
 

@@ -78,3 +78,24 @@ def cosine_embedding_loss(a, b, eps: float = 1e-8):
     bn = jnp.sqrt(jnp.sum(b * b, axis=-1))
     cos = jnp.sum(a * b, axis=-1) / jnp.maximum(an * bn, eps)
     return jnp.mean(1.0 - cos)
+
+
+def dropout(rng, x, rate: float):
+    """Inverted dropout; identity when rate==0 or rng is None."""
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def drop_path(rng, x_residual, rate):
+    """Stochastic depth on a residual branch (timm DropPath,
+    reference models/vit.py:113-114): drop the whole branch per sample.
+    ``rate`` may be a traced scalar (per-layer linspace inside a scan)."""
+    if rng is None:
+        return x_residual
+    B = x_residual.shape[0]
+    keep_p = 1.0 - jnp.asarray(rate, jnp.float32)
+    keep = jax.random.bernoulli(rng, keep_p,
+                                (B,) + (1,) * (x_residual.ndim - 1))
+    return jnp.where(keep, x_residual / jnp.maximum(keep_p, 1e-6), 0.0)

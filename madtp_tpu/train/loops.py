@@ -38,20 +38,27 @@ FDT_WEIGHT = 0.1
 
 
 def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
-                         prune_active: bool = True):
-    def loss_fn(params, images, ids, mask, targets, temperature):
+                         prune_active: bool = True, use_dropout: bool = False):
+    """``use_dropout`` enables the reference training recipe (BERT dropout
+    0.1, ViT stochastic depth per cfg.vit.drop_path_rate)."""
+
+    def loss_fn(params, images, ids, mask, targets, temperature, rng):
         loss_ori, loss_fdt, logits = blip_nlvr_forward(
             params, images, ids, mask, cfg,
             temperature=temperature, prune_active=prune_active,
             train=True, targets=targets,
+            dropout_rng=rng if use_dropout else None,
         )
         loss = loss_ori + FDT_WEIGHT * loss_fdt
         return loss, {"loss": loss, "loss_ori": loss_ori, "loss_fdt": loss_fdt}
 
     @jax.jit
-    def step(params, opt_state, images, ids, mask, targets, temperature):
+    def step(params, opt_state, images, ids, mask, targets, temperature,
+             rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, ids, mask, targets, temperature
+            params, images, ids, mask, targets, temperature, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

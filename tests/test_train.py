@@ -204,3 +204,39 @@ def test_clip_train_step_runs():
         assert np.isfinite(float(v)), k
     assert int(state2.queue.ptr) == B
     assert not np.allclose(np.asarray(state2.space_dict), np.asarray(space_dict))
+
+
+def test_dropout_active_at_train_changes_loss_deterministic_at_eval():
+    """Dropout/drop-path: different rngs -> different train losses; eval
+    forward (no rng) is unchanged by enabling the recipe."""
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    rng = np.random.RandomState(0)
+    vit_dp = ViTConfig(**{**VIT.__dict__, "drop_path_rate": 0.5})
+    cfg = BlipConfig(vit=vit_dp,
+                     med=MedConfig(**{**MED.__dict__, "twin_cross": True}),
+                     sd_dim=32)
+    params = _nlvr_params(rng)
+    B = 2
+    images = jnp.asarray(rng.randn(2 * B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+    targets = jnp.asarray([0, 1])
+
+    def loss(key):
+        lo, lf, _ = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=1.0,
+            prune_active=True, train=True, targets=targets,
+            dropout_rng=key)
+        return float(lo)
+
+    l1 = loss(jax.random.PRNGKey(1))
+    l2 = loss(jax.random.PRNGKey(2))
+    assert l1 != l2  # stochastic regularization active
+
+    # eval path (no rng) deterministic and dropout-free
+    e1, _ = blip_nlvr_forward(params, images, ids, mask, cfg,
+                              temperature=1.0, prune_active=True)
+    e2, _ = blip_nlvr_forward(params, images, ids, mask, cfg,
+                              temperature=1.0, prune_active=True)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
