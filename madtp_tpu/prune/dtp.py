@@ -201,10 +201,17 @@ def dtp_prune(
     new_x = jnp.where(is_merge_slot[:, :, None], merged[:, None, :], x)
     new_bias = bias
     if bias is not None:
-        # merged slot is attended (bias 0); kept slots keep their own padding
-        # bias (identity-preserving; see module docstring re the reference's
-        # sorted-gather mask misalignment).
-        new_bias = jnp.where(is_merge_slot, 0.0, bias)
+        # kept slots keep their own padding bias (identity-preserving).  The
+        # merged slot inherits the bias of the best DROPPED token (rank
+        # topk_num): the reference gathers topk_num+1 indices and the mask
+        # rides along (models/med.py:377-390), so the merged token is
+        # attendable iff that token was.
+        order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, P]
+        rank_k_tok = jnp.take_along_axis(
+            order, jnp.broadcast_to(topk_num[None, None], (B, 1)), axis=1
+        )  # [B,1] patch index of the rank-topk token
+        merged_bias = jnp.take_along_axis(bias[:, 1:], rank_k_tok, axis=1)[:, 0]
+        new_bias = jnp.where(is_merge_slot, merged_bias[:, None], bias)
 
     out = TokenState(
         x=jnp.where(apply, new_x, x),
@@ -316,9 +323,10 @@ def dtp_prune_gather(
     )
     new_bias = None
     if bias is not None:
-        new_bias = jnp.concatenate(
-            [bias[:, :1], gbias, jnp.zeros((B, 1), bias.dtype)], axis=1
-        )
+        rank_k_tok = jnp.take_along_axis(
+            order, jnp.broadcast_to(eff_keep[None, None], (B, 1)), axis=1)
+        merged_bias = jnp.take_along_axis(bias[:, 1:], rank_k_tok, axis=1)
+        new_bias = jnp.concatenate([bias[:, :1], gbias, merged_bias], axis=1)
     kept = eff_keep + do_merge.astype(eff_keep.dtype)
     return TokenState(new_x, new_alive, new_bias), kept, overflow
 

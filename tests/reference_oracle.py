@@ -285,14 +285,18 @@ def med_text_encoder_np(params, input_ids, attention_mask, cfg, sd=None,
             new_patches, kept_ids, applied = reduce_token_np(
                 x[:, 1:], probs, cls_attn, token_attn, temperature
             )
+            _last_scores = _scores_np(x[:, 1:], probs, cls_attn, token_attn)
             if applied:
                 new_bias = []
                 for b in range(B):
                     pb = pad_bias[b, 1:]
                     kept_bias = pb[kept_ids[b]]
-                    # merged slot: attended (0 bias) in the TPU rebuild
+                    # merged slot inherits the rank-topk dropped token's mask
+                    # (reference models/med.py:377-390 topk+1 gather)
+                    order = np.argsort(-_last_scores[b], kind="stable")
+                    mb = pb[order[len(kept_ids[b])]]
                     new_bias.append(
-                        np.concatenate([pad_bias[b, :1], kept_bias, [0.0]]))
+                        np.concatenate([pad_bias[b, :1], kept_bias, [mb]]))
                 pad_bias = np.stack(new_bias)
                 ids = [np.concatenate([ids[b][kept_ids[b]], [(N - 1) + l]])
                        for b in range(B)]
@@ -305,3 +309,11 @@ def med_text_encoder_np(params, input_ids, attention_mask, cfg, sd=None,
         x = layer_norm_np(h + x, p["output"]["LayerNorm"]["scale"],
                           p["output"]["LayerNorm"]["bias"], cfg.layer_norm_eps)
     return x, ids, pad_bias, sd_all, kept_counts
+
+
+def _scores_np(x_patches, probs, cls_attn, token_attn):
+    sa = probs[:, :, 1:, 1:].max(axis=1).sum(axis=1)
+    sa = sa / (sa.sum(axis=1, keepdims=True) + 1e-8)
+    tw = token_attn.max(axis=2)
+    tw = tw / (tw.sum(axis=1, keepdims=True) + 1e-8)
+    return (sa + tw + cls_attn) / 3.0
