@@ -147,3 +147,43 @@ def load_native(path: str):
     if os.path.exists(jpath):
         extras = json.load(open(jpath))
     return unflatten_tree(flat), extras
+
+
+def export_clip(tree) -> Dict[str, np.ndarray]:
+    """CLIP tree -> reference clip/model.py state_dict layout (inverse of
+    remap_clip; enables .pth interchange for the CLIP tasks)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def blocks(prefix, btree):
+        depth = np.asarray(btree["ln_1"]["scale"]).shape[0]
+        for i, blk in enumerate(_unstack(btree, depth)):
+            b = f"{prefix}.resblocks.{i}."
+            _ln(sd, b + "ln_1", blk["ln_1"])
+            sd[b + "attn.in_proj_weight"] = np.ascontiguousarray(
+                np.asarray(blk["attn"]["in_proj"]["kernel"]).T)
+            sd[b + "attn.in_proj_bias"] = np.asarray(
+                blk["attn"]["in_proj"]["bias"])
+            _lin(sd, b + "attn.out_proj", blk["attn"]["out_proj"])
+            _ln(sd, b + "ln_2", blk["ln_2"])
+            _lin(sd, b + "mlp.c_fc", blk["mlp"]["c_fc"])
+            _lin(sd, b + "mlp.c_proj", blk["mlp"]["c_proj"])
+            _lin(sd, b + "query_model.q_map.0", blk["query_model"]["q_map"])
+
+    v = tree["visual"]
+    k = np.asarray(v["conv1"]["kernel"])  # [3*p*p, W]
+    W = k.shape[1]
+    p = int(round((k.shape[0] // 3) ** 0.5))
+    sd["visual.conv1.weight"] = np.ascontiguousarray(k.T.reshape(W, 3, p, p))
+    sd["visual.class_embedding"] = np.asarray(v["class_embedding"])
+    sd["visual.positional_embedding"] = np.asarray(v["positional_embedding"])
+    _ln(sd, "visual.ln_pre", v["ln_pre"])
+    blocks("visual.transformer", v["blocks"])
+    _ln(sd, "visual.ln_post", v["ln_post"])
+    sd["visual.proj"] = np.asarray(v["proj"])
+    sd["token_embedding.weight"] = np.asarray(tree["token_embedding"])
+    sd["positional_embedding"] = np.asarray(tree["positional_embedding"])
+    blocks("transformer", tree["blocks"])
+    _ln(sd, "ln_final", tree["ln_final"])
+    sd["text_projection"] = np.asarray(tree["text_projection"])
+    sd["logit_scale"] = np.asarray(tree["logit_scale"])
+    return sd

@@ -248,7 +248,7 @@ def load_blip_nlvr(path: str, cfg: BlipConfig):
     return params, float(extras.get("temperature", 0.0))
 
 
-def load_blip_retrieval(path: str, cfg: BlipConfig):
+def load_blip_retrieval(path: str, cfg: BlipConfig, load_momentum: bool = False):
     from madtp_tpu.ckpt import load_state_dict, remap_med, remap_vit
 
     def lin(sd, p):
@@ -264,6 +264,24 @@ def load_blip_retrieval(path: str, cfg: BlipConfig):
         "text_proj": lin(sd, "text_proj"),
         "itm_head": lin(sd, "itm_head"),
     }
+    if load_momentum:
+        # momentum towers when present (reference models/blip_retrieval.py:69-81
+        # keeps _m copies in the checkpoint); fall back to copies of the online
+        # towers like the reference's copy_params init (:285-291)
+        has_m = any(k.startswith("visual_encoder_m.") for k in sd)
+        params_m = {
+            "visual_encoder": remap_vit(sd, "visual_encoder_m.",
+                                        num_patches=cfg.vit.num_patches)
+            if has_m else params["visual_encoder"],
+            "text_encoder": remap_med(sd, "text_encoder_m.")
+            if has_m else params["text_encoder"],
+            "vision_proj": lin(sd, "vision_proj_m") if has_m
+            else params["vision_proj"],
+            "text_proj": lin(sd, "text_proj_m") if has_m
+            else params["text_proj"],
+        }
+        temp = float(np.asarray(sd.get("temp", 0.07)))
+        return params, params_m, temp, float(extras.get("temperature", 0.0))
     return params, float(extras.get("temperature", 0.0))
 
 

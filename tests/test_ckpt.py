@@ -131,3 +131,27 @@ def test_pure_python_reader_matches_torch(tmp_path):
     assert obj["temperature"] == 0.5
     for k, v in sd.items():
         np.testing.assert_array_equal(obj["model"][k], v.numpy())
+
+
+def test_clip_pth_roundtrip(tmp_path):
+    from madtp_tpu.ckpt.export import export_clip
+    from madtp_tpu.ckpt.remap import remap_clip
+    from madtp_tpu.core.config import CLIPConfig
+    from madtp_tpu.models.clip import init_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=32, vision_layers=2, vision_width=32,
+        vision_patch_size=8, vision_heads_override=4, context_length=12,
+        vocab_size=60, transformer_width=32, transformer_heads=4,
+        transformer_layers=2, sd_dim=32,
+    )
+    rng = np.random.RandomState(7)
+    tree = init_clip_params(cfg, rng)
+    # q_map in init is [L, D, sd_dim=32]; export/remap roundtrip
+    sd = export_clip(tree)
+    path = str(tmp_path / "clip.pth")
+    save_torch_checkpoint(path, sd, temperature=1.25)
+    sd2, extras = load_state_dict(path)
+    assert extras["temperature"] == 1.25
+    tree2 = remap_clip(sd2)
+    trees_close(tree, tree2)

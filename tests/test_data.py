@@ -140,3 +140,31 @@ def test_batched_loader_and_nlvr_dataset(tmp_path):
     assert im0.shape == (4, 3, 32, 32)
     assert isinstance(sents[0], str) and "left" in sents[0]
     assert labels.tolist() == [0, 1, 0, 1]
+
+
+def test_factory_nlvr(tmp_path):
+    import json as _json
+
+    from madtp_tpu.data.factory import create_dataset, create_loader
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ann = []
+    for i in range(4):
+        for j in (0, 1):
+            Image.fromarray(
+                np.full((40, 40, 3), 10 * i + j, np.uint8)
+            ).save(img_dir / f"{i}_{j}.png")
+        ann.append({"images": [f"{i}_0.png", f"{i}_1.png"],
+                    "sentence": f"thing {i}", "label": "True"})
+    for split in ("nlvr_train.json", "nlvr_dev.json", "nlvr_test.json"):
+        _json.dump(ann, open(tmp_path / split, "w"))
+
+    config = {"image_size": 32, "image_root": str(img_dir),
+              "ann_root": str(tmp_path)}
+    train, val, test = create_dataset("nlvr", config)
+    loaders = create_loader(
+        [train, val, test], batch_size=[2, 2, 2],
+        is_trains=[True, False, False], num_workers=0)
+    batch = next(iter(loaders[1]()))
+    assert batch[0].shape == (2, 3, 32, 32)
