@@ -40,7 +40,7 @@ NEG = -1e30
 
 def _kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
             o_ref, col_ref, cls_ref,
-            qh, kh, vh, oh, colmax, clsrows, rownorms, sem,
+            qkvh, oh, colmax, clsrows, rownorms, sems, osem,
             *, num_heads: int, scale: float):
     b = pl.program_id(0)
 
@@ -50,17 +50,35 @@ def _kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
 
     colmax[:, :] = jnp.zeros_like(colmax)
 
+    # double-buffered per-head qkv staging: slot = h % 2; head h+1's DMA is
+    # in flight while head h computes
+    def start_fetch(h, slot):
+        pltpu.make_async_copy(q_ref.at[b, h], qkvh.at[slot, 0], sems.at[slot]).start()
+        pltpu.make_async_copy(k_ref.at[b, h], qkvh.at[slot, 1], sems.at[slot]).start()
+        pltpu.make_async_copy(v_ref.at[b, h], qkvh.at[slot, 2], sems.at[slot]).start()
+
+    def wait_fetch(h, slot):
+        pltpu.make_async_copy(q_ref.at[b, h], qkvh.at[slot, 0], sems.at[slot]).wait()
+        pltpu.make_async_copy(k_ref.at[b, h], qkvh.at[slot, 1], sems.at[slot]).wait()
+        pltpu.make_async_copy(v_ref.at[b, h], qkvh.at[slot, 2], sems.at[slot]).wait()
+
+    start_fetch(0, 0)
+
     def head_body(h, _):
-        cp_q = pltpu.make_async_copy(q_ref.at[b, h], qh, sem)
-        cp_q.start(); cp_q.wait()
-        cp_k = pltpu.make_async_copy(k_ref.at[b, h], kh, sem)
-        cp_k.start(); cp_k.wait()
-        cp_v = pltpu.make_async_copy(v_ref.at[b, h], vh, sem)
-        cp_v.start(); cp_v.wait()
+        slot = jax.lax.rem(h, 2)
+
+        @pl.when(h + 1 < num_heads)
+        def _():
+            start_fetch(h + 1, jax.lax.rem(h + 1, 2))
+
+        wait_fetch(h, slot)
+        qh = qkvh[slot, 0]
+        kh = qkvh[slot, 1]
+        vh = qkvh[slot, 2]
 
         # qh/kh: [Dh, N]; logits[i, j] = sum_d q[d, i] k[d, j]
         logits = jax.lax.dot_general(
-            qh[:, :], kh[:, :], (((0,), (0,)), ((), ())),
+            qh, kh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [N, N]
         logits = logits + bias[None, :]
@@ -73,12 +91,16 @@ def _kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
 
         # o[d, i] = sum_j v[d, j] p[i, j]
         o = jax.lax.dot_general(
-            vh[:, :], p.astype(vh.dtype), (((1,), (1,)), ((), ())),
+            vh, p.astype(vh.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Dh, N]
+
+        # the previous head's out-DMA must drain before reusing oh
+        @pl.when(h > 0)
+        def _():
+            pltpu.make_async_copy(oh, o_ref.at[b, h - 1], osem).wait()
         oh[:, :] = o
-        cp_o = pltpu.make_async_copy(oh, o_ref.at[b, h], sem)
-        cp_o.start(); cp_o.wait()
+        pltpu.make_async_copy(oh, o_ref.at[b, h], osem).start()
 
         colmax[:, :] = jnp.maximum(colmax[:, :], p)
         clsrows[h, :] = p[0, :]
@@ -86,6 +108,7 @@ def _kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
         return 0
 
     jax.lax.fori_loop(0, num_heads, head_body, 0, unroll=False)
+    pltpu.make_async_copy(oh, o_ref.at[b, num_heads - 1], osem).wait()
 
     # column mass over alive queries, rows >= 1 (CLS row excluded)
     col = jnp.sum(colmax[:, :] * qmask[:, None], axis=0)  # [N]
@@ -139,13 +162,12 @@ def fused_attention_scores(
             jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dh, N), q.dtype),  # qh
-            pltpu.VMEM((Dh, N), q.dtype),  # kh
-            pltpu.VMEM((Dh, N), q.dtype),  # vh
+            pltpu.VMEM((2, 3, Dh, N), q.dtype),  # double-buffered qkv stages
             pltpu.VMEM((Dh, N), jnp.float32),  # oh
             pltpu.VMEM((N, N), jnp.float32),  # colmax accumulator
             pltpu.VMEM((H, N), jnp.float32),  # cls rows
             pltpu.VMEM((H, N), jnp.float32),  # row norms
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
