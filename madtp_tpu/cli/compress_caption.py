@@ -183,6 +183,26 @@ def main():
 
     from madtp_tpu.utils.logging import MetricLogger
 
+    # temperature pre-search before epoch 0 (reference :106-158): probe the
+    # image tower in mask mode and bisect against the analytic FLOPs model
+    probe_imgs, _, _ = next(iter(batched_loader(
+        ds, min(8, config.get("batch_size", 32)), num_workers=0)))
+
+    @jax.jit
+    def probe(params, images, t):
+        _, _, kept = blip_caption_encode_image(
+            params, images, cfg, temperature=t, prune_active=True)
+        return kept
+
+    def measure(t):
+        kept = np.asarray(probe(params, jnp.asarray(probe_imgs),
+                                jnp.float32(t)))
+        return caption_gflops(cfg.vit, cfg.med, kept, 14)
+
+    controller.temperature = presearch_temperature(
+        measure, target, t0=1.0, tol=1.0)
+    print("pre-searched temperature:", controller.temperature)
+
     best, cur_g = -1.0, ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
         if epoch > 0:
