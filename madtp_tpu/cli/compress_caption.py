@@ -154,8 +154,6 @@ def main():
     # (reference compress_caption_dtp.py:218-311: temperature pre-search then
     # an epoch loop gated on caption quality + the GFLOPs budget; quality
     # gate here is CIDEr from the offline scorer)
-    import jax.numpy as jnp
-
     from madtp_tpu.ckpt.export import (
         export_med, export_vit, save_torch_checkpoint,
     )
@@ -180,8 +178,6 @@ def main():
         prompt=config.get("prompt", PROMPT))
     # reference models/blip.py:109: prompt_length = len(tok(prompt).ids) - 1
     prompt_length = len(tokenizer.encode(config.get("prompt", PROMPT))) - 1
-
-    from madtp_tpu.utils.logging import MetricLogger
 
     # temperature pre-search before epoch 0 (reference :106-158): probe the
     # image tower in mask mode and bisect against the analytic FLOPs model

@@ -1,0 +1,115 @@
+"""Two-stage retrieval eval: shortlist+rerank must equal exhaustive ITM when
+k_test covers the whole corpus (validates the -100 fill / topk logic,
+reference compress_retrieval_dtp.py:157-205)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.eval.metrics import itm_eval
+from madtp_tpu.models.blip import BlipConfig, blip_itm_score
+from madtp_tpu.models.med import init_med_params
+from madtp_tpu.models.vit import init_vit_params
+from madtp_tpu.tasks.retrieval import encode_corpus, rerank_scores
+
+VIT = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                num_heads=4, sd_dim=32)
+MED = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64,
+                max_position_embeddings=32, encoder_width=32, sd_dim=32)
+CFG = BlipConfig(vit=VIT, med=MED, sd_dim=32)
+
+
+def setup():
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(VIT, rng),
+        "text_encoder": init_med_params(MED, rng),
+        "space_dict": rng.randn(8, 32).astype(np.float32),
+        "vision_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.1,
+                        "bias": np.zeros(16, np.float32)},
+        "text_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.1,
+                      "bias": np.zeros(16, np.float32)},
+        "itm_head": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.1,
+                     "bias": np.zeros(2, np.float32)},
+    })
+    n = 5
+    images = [rng.randn(3, 3, 32, 32).astype(np.float32),
+              rng.randn(2, 3, 32, 32).astype(np.float32)]
+    text_ids = rng.randint(1, 60, size=(n, 9)).astype(np.int32)
+    text_mask = np.ones((n, 9), np.int32)
+    text_mask[2, -2:] = 0
+    return params, images, text_ids, text_mask, n
+
+
+def test_full_k_shortlist_equals_exhaustive():
+    params, images, text_ids, text_mask, n = setup()
+    T = 1.0
+    img_feats, img_states, txt_feats = encode_corpus(
+        params, CFG, iter(images), text_ids, text_mask,
+        temperature=T, prune_active=True,
+    )
+    assert img_feats.shape == (n, 16) and txt_feats.shape == (n, 16)
+
+    s_i2t, s_t2i = rerank_scores(
+        params, CFG, img_feats, img_states, txt_feats, text_ids, text_mask,
+        k_test=n, temperature=T, prune_active=True,
+    )
+    # exhaustive: ITM for every (image, text) pair.  NOTE: uses the same
+    # jitted function as rerank_scores — a razor-thin DTP keep decision can
+    # flip between differently-compiled fp paths, which is expected (the
+    # decisions are discrete); what must hold is that the SAME computation
+    # scores every pair identically whether shortlisted or exhaustive.
+    from madtp_tpu.prune.dtp import TokenState
+
+    @jax.jit
+    def itm_batch(params, ids, mask, sx, sa, t):
+        return blip_itm_score(params, ids, mask, TokenState(sx, sa, None),
+                              CFG, temperature=t, prune_active=True)
+
+    sims = img_feats @ txt_feats.T
+    full = np.zeros((n, n), np.float32)
+    for i in range(n):
+        sx = jnp.broadcast_to(jnp.asarray(img_states.x[i])[None],
+                              (n,) + img_states.x[i].shape)
+        sa = jnp.broadcast_to(jnp.asarray(img_states.alive[i])[None],
+                              (n,) + img_states.alive[i].shape)
+        itm = np.asarray(itm_batch(
+            params, jnp.asarray(text_ids), jnp.asarray(text_mask), sx, sa,
+            jnp.float32(T)))
+        full[i] = itm + sims[i]
+    np.testing.assert_allclose(s_i2t, full, rtol=2e-4, atol=2e-4)
+
+    # t2i batches differently (one text x topk images), and DTP keep counts
+    # are batch-coupled, so the same pair can legitimately score differently
+    # than in i2t — exactly like the reference's two loops
+    # (compress_retrieval_dtp.py:160-200).  Compare with matching composition.
+    full_t2i = np.zeros((n, n), np.float32)
+    for j in range(n):
+        ids_j = jnp.broadcast_to(jnp.asarray(text_ids[j])[None],
+                                 (n, text_ids.shape[1]))
+        mask_j = jnp.broadcast_to(jnp.asarray(text_mask[j])[None],
+                                  (n, text_mask.shape[1]))
+        itm = np.asarray(itm_batch(
+            params, ids_j, mask_j, jnp.asarray(img_states.x),
+            jnp.asarray(img_states.alive), jnp.float32(T)))
+        full_t2i[j] = itm + sims[:, j]
+    np.testing.assert_allclose(s_t2i, full_t2i, rtol=2e-4, atol=2e-4)
+
+    stats = itm_eval(s_i2t, s_t2i, {i: i for i in range(n)},
+                     {i: [i] for i in range(n)})
+    assert 0 <= stats["r_mean"] <= 100
+
+
+def test_partial_k_leaves_unscored_at_floor():
+    params, images, text_ids, text_mask, n = setup()
+    img_feats, img_states, txt_feats = encode_corpus(
+        params, CFG, iter(images), text_ids, text_mask,
+        temperature=0.0, prune_active=False,
+    )
+    s_i2t, _ = rerank_scores(
+        params, CFG, img_feats, img_states, txt_feats, text_ids, text_mask,
+        k_test=2, temperature=0.0, prune_active=False,
+    )
+    assert np.all((s_i2t == -100.0).sum(axis=1) == n - 2)
