@@ -285,3 +285,59 @@ def remap_clip(sd: Dict[str, np.ndarray]) -> dict:
         "text_projection": _f32(sd["text_projection"]),
         "logit_scale": _f32(sd["logit_scale"]),
     }
+
+
+def load_flax_vit_npz(path: str, *, num_patches: Optional[int] = None) -> dict:
+    """Load an original Google-Brain flax ViT ``.npz`` checkpoint
+    (reference ``models/vit.py:318-395`` ``_load_weights``) into our tree.
+    Covers the non-hybrid layout (the hybrid ResNet-stem branch loads
+    checkpoints MADTP never uses)."""
+    w = np.load(path)
+    prefix = "opt/target/" if "opt/target/embedding/kernel" in w else ""
+
+    def g(k):
+        return np.asarray(w[prefix + k], np.float32)
+
+    conv = g("embedding/kernel")  # HWIO [ph,pw,3,D]
+    ph, pw, C, D = conv.shape
+    # matmul kernel rows flatten in torch (c, kh, kw) order
+    kernel = conv.transpose(2, 0, 1, 3).reshape(C * ph * pw, D)
+    pos = g("Transformer/posembed_input/pos_embedding")
+    if num_patches is not None:
+        pos = interpolate_pos_embed(pos, num_patches)
+    depth = len({k.split("/")[1] for k in w.files
+                 if k.startswith(prefix + "Transformer/encoderblock_")})
+    blocks = []
+    for i in range(depth):
+        b = f"Transformer/encoderblock_{i}/"
+        mha = b + "MultiHeadDotProductAttention_1/"
+        qkv_k = np.concatenate(
+            [g(mha + f"{n}/kernel").reshape(D, -1) for n in ("query", "key", "value")],
+            axis=1)
+        qkv_b = np.concatenate(
+            [g(mha + f"{n}/bias").reshape(-1) for n in ("query", "key", "value")])
+        blocks.append({
+            "norm1": {"scale": g(b + "LayerNorm_0/scale"),
+                      "bias": g(b + "LayerNorm_0/bias")},
+            "attn": {
+                "qkv": {"kernel": qkv_k, "bias": qkv_b},
+                "proj": {"kernel": g(mha + "out/kernel").reshape(-1, D),
+                         "bias": g(mha + "out/bias")},
+            },
+            "norm2": {"scale": g(b + "LayerNorm_2/scale"),
+                      "bias": g(b + "LayerNorm_2/bias")},
+            "mlp": {
+                "fc1": {"kernel": g(b + "MlpBlock_3/Dense_0/kernel"),
+                        "bias": g(b + "MlpBlock_3/Dense_0/bias")},
+                "fc2": {"kernel": g(b + "MlpBlock_3/Dense_1/kernel"),
+                        "bias": g(b + "MlpBlock_3/Dense_1/bias")},
+            },
+        })
+    return {
+        "cls_token": g("cls").reshape(1, 1, D),
+        "pos_embed": pos,
+        "patch_embed": {"kernel": kernel, "bias": g("embedding/bias")},
+        "blocks": _stack(blocks),
+        "norm": {"scale": g("Transformer/encoder_norm/scale"),
+                 "bias": g("Transformer/encoder_norm/bias")},
+    }

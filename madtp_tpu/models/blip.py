@@ -332,3 +332,74 @@ def blip_base_features(
         params["text_encoder"], ids, text_mask, cfg.med,
         mode="multimodal", encoder_state=vstate)
     return out.state.x
+
+
+def blip_itm_logits(params, text_ids, text_mask, image_state: TokenState,
+                    cfg: BlipConfig, *, head: str = "itm",
+                    temperature=0.0, prune_active: bool = False):
+    """BLIP_ITM scoring head (reference models/blip_itm.py): 'itm' -> 2-way
+    match logits from the multimodal CLS; 'itc' -> cosine similarity of the
+    projected unimodal features."""
+    if head == "itm":
+        out = M.med_encoder(
+            params["text_encoder"], text_ids, text_mask, cfg.med,
+            mode="multimodal", encoder_state=image_state,
+            space_dict=params.get("space_dict"), temperature=temperature,
+            prune_active=prune_active,
+        )
+        return linear(params["itm_head"], out.state.x[:, 0, :])
+    out = M.med_encoder(
+        params["text_encoder"], text_ids, text_mask, cfg.med, mode="text",
+        space_dict=params.get("space_dict"), temperature=temperature,
+        prune_active=prune_active,
+    )
+    tf = linear(params["text_proj"], out.state.x[:, 0, :])
+    tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+    vf = linear(params["vision_proj"], image_state.x[:, 0, :])
+    vf = vf / jnp.linalg.norm(vf, axis=-1, keepdims=True)
+    return jnp.sum(vf * tf, axis=-1)
+
+
+def blip_pretrain_losses(params, images, text_ids, text_mask, dec_ids,
+                         dec_mask, dec_labels, idx, queue, temp, alpha,
+                         rng, cfg: BlipConfig, *, enc_token_id: int):
+    """BLIP_Pretrain objectives (reference models/blip_pretrain.py, legacy —
+    no reference entry script uses it; provided for capability parity):
+    ITC with queue soft targets + hard-negative ITM + LM captioning.
+    Expects the retrieval param layout plus a ``text_decoder`` tree; momentum
+    handling follows train/loops.make_retrieval_train_step."""
+    from madtp_tpu.train import losses as L
+
+    B = text_ids.shape[0]
+    img_feat, vstate, _ = blip_retrieval_image_features(params, images, cfg)
+    txt_feat, tout = blip_retrieval_text_features(params, text_ids, text_mask, cfg)
+
+    idx_all = jnp.concatenate([idx, queue.idx])
+    sim_targets = L.id_match_targets(idx, idx_all)
+    img_all = jnp.concatenate([img_feat.T, queue.image], axis=1)
+    txt_all = jnp.concatenate([txt_feat.T, queue.text], axis=1)
+    loss_ita = 0.5 * (
+        L.itc_loss(img_feat, txt_all, sim_targets, temp)
+        + L.itc_loss(txt_feat, img_all, sim_targets, temp)
+    )
+
+    enc_ids = text_ids.at[:, 0].set(enc_token_id)
+    k1, k2 = jax.random.split(rng)
+    neg_img = L.sample_hard_negatives(k1, txt_feat, img_feat, idx, idx, temp)
+    neg_txt = L.sample_hard_negatives(k2, img_feat, txt_feat, idx, idx, temp)
+    ids_all = jnp.concatenate([enc_ids, enc_ids, enc_ids[neg_txt]], axis=0)
+    mask_all = jnp.concatenate([text_mask, text_mask, text_mask[neg_txt]], axis=0)
+    vx = jnp.concatenate([vstate.x, vstate.x[neg_img], vstate.x], axis=0)
+    va = jnp.concatenate([vstate.alive, vstate.alive[neg_img], vstate.alive], axis=0)
+    out = M.med_encoder(
+        params["text_encoder"], ids_all, mask_all, cfg.med,
+        mode="multimodal", encoder_state=TokenState(vx, va, None),
+    )
+    vl = linear(params["itm_head"], out.state.x[:, 0, :])
+    loss_itm = L.itm_loss(vl, B)
+
+    hidden = M.med_decoder_forward(
+        params["text_decoder"], dec_ids, dec_mask, cfg.med, encoder_state=vstate)
+    logits = M.lm_head(params["text_decoder"], hidden, cfg.med)
+    loss_lm = M.lm_loss(logits, dec_labels)
+    return loss_ita, loss_itm, loss_lm

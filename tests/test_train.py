@@ -240,3 +240,47 @@ def test_dropout_active_at_train_changes_loss_deterministic_at_eval():
     e2, _ = blip_nlvr_forward(params, images, ids, mask, cfg,
                               temperature=1.0, prune_active=True)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_blip_itm_and_pretrain_heads():
+    """BLIP_ITM scoring modes + BLIP_Pretrain objectives (legacy parity)."""
+    from madtp_tpu.models.blip import (
+        blip_itm_logits, blip_pretrain_losses,
+        blip_retrieval_image_features,
+    )
+    from madtp_tpu.train.momentum import init_queue
+
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(VIT, rng),
+        "text_encoder": init_med_params(MED, rng),
+        "text_decoder": init_med_params(MED, rng),
+        "space_dict": rng.randn(8, 32).astype(np.float32),
+        "vision_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.1,
+                        "bias": np.zeros(16, np.float32)},
+        "text_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.1,
+                      "bias": np.zeros(16, np.float32)},
+        "itm_head": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.1,
+                     "bias": np.zeros(2, np.float32)},
+    })
+    B = 3
+    images = jnp.asarray(rng.randn(B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+
+    _, vstate, _ = blip_retrieval_image_features(params, images, CFG)
+    itm = blip_itm_logits(params, ids, mask, vstate, CFG, head="itm")
+    assert itm.shape == (B, 2)
+    itc = blip_itm_logits(params, ids, mask, vstate, CFG, head="itc")
+    assert itc.shape == (B,)
+    assert np.all(np.abs(np.asarray(itc)) <= 1.0 + 1e-5)
+
+    dec_ids = jnp.asarray(rng.randint(1, 60, (B, 6)))
+    dec_mask = jnp.ones((B, 6), jnp.int32)
+    labels = jnp.where(dec_ids == 0, -100, dec_ids)
+    lita, litm, llm = blip_pretrain_losses(
+        params, images, ids, mask, dec_ids, dec_mask, labels,
+        jnp.arange(B), init_queue(16, 6), jnp.float32(0.07), 0.4,
+        jax.random.PRNGKey(0), CFG, enc_token_id=58)
+    for v in (lita, litm, llm):
+        assert np.isfinite(float(v))
