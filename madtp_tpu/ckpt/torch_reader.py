@@ -13,10 +13,7 @@ at load (``clip/clip.py:148``).
 
 from __future__ import annotations
 
-import io
-import os
 import pickle
-import struct
 import zipfile
 from typing import Any, Dict, Tuple
 

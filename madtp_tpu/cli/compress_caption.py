@@ -14,7 +14,6 @@ truth uses :mod:`madtp_tpu.eval.caption_metrics` (BLEU/CIDEr, offline).
 from __future__ import annotations
 
 import os
-import sys
 
 import jax
 import jax.numpy as jnp

@@ -193,9 +193,7 @@ def main():
             prune_active=True)
         stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
         # analytic GFLOPs from a mask-mode probe
-        from madtp_tpu.models.blip import (
-            blip_retrieval_image_features, blip_retrieval_text_features,
-        )
+        from madtp_tpu.models.blip import blip_retrieval_image_features
         probe_im = next(iter(image_batches_fn()))
         _, vs, _ = blip_retrieval_image_features(
             params, jnp.asarray(probe_im), cfg,

@@ -83,6 +83,8 @@ def main():
                                      tokenizer.bos_token_id)
     a_ids, a_mask = jnp.asarray(a_ids), jnp.asarray(a_mask)
 
+    inference = config.get("inference", "rank")
+
     @jax.jit
     def eval_step(params, images, q_ids, q_mask, t):
         out, _ = blip_vqa_encode(
@@ -96,6 +98,26 @@ def main():
         )
         return best, out.kept_counts
 
+    @jax.jit
+    def gen_step(params, images, q_ids, q_mask, t):
+        """inference='generate' (reference models/blip_vqa.py:127-147):
+        beam=3 answer decoding over the question states."""
+        from madtp_tpu.tasks.caption import beam_generate
+
+        out, _ = blip_vqa_encode(
+            params, images, q_ids, q_mask, cfg,
+            temperature=t, prune_active=True,
+        )
+        B = q_ids.shape[0]
+        bos = jnp.full((B, 1), tokenizer.bos_token_id, q_ids.dtype)
+        seqs = beam_generate(
+            params["text_decoder"], out.state, bos, cfg,
+            num_beams=3, max_length=10, min_length=1,
+            eos_token_id=tokenizer.sep_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+        )
+        return seqs, out.kept_counts
+
     def run_eval(loader):
         logger = MetricLogger()
         results = []
@@ -104,12 +126,20 @@ def main():
             q = tokenizer(list(questions), padding="longest")
             q_ids_np = q["input_ids"]
             q_ids_np[:, 0] = tokenizer.enc_token_id
-            best, kept = eval_step(
-                params, jnp.asarray(images), jnp.asarray(q_ids_np),
-                jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
-            for b, qid in zip(np.asarray(best), qids):
-                results.append({"question_id": int(qid),
-                                "answer": answer_list[int(b)]})
+            if inference == "generate":
+                seqs, kept = gen_step(
+                    params, jnp.asarray(images), jnp.asarray(q_ids_np),
+                    jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
+                for row, qid in zip(np.asarray(seqs), qids):
+                    results.append({"question_id": int(qid),
+                                    "answer": tokenizer.decode(row)})
+            else:
+                best, kept = eval_step(
+                    params, jnp.asarray(images), jnp.asarray(q_ids_np),
+                    jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
+                for b, qid in zip(np.asarray(best), qids):
+                    results.append({"question_id": int(qid),
+                                    "answer": answer_list[int(b)]})
             g_sum += vqa_gflops(
                 cfg.vit, cfg.med,
                 [cfg.vit.num_patches] * cfg.vit.depth,

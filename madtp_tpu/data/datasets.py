@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import random
 from functools import partial
-from typing import Callable, Sequence
+from typing import Sequence
 
 from madtp_tpu.data.datasets import (
     CaptionEvalDataset,

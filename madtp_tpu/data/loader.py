@@ -12,7 +12,7 @@ from __future__ import annotations
 import threading
 import queue as queue_mod
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator
 
 import numpy as np
 

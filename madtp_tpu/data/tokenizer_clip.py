@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import gzip
 import html
-import os
 from functools import lru_cache
 from typing import List, Sequence
 

@@ -10,7 +10,7 @@ flip, and RandAugment(2, 5) over the reference's 10-op palette.
 from __future__ import annotations
 
 import random
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

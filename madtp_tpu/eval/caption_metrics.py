@@ -11,7 +11,7 @@ CIDEr alone or plug pycocoevalcap when available.)
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import Counter
 from typing import Dict, List, Sequence
 
 

@@ -17,7 +17,7 @@ counts per layer feed the analytic FLOPs model that replaces fvcore tracing
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ code; pjit/GSPMD code normally never calls them explicitly.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,

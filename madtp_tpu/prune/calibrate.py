@@ -10,7 +10,7 @@ into the merged token and is reported by ``dtp_prune_gather`` (never silent).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import numpy as np
 
 from madtp_tpu.core.config import CLIPConfig, MedConfig, ViTConfig
 

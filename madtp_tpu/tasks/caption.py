@@ -15,7 +15,6 @@ finished hypotheses, final score = sum_logprobs / len**length_penalty.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ tracing, reference ``:93-98``), which feeds the temperature controller.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

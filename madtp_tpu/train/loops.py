@@ -12,8 +12,7 @@ Total loss everywhere: ``loss_task + 0.1 * loss_fdt``
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
