@@ -305,8 +305,9 @@ def dtp_prune_gather(
     gx = jnp.take_along_axis(x[:, 1:], sel[:, :, None], axis=1)  # [B,cap_p,D]
     gbias = None if bias is None else jnp.take_along_axis(bias[:, 1:], sel, axis=1)
 
-    # merged token: everything alive and not effectively kept
-    rank_full = _rank_desc(score_ranked)
+    # merged token: everything alive and not effectively kept (ranks derived
+    # from `order` — one sort fewer than calling _rank_desc again)
+    rank_full = jnp.argsort(order, axis=-1, stable=True)
     merge_mask = palive & (rank_full >= eff_keep)
     w = jnp.where(merge_mask, score, 0.0)
     w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)

@@ -162,3 +162,39 @@ def test_twin_cross_merges_by_layer_index():
         mode="multimodal", encoder_state=enc1, encoder_state1=enc0,
     )
     assert not np.allclose(np.asarray(out.state.x), np.asarray(out_sw.state.x))
+
+
+def test_med_gather_mode_matches_mask_mode():
+    """Gather fast path on the text encoder (with padding + merged-bias
+    inheritance) must reproduce mask-mode surviving tokens."""
+    params, ids, mask, sd, _ = setup(N=14)
+    T = 1.0
+    out_m = M.med_encoder(
+        params, jnp.asarray(ids), jnp.asarray(mask), CFG,
+        mode="text", space_dict=jnp.asarray(sd), temperature=T,
+        prune_active=True,
+    )
+    caps = tuple([ids.shape[1] + 2] * CFG.num_hidden_layers)
+    out_g = M.med_encoder(
+        params, jnp.asarray(ids), jnp.asarray(mask), CFG,
+        mode="text", space_dict=jnp.asarray(sd), temperature=T,
+        prune_active=True, capacities=caps,
+    )
+    np.testing.assert_array_equal(np.asarray(out_m.kept_counts),
+                                  np.asarray(out_g.kept_counts))
+    np.testing.assert_allclose(np.asarray(out_m.sd_txt_ft),
+                               np.asarray(out_g.sd_txt_ft), rtol=2e-4, atol=2e-4)
+    xm, am = np.asarray(out_m.state.x), np.asarray(out_m.state.alive)
+    xg, ag = np.asarray(out_g.state.x), np.asarray(out_g.state.alive)
+    bm, bg = np.asarray(out_m.state.bias), np.asarray(out_g.state.bias)
+    for b in range(xm.shape[0]):
+        np.testing.assert_allclose(xm[b, 0], xg[b, 0], rtol=2e-4, atol=2e-4)
+        m_rows = sorted(
+            (tuple(np.round(xm[b, s], 4)) + (bm[b, s],))
+            for s in range(1, xm.shape[1]) if am[b, s])
+        g_rows = sorted(
+            (tuple(np.round(xg[b, s], 4)) + (bg[b, s],))
+            for s in range(1, xg.shape[1]) if ag[b, s])
+        assert len(m_rows) == len(g_rows)
+        for mr, gr in zip(m_rows, g_rows):
+            np.testing.assert_allclose(mr, gr, rtol=5e-3, atol=5e-3)
