@@ -116,25 +116,27 @@ def blip_nlvr_forward(
 
 
 def blip_caption_encode_image(params, images, cfg: BlipConfig, *,
-                              temperature=0.0, prune_active=False):
+                              temperature=0.0, prune_active=False,
+                              dropout_rng=None):
     """Visual half of BLIP_Decoder (pruning happens once on image tokens,
     reference models/blip.py:161-163)."""
     return vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, dropout_rng=dropout_rng,
     )
 
 
 def blip_caption_forward(
     params, images, text_ids, text_mask, cfg: BlipConfig, *,
-    temperature=0.0, prune_active=False, labels=None,
+    temperature=0.0, prune_active=False, labels=None, dropout_rng=None,
 ):
     """Training/scoring pass (reference models/blip.py:111-159).  The decoder
     runs without text pruning (space_dict not passed there, reference
     :124-133)."""
     vstate, sd_img_ft, _ = blip_caption_encode_image(
-        params, images, cfg, temperature=temperature, prune_active=prune_active
+        params, images, cfg, temperature=temperature,
+        prune_active=prune_active, dropout_rng=dropout_rng,
     )
     hidden = M.med_decoder_forward(
         params["text_decoder"], text_ids, text_mask, cfg.med,

@@ -67,24 +67,29 @@ def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 
 
 def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
-                            prune_active: bool = True):
+                            prune_active: bool = True,
+                            use_dropout: bool = False):
     """Reference models/blip.py:111-159: LM loss + FDT (image side only; the
     decoder runs unpruned so sd_txt_ft is None -> loss_fdt falls back to
     loss_lm exactly like the reference's default)."""
 
-    def loss_fn(params, images, ids, mask, labels, temperature):
+    def loss_fn(params, images, ids, mask, labels, temperature, rng):
         loss_lm, sd_img_ft, _ = blip_caption_forward(
             params, images, ids, mask, cfg,
             temperature=temperature, prune_active=prune_active, labels=labels,
+            dropout_rng=rng if use_dropout else None,
         )
         loss_fdt = loss_lm  # reference fallback when sd_txt_ft is None
         loss = loss_lm + FDT_WEIGHT * loss_fdt
         return loss, {"loss": loss, "loss_lm": loss_lm, "loss_fdt": loss_fdt}
 
     @jax.jit
-    def step(params, opt_state, images, ids, mask, labels, temperature):
+    def step(params, opt_state, images, ids, mask, labels, temperature,
+             rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, ids, mask, labels, temperature
+            params, images, ids, mask, labels, temperature, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
