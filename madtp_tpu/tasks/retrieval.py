@@ -98,6 +98,7 @@ def rerank_scores(
     temperature=0.0,
     prune_active: bool = False,
     row_slice: Optional[Tuple[int, int]] = None,
+    rows_per_call: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stage 2 (reference :157-205): sims matrix, then ITM logits over each
     row's top-k_test candidates.  ``row_slice`` shards rows across processes;
@@ -117,33 +118,57 @@ def rerank_scores(
             temperature=t, prune_active=prune_active,
         )
 
+    # rows are processed `rows_per_call` at a time so each device dispatch
+    # scores rows_per_call * k_test pairs.  NOTE: DTP keep counts are
+    # batch-coupled, so rows_per_call > 1 changes scores slightly relative to
+    # the reference's one-row-per-step loop (compress_retrieval_dtp.py:166-178)
+    # — use > 1 only as an explicit throughput knob.
+    def run_rows(lo, hi, make_row, write):
+        for base in range(lo, hi, rows_per_call):
+            rows = list(range(base, min(base + rows_per_call, hi)))
+            ids_l, mask_l, sx_l, sa_l = zip(*(make_row(r) for r in rows))
+            itm = np.asarray(itm_batch(
+                params,
+                jnp.asarray(np.concatenate(ids_l)),
+                jnp.asarray(np.concatenate(mask_l)),
+                jnp.asarray(np.concatenate(sx_l)),
+                jnp.asarray(np.concatenate(sa_l)), t,
+            )).reshape(len(rows), k_test)
+            for r, scores in zip(rows, itm):
+                write(r, scores)
+
     i_lo, i_hi = (0, ni) if row_slice is None else row_slice
-    for i in range(i_lo, i_hi):
-        topk = np.argsort(-sims[i])[:k_test]
-        ids = jnp.asarray(text_ids[topk])
-        mask = jnp.asarray(text_mask[topk])
-        sx = jnp.broadcast_to(
-            jnp.asarray(img_states.x[i])[None], (k_test,) + img_states.x[i].shape
-        )
-        sa = jnp.broadcast_to(
-            jnp.asarray(img_states.alive[i])[None], (k_test,) + img_states.alive[i].shape
-        )
-        itm = np.asarray(itm_batch(params, ids, mask, sx, sa, t))
-        score_i2t[i, topk] = itm + sims[i, topk]
+    topk_i = np.argsort(-sims, axis=1)[:, :k_test]
+
+    def make_i2t(i):
+        topk = topk_i[i]
+        sx = np.broadcast_to(img_states.x[i][None],
+                             (k_test,) + img_states.x[i].shape)
+        sa = np.broadcast_to(img_states.alive[i][None],
+                             (k_test,) + img_states.alive[i].shape)
+        return text_ids[topk], text_mask[topk], sx, sa
+
+    def write_i2t(i, itm):
+        score_i2t[i, topk_i[i]] = itm + sims[i, topk_i[i]]
+
+    run_rows(i_lo, i_hi, make_i2t, write_i2t)
 
     t_lo, t_hi = (0, nt) if row_slice is None else (
         row_slice[0] * nt // ni, row_slice[1] * nt // ni
     )
     sims_t = sims.T  # [nt, ni]
-    for j in range(t_lo, t_hi):
-        topk = np.argsort(-sims_t[j])[:k_test]
-        ids = jnp.broadcast_to(jnp.asarray(text_ids[j])[None], (k_test, text_ids.shape[1]))
-        mask = jnp.broadcast_to(jnp.asarray(text_mask[j])[None], (k_test, text_mask.shape[1]))
-        sx = jnp.asarray(img_states.x[topk])
-        sa = jnp.asarray(img_states.alive[topk])
-        itm = np.asarray(itm_batch(params, ids, mask, sx, sa, t))
-        score_t2i[j, topk] = itm + sims_t[j, topk]
+    topk_t = np.argsort(-sims_t, axis=1)[:, :k_test]
 
+    def make_t2i(j):
+        topk = topk_t[j]
+        ids = np.broadcast_to(text_ids[j][None], (k_test, text_ids.shape[1]))
+        mask = np.broadcast_to(text_mask[j][None], (k_test, text_mask.shape[1]))
+        return ids, mask, img_states.x[topk], img_states.alive[topk]
+
+    def write_t2i(j, itm):
+        score_t2i[j, topk_t[j]] = itm + sims_t[j, topk_t[j]]
+
+    run_rows(t_lo, t_hi, make_t2i, write_t2i)
     return score_i2t, score_t2i
 
 
