@@ -110,3 +110,11 @@ def train_transform(img: Image.Image, image_size: int, rng: random.Random,
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     img = rand_augment(img, 2, 5, rng)
     return normalize_chw(img)
+
+
+def eval_resize_uint8(img: Image.Image, image_size: int) -> np.ndarray:
+    """Host side of the on-device pipeline: bicubic resize only, uint8 HWC.
+    Ships 4x less host->device traffic than normalized fp32; pair with
+    :func:`madtp_tpu.ops.layers.normalize_images` inside the jitted step."""
+    img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
+    return np.asarray(img, np.uint8)

@@ -99,3 +99,19 @@ def drop_path(rng, x_residual, rate):
     keep = jax.random.bernoulli(rng, keep_p,
                                 (B,) + (1,) * (x_residual.ndim - 1))
     return jnp.where(keep, x_residual / jnp.maximum(keep_p, 1e-6), 0.0)
+
+
+# CLIP normalization stats (reference data/__init__.py:20)
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def normalize_images(u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """On-device normalize: uint8 [B,H,W,3] -> [B,3,H,W] float, CLIP stats.
+    The device-side half of the uint8 input pipeline (the reference
+    normalizes on the host inside torchvision transforms)."""
+    x = u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGE_STD, jnp.float32)
+    x = (x - mean) / std
+    return x.transpose(0, 3, 1, 2).astype(dtype)

@@ -168,3 +168,17 @@ def test_factory_nlvr(tmp_path):
         is_trains=[True, False, False], num_workers=0)
     batch = next(iter(loaders[1]()))
     assert batch[0].shape == (2, 3, 32, 32)
+
+
+def test_on_device_normalization_matches_host():
+    import jax.numpy as jnp
+
+    from madtp_tpu.data.transforms import eval_resize_uint8
+    from madtp_tpu.ops.layers import normalize_images
+
+    img = Image.fromarray(
+        (np.random.RandomState(1).rand(50, 70, 3) * 255).astype(np.uint8))
+    host = eval_transform(img, 32)  # fp32 CHW, host-normalized
+    u8 = eval_resize_uint8(img, 32)
+    dev = np.asarray(normalize_images(jnp.asarray(u8[None])))[0]
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
