@@ -185,3 +185,81 @@ def beam_generate(
     )
     out = jnp.where(pos > first_eos[:, None], pad_token_id, out)
     return out
+
+
+def nucleus_generate(
+    decoder_params,
+    enc_state: TokenState,
+    prompt_ids: jnp.ndarray,  # [B, Lp]
+    cfg: BlipConfig,
+    rng: jax.Array,
+    *,
+    max_length: int = 30,
+    min_length: int = 10,
+    top_p: float = 0.9,
+    eos_token_id: int = 102,
+    pad_token_id: int = 0,
+    repetition_penalty: float = 1.1,
+) -> jnp.ndarray:
+    """Nucleus (top-p) sampling, the reference's ``sample=True`` path
+    (``models/blip.py:175-186``: top_p=0.9, repetition_penalty=1.1,
+    num_return_sequences=1).  One ``fori_loop``, fixed shapes."""
+    B, Lp = prompt_ids.shape
+    med = cfg.med
+    V = med.vocab_size
+
+    cache = M.init_decode_cache(med, B, max_length, dtype=enc_state.x.dtype)
+    seqs = jnp.full((B, max_length), pad_token_id, prompt_ids.dtype)
+    seqs = seqs.at[:, :Lp].set(prompt_ids)
+    done = jnp.zeros((B,), bool)
+
+    def prime(t, carry):
+        cache, logits = carry
+        tok = jax.lax.dynamic_slice(seqs, (0, t), (B, 1))
+        h, cache = M.med_decoder_step(
+            decoder_params, tok, t, cache, med, encoder_state=enc_state)
+        return cache, M.lm_head(decoder_params, h, med)[:, 0, :]
+
+    cache, logits = jax.lax.fori_loop(
+        0, Lp, prime, (cache, jnp.zeros((B, V), jnp.float32)))
+
+    def step(t, carry):
+        seqs, done, cache, logits, rng = carry
+        logits = logits.astype(jnp.float32)
+        # repetition penalty over already-generated tokens (HF semantics)
+        if repetition_penalty != 1.0:
+            pos_mask = jnp.arange(max_length)[None, :] < t
+            one_hot = jax.nn.one_hot(seqs, V, dtype=jnp.float32)
+            seen = jnp.einsum("blv,bl->bv", one_hot,
+                              pos_mask.astype(jnp.float32)) > 0
+            pen = jnp.where(logits > 0, logits / repetition_penalty,
+                            logits * repetition_penalty)
+            logits = jnp.where(seen, pen, logits)
+        logits = jnp.where(
+            (t < min_length) & (jnp.arange(V)[None, :] == eos_token_id),
+            NEG, logits)
+
+        # top-p filtering: keep the smallest prefix of sorted probs >= top_p
+        probs = jax.nn.softmax(logits, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[:, ::-1]
+        csum = jnp.cumsum(sp, axis=-1)
+        # threshold = prob of the last token inside the nucleus
+        inside = csum - sp < top_p
+        thr = jnp.min(jnp.where(inside, sp, jnp.inf), axis=-1, keepdims=True)
+        filt = jnp.where(probs >= thr, logits, NEG)
+
+        rng, sub = jax.random.split(rng)
+        tok = jax.random.categorical(sub, filt, axis=-1)  # [B]
+        tok = jnp.where(done, pad_token_id, tok).astype(seqs.dtype)
+        seqs = jax.lax.dynamic_update_slice(seqs, tok[:, None], (0, t))
+        done = done | (tok == eos_token_id)
+
+        h, cache = M.med_decoder_step(
+            decoder_params, tok[:, None], t, cache, med,
+            encoder_state=enc_state)
+        logits = M.lm_head(decoder_params, h, med)[:, 0, :]
+        return seqs, done, cache, logits, rng
+
+    seqs, done, cache, logits, rng = jax.lax.fori_loop(
+        Lp, max_length, step, (seqs, done, cache, logits, rng))
+    return seqs

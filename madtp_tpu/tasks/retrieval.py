@@ -177,3 +177,11 @@ def clip_retrieval_scores(img_feats: np.ndarray, txt_feats: np.ndarray):
     (reference compress_retrieval_clip_dtp.py:78-124)."""
     sims = img_feats @ txt_feats.T
     return sims, sims.T
+
+
+def merge_score_matrices(*parts: np.ndarray) -> np.ndarray:
+    """Merge per-process row-sharded score matrices (initialized at -100):
+    elementwise max over shards — the reference all-reduces SUM over
+    disjoint -100-filled slices (compress_retrieval_dtp.py:202-205), which
+    max reproduces without the additive offset."""
+    return np.maximum.reduce(list(parts))

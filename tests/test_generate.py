@@ -160,3 +160,32 @@ def test_rank_answers_selects_forced_answer():
             lg = M.lm_head(params, hh, MED)
             scores.append(-float(M.lm_loss(lg, tgt, reduction="none")[0]))
         assert best[b] == cand[int(np.argmax(scores))]
+
+
+def test_nucleus_generate_shapes_and_determinism():
+    from madtp_tpu.tasks.caption import nucleus_generate
+
+    params, enc, _ = setup(seed=4)
+    prompt = np.full((2, 1), BOS, np.int32)
+    out1 = np.asarray(nucleus_generate(
+        params, enc, jnp.asarray(prompt), CFG, jax.random.PRNGKey(0),
+        max_length=12, min_length=3, eos_token_id=EOS, pad_token_id=PAD))
+    out2 = np.asarray(nucleus_generate(
+        params, enc, jnp.asarray(prompt), CFG, jax.random.PRNGKey(0),
+        max_length=12, min_length=3, eos_token_id=EOS, pad_token_id=PAD))
+    out3 = np.asarray(nucleus_generate(
+        params, enc, jnp.asarray(prompt), CFG, jax.random.PRNGKey(7),
+        max_length=12, min_length=3, eos_token_id=EOS, pad_token_id=PAD))
+    np.testing.assert_array_equal(out1, out2)  # same seed -> same sample
+    assert out1.shape == (2, 12)
+    # min_length respected
+    for b in range(2):
+        eos_pos = np.where(out1[b] == EOS)[0]
+        if len(eos_pos):
+            assert eos_pos[0] >= 3
+    # tokens after EOS are padding
+    for b in range(2):
+        eos_pos = np.where(out1[b] == EOS)[0]
+        if len(eos_pos):
+            assert np.all(out1[b, eos_pos[0] + 1:] == PAD)
+    assert not np.array_equal(out1, out3) or True  # different seed may differ
