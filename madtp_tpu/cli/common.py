@@ -47,6 +47,15 @@ def load_config(args) -> dict:
     config["pretrained"] = args.pretrained or config.get("pretrained", "")
     config["max_epoch"] = args.epoch
     config["p"] = args.p
+    # yaml 1.1 parses exponent-without-dot floats ('3e-6') as strings
+    for k, v in list(config.items()):
+        if isinstance(v, str):
+            try:
+                config[k] = float(v) if any(c in v for c in ".eE") and (
+                    v.replace(".", "").replace("e", "").replace("E", "")
+                    .replace("-", "").replace("+", "").isdigit()) else v
+            except ValueError:
+                pass
     return config
 
 
@@ -93,3 +102,72 @@ def make_tokenizer(args, config):
     words = [f"w{i}" for i in range(64)] + [
         "the", "a", "left", "right", "is", "on", "object", "picture", "of"]
     return BertWordPieceTokenizer.toy(words)
+
+
+def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
+    """Shared BLIP model-config builder: reference presets base/large
+    (models/blip.py:228-247) plus a 'tiny' preset for fixture/CI runs
+    (tools/make_fixture.py)."""
+    from madtp_tpu.core.config import MedConfig, ViTConfig
+    from madtp_tpu.models.blip import BlipConfig
+
+    preset = config.get("vit", "base")
+    if preset == "large":
+        vit = ViTConfig.large(image_size)
+        med = MedConfig(twin_cross=twin_cross, encoder_width=vit.embed_dim)
+        return BlipConfig(vit=vit, med=med,
+                          sd_num=config.get("sd_num", 100),
+                          sd_dim=config.get("sd_dim", 768))
+    if preset == "tiny":
+        vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
+                        depth=2, num_heads=4, sd_dim=64)
+        med = MedConfig(twin_cross=twin_cross, encoder_width=64,
+                        hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=256,
+                        vocab_size=config.get("vocab_size", 30524), sd_dim=64)
+        return BlipConfig(vit=vit, med=med,
+                          sd_num=config.get("sd_num", 100), sd_dim=64)
+    vit = ViTConfig(image_size=image_size)
+    med = MedConfig(twin_cross=twin_cross, encoder_width=vit.embed_dim)
+    return BlipConfig(vit=vit, med=med,
+                      sd_num=config.get("sd_num", 100),
+                      sd_dim=config.get("sd_dim", 768))
+
+
+def init_blip_params(cfg, seed: int, *, heads=("cls",), with_decoder=False,
+                     with_encoder=True):
+    """Random init of a full BLIP param tree (fixture/testing; the reference
+    always fine-tunes from a checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+
+    rng = np.random.RandomState(seed)
+    H = cfg.med.hidden_size
+    params = {
+        "visual_encoder": init_vit_params(cfg.vit, rng),
+        "space_dict": rng.randn(cfg.sd_num, cfg.sd_dim).astype(np.float32),
+    }
+    if with_encoder:
+        params["text_encoder"] = init_med_params(cfg.med, rng)
+    if with_decoder:
+        from dataclasses import replace
+
+        params["text_decoder"] = init_med_params(
+            replace(cfg.med, twin_cross=False), rng)
+    if "cls" in heads:
+        params["cls_head"] = {
+            "fc1": {"kernel": (rng.randn(H, H) * 0.02).astype(np.float32),
+                    "bias": np.zeros((H,), np.float32)},
+            "fc2": {"kernel": (rng.randn(H, 2) * 0.02).astype(np.float32),
+                    "bias": np.zeros((2,), np.float32)},
+        }
+    if "retrieval" in heads:
+        E = 16 if cfg.med.hidden_size <= 64 else 256
+        for nm, od in (("vision_proj", E), ("text_proj", E), ("itm_head", 2)):
+            params[nm] = {
+                "kernel": (rng.randn(H, od) * 0.02).astype(np.float32),
+                "bias": np.zeros((od,), np.float32)}
+    return jax.tree.map(jnp.asarray, params)

@@ -92,13 +92,18 @@ def main():
         })
         temperature = 1.0
     else:
-        vit = (ViTConfig.large(image_size) if config.get("vit") == "large"
-               else ViTConfig(image_size=image_size))
-        med = MedConfig(encoder_width=vit.embed_dim)
-        cfg = BlipConfig(vit=vit, med=med)
-        params, temperature = load_blip_caption(config["pretrained"], cfg)
-        params = jax.tree.map(jnp.asarray, params)
-        if not args.evaluate:
+        from madtp_tpu.cli.common import build_blip_cfg, init_blip_params
+
+        cfg = build_blip_cfg(config, image_size)
+        if config.get("pretrained"):
+            params, temperature = load_blip_caption(config["pretrained"], cfg)
+            params = jax.tree.map(jnp.asarray, params)
+            if not args.evaluate:
+                temperature = 1.0
+        else:
+            print("WARNING: no --pretrained given; random init")
+            params = init_blip_params(cfg, args.seed, heads=(),
+                                      with_encoder=False, with_decoder=True)
             temperature = 1.0
 
     def eval_epoch(temperature, loader):

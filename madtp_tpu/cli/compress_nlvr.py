@@ -36,12 +36,24 @@ ORI_GFLOPS = 132.54  # reference compress_nlvr_dtp.py:162
 
 
 def build_cfg(config, image_size):
-    vit = ViTConfig(
-        image_size=image_size,
-        **(ViTConfig.large().__dict__ | {"image_size": image_size}
-           if config.get("vit") == "large" else {}),
-    ) if config.get("vit") == "large" else ViTConfig(image_size=image_size)
-    med = MedConfig(twin_cross=True, encoder_width=vit.embed_dim)
+    preset = config.get("vit", "base")
+    if preset == "large":
+        vit = ViTConfig.large(image_size)
+        med = MedConfig(twin_cross=True, encoder_width=vit.embed_dim)
+    elif preset == "tiny":
+        # fixture/CI-scale models (tools/make_fixture.py); not a reference
+        # preset — reference supports base/large (models/blip.py:228-247)
+        vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
+                        depth=2, num_heads=4, sd_dim=64)
+        med = MedConfig(twin_cross=True, encoder_width=64, hidden_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        intermediate_size=256,
+                        vocab_size=config.get("vocab_size", 30524), sd_dim=64)
+        return BlipConfig(vit=vit, med=med,
+                          sd_num=config.get("sd_num", 100), sd_dim=64)
+    else:
+        vit = ViTConfig(image_size=image_size)
+        med = MedConfig(twin_cross=True, encoder_width=vit.embed_dim)
     return BlipConfig(vit=vit, med=med,
                       sd_num=config.get("sd_num", 100),
                       sd_dim=config.get("sd_dim", 768))
@@ -118,11 +130,31 @@ def main():
         if args.evaluate and args.pretrained and os.path.exists(args.pretrained):
             params, temperature = load_blip_nlvr(args.pretrained, cfg)
             params = jax.tree.map(jnp.asarray, params)
-    else:
+    elif config.get("pretrained"):
         params, ckpt_temp = load_blip_nlvr(config["pretrained"], cfg)
         params = jax.tree.map(jnp.asarray, params)
         if args.evaluate:
             temperature = ckpt_temp
+    else:
+        # random init (fixture/testing; the reference always starts from a
+        # pretrained checkpoint)
+        from madtp_tpu.models.med import init_med_params
+        from madtp_tpu.models.vit import init_vit_params
+
+        print("WARNING: no --pretrained given; random init")
+        rng0 = np.random.RandomState(args.seed)
+        H = cfg.med.hidden_size
+        params = jax.tree.map(jnp.asarray, {
+            "visual_encoder": init_vit_params(cfg.vit, rng0),
+            "text_encoder": init_med_params(cfg.med, rng0),
+            "space_dict": rng0.randn(cfg.sd_num, cfg.sd_dim).astype(np.float32),
+            "cls_head": {
+                "fc1": {"kernel": (rng0.randn(H, H) * 0.02).astype(np.float32),
+                        "bias": np.zeros((H,), np.float32)},
+                "fc2": {"kernel": (rng0.randn(H, 2) * 0.02).astype(np.float32),
+                        "bias": np.zeros((2,), np.float32)},
+            },
+        })
 
     target_gflops = ORI_GFLOPS * (1.0 - config["p"])
     batch_train = config.get("batch_size_train", 4 if args.synthetic else 16)

@@ -71,11 +71,16 @@ def main():
         txt2img = {i: i for i in range(n_img)}
         img2txt = {i: [i] for i in range(n_img)}
     else:
-        vit = ViTConfig(image_size=image_size)
-        med = MedConfig(encoder_width=vit.embed_dim)
-        cfg = BlipConfig(vit=vit, med=med)
-        params, temperature = load_blip_retrieval(config["pretrained"], cfg)
-        params = jax.tree.map(jnp.asarray, params)
+        from madtp_tpu.cli.common import build_blip_cfg, init_blip_params
+
+        cfg = build_blip_cfg(config, image_size)
+        if config.get("pretrained"):
+            params, temperature = load_blip_retrieval(config["pretrained"], cfg)
+            params = jax.tree.map(jnp.asarray, params)
+        else:
+            print("WARNING: no --pretrained given; random init")
+            params = init_blip_params(cfg, args.seed, heads=("retrieval",))
+            temperature = 1.0
 
         from madtp_tpu.data.datasets import RetrievalEvalDataset
         from madtp_tpu.data.loader import batched_loader

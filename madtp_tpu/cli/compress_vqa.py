@@ -69,11 +69,17 @@ def main():
         temperature = 1.0
         answer_list = [f"w{i}" for i in range(16)]
     else:
-        vit = ViTConfig(image_size=image_size)
-        med = MedConfig(encoder_width=vit.embed_dim)
-        cfg = BlipConfig(vit=vit, med=med)
-        params, temperature = load_blip_vqa(config["pretrained"], cfg)
-        params = jax.tree.map(jnp.asarray, params)
+        from madtp_tpu.cli.common import build_blip_cfg, init_blip_params
+
+        cfg = build_blip_cfg(config, image_size)
+        if config.get("pretrained"):
+            params, temperature = load_blip_vqa(config["pretrained"], cfg)
+            params = jax.tree.map(jnp.asarray, params)
+        else:
+            print("WARNING: no --pretrained given; random init")
+            params = init_blip_params(cfg, args.seed, heads=(),
+                                      with_decoder=True)
+            temperature = 1.0
         import json
 
         answer_list = json.load(
@@ -226,21 +232,21 @@ def main():
             # pad the ragged flattened answers to [B, MAX_A, La]
             a = tokenizer(list(answers), padding="longest")
             La = a["input_ids"].shape[1]
-            a_ids = np.zeros((B, MAX_A, La), np.int32)
-            a_msk = np.zeros((B, MAX_A, La), np.int32)
+            ans_ids = np.zeros((B, MAX_A, La), np.int32)
+            ans_msk = np.zeros((B, MAX_A, La), np.int32)
             w = np.zeros((B, MAX_A), np.float32)
             pos = 0
             for b, cnt in enumerate(n):
                 cnt = min(cnt, MAX_A)
-                a_ids[b, :cnt] = a["input_ids"][pos : pos + cnt]
-                a_ids[b, :cnt, 0] = tokenizer.bos_token_id
-                a_msk[b, :cnt] = a["attention_mask"][pos : pos + cnt]
+                ans_ids[b, :cnt] = a["input_ids"][pos : pos + cnt]
+                ans_ids[b, :cnt, 0] = tokenizer.bos_token_id
+                ans_msk[b, :cnt] = a["attention_mask"][pos : pos + cnt]
                 w[b, :cnt] = weights[pos : pos + cnt]
                 pos += cnt
             params, opt_state, metrics = train_step(
                 params, opt_state, jnp.asarray(images), jnp.asarray(q_ids),
-                jnp.asarray(q["attention_mask"]), jnp.asarray(a_ids),
-                jnp.asarray(a_msk), jnp.asarray(w), jnp.float32(temperature))
+                jnp.asarray(q["attention_mask"]), jnp.asarray(ans_ids),
+                jnp.asarray(ans_msk), jnp.asarray(w), jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         results, cur_g = run_eval(
             lambda: batched_loader(ds, config.get("batch_size_test", 16)))
