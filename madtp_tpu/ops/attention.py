@@ -25,6 +25,7 @@ additive bias (-10000-style) so numerics match the reference exactly
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -74,6 +75,7 @@ def attention_core(
     need_scores: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    _no_fused: bool = False,
 ):
     """Returns ``(out [B,Nq,H*Dh], aux)``.
 
@@ -88,26 +90,12 @@ def attention_core(
         scale = Dh ** -0.5
 
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    if (attn_bias is None and not use_dropout
+    if (attn_bias is None and not use_dropout and not _no_fused
             and _fused_eligible(q, key_bias, key_alive, need_scores)):
-        from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores
-
-        Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
-        pad = Np - Nq
-        qt, kt, vt = (
-            jnp.pad(x.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, 0), (0, pad)))
-            for x in (q, k, v)
-        )
-        alive_p = jnp.pad(key_alive, ((0, 0), (0, pad)))
-        bias_p = None if key_bias is None else jnp.pad(key_bias, ((0, 0), (0, pad)))
-        out_t, col, cls = fused_attention_scores(
-            qt, kt, vt, alive_p, bias_p, num_heads=H, scale=scale
-        )
-        out = (
-            out_t[..., :Nq].transpose(0, 3, 1, 2)
-            .reshape(B, Nq, H * Dh).astype(v.dtype)
-        )
-        return out, AttnAux(cls_attn=cls[:, 1:Nq], col_mass=col[:, 1:Nq])
+        bias_in = (jnp.zeros_like(key_alive, jnp.float32) if key_bias is None
+                   else key_bias.astype(jnp.float32))
+        out, cls, col = _fused_scores_diff(q, k, v, key_alive, bias_in, scale)
+        return out.astype(v.dtype), AttnAux(cls_attn=cls, col_mass=col)
 
     if key_bias is not None:
         b4 = key_bias[:, None, None, :]
@@ -202,3 +190,65 @@ def self_attention(
         need_scores=need_scores,
     )
     return linear(p["proj"], out), aux
+
+
+def _xla_attention_scores(q, k, v, key_alive, key_bias, scale):
+    """Pure-XLA twin of the fused kernel's outputs (out [B,N,H*Dh],
+    cls_attn [B,N-1], col_mass [B,N-1]) — the differentiable reference used
+    for the kernel's custom VJP."""
+    out, aux = attention_core(
+        q, k, v, scale=scale,
+        key_bias=key_bias,
+        key_alive=key_alive,
+        query_alive=key_alive,
+        need_scores=True,
+        _no_fused=True,
+    )
+    return out, aux.cls_attn, aux.col_mass
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_scores_diff(q, k, v, key_alive, key_bias, scale):
+    """Scoring self-attention: Pallas-fused forward; the backward pass
+    differentiates the equivalent XLA computation (the kernels agree to
+    ~1e-6, tested), so training through the fused path is exact up to the
+    usual recompute-with-XLA remat tradeoff."""
+    return _fused_forward(q, k, v, key_alive, key_bias, scale)
+
+
+def _fused_forward(q, k, v, key_alive, key_bias, scale):
+    from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores
+
+    B, H, Nq, Dh = q.shape
+    Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
+    pad = Np - Nq
+    qt, kt, vt = (
+        jnp.pad(x.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, 0), (0, pad)))
+        for x in (q, k, v)
+    )
+    alive_p = jnp.pad(key_alive, ((0, 0), (0, pad)))
+    bias_p = jnp.pad(key_bias, ((0, 0), (0, pad)))
+    out_t, col, cls = fused_attention_scores(
+        qt, kt, vt, alive_p, bias_p, num_heads=H, scale=scale
+    )
+    out = out_t[..., :Nq].transpose(0, 3, 1, 2).reshape(B, Nq, H * Dh)
+    return out, cls[:, 1:Nq], col[:, 1:Nq]
+
+
+def _fused_fwd(q, k, v, key_alive, key_bias, scale):
+    return _fused_forward(q, k, v, key_alive, key_bias, scale), (
+        q, k, v, key_alive, key_bias)
+
+
+def _fused_bwd(scale, res, cts):
+    q, k, v, key_alive, key_bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _xla_attention_scores(
+            q_, k_, v_, key_alive, b_, scale),
+        q, k, v, key_bias,
+    )
+    dq, dk, dv, dbias = vjp(cts)
+    return dq, dk, dv, None, dbias
+
+
+_fused_scores_diff.defvjp(_fused_fwd, _fused_bwd)
