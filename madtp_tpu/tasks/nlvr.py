@@ -61,12 +61,31 @@ def make_eval_step(cfg: BlipConfig, prune_active: bool,
 def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfig,
              temperature: float, *, prune_active: bool, enc_token_id: int,
              capacities_v=None, capacities_t=None, print_fn=print,
-             print_freq: int = 50) -> Tuple[dict, float]:
+             print_freq: int = 50, mesh=None) -> Tuple[dict, float]:
     """Returns (stats, Cur_Gflops) like the reference eval
     (compress_nlvr_dtp.py:72-107).  ``loader_fn()`` yields
     (image0, image1, sentences, targets) numpy batches; ``tokenize`` maps the
-    sentence list to (ids, mask)."""
+    sentence list to (ids, mask).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each batch is sharded over the
+    'data' axis and params replicated (GSPMD data-parallel eval; the
+    reference's DistributedSampler+DDP equivalent, SURVEY.md §2.5)."""
     step = make_eval_step(cfg, prune_active, capacities_v, capacities_t)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        dsh = NamedSharding(mesh, P("data"))
+        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+        base_step = step
+
+        def step(params, images, ids, mask, t):
+            images = jax.device_put(images, dsh)
+            ids = jax.device_put(ids, dsh)
+            mask = jax.device_put(mask, dsh)
+            return base_step(params, images, ids, mask, t)
+
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
     gflops_sum, n_batches = 0.0, 0

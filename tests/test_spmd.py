@@ -132,3 +132,51 @@ def test_retrieval_score_matrix_reduction():
         pieces.append(m)
     merged = np.maximum.reduce(pieces)
     np.testing.assert_allclose(merged, full)
+
+
+def test_nlvr_evaluate_on_mesh_matches_single_device():
+    """Full task-level eval sharded over 8 fake devices == single-device."""
+    from madtp_tpu.core.config import MedConfig, ViTConfig
+    from madtp_tpu.models.blip import BlipConfig
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+    from madtp_tpu.tasks import nlvr as task
+
+    vit = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4, sd_dim=32)
+    med = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=64,
+                    max_position_embeddings=32, encoder_width=32, sd_dim=32,
+                    twin_cross=True)
+    cfg = BlipConfig(vit=vit, med=med, sd_dim=32)
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(vit, rng),
+        "text_encoder": init_med_params(med, rng),
+        "space_dict": rng.randn(8, 32).astype(np.float32),
+        "cls_head": {
+            "fc1": {"kernel": rng.randn(32, 32).astype(np.float32) * 0.02,
+                    "bias": np.zeros(32, np.float32)},
+            "fc2": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.02,
+                    "bias": np.zeros(2, np.float32)},
+        },
+    })
+    B = 8
+    batches = [(rng.randn(B, 3, 32, 32).astype(np.float32),
+                rng.randn(B, 3, 32, 32).astype(np.float32),
+                ["x"] * B, rng.randint(0, 2, (B,)))]
+
+    ids = rng.randint(1, 60, (B, 6)).astype(np.int32)
+    mask = np.ones((B, 6), np.int32)
+
+    def tokenize(sentences):
+        return ids.copy(), mask.copy()
+
+    kw = dict(prune_active=True, enc_token_id=58, print_fn=lambda *a: None)
+    stats1, g1 = task.evaluate(params, lambda: iter(batches), tokenize, cfg,
+                               1.0, **kw)
+    mesh = make_mesh(n_data=8, n_model=1)
+    stats2, g2 = task.evaluate(params, lambda: iter(batches), tokenize, cfg,
+                               1.0, mesh=mesh, **kw)
+    assert stats1["acc"] == stats2["acc"]
+    assert abs(g1 - g2) < 1e-6
