@@ -284,3 +284,39 @@ def test_blip_itm_and_pretrain_heads():
         jax.random.PRNGKey(0), CFG, enc_token_id=58)
     for v in (lita, litm, llm):
         assert np.isfinite(float(v))
+
+
+def test_space_dict_receives_gradients():
+    """The FDT codebook must learn through BOTH the alignment loss and the
+    merge-weight path (reference trains space_dict end-to-end)."""
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    rng = np.random.RandomState(0)
+    cfg = BlipConfig(
+        vit=VIT, med=MedConfig(**{**MED.__dict__, "twin_cross": True}),
+        sd_dim=32)
+    params = _nlvr_params(rng)
+    B = 2
+    images = jnp.asarray(rng.randn(2 * B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+    targets = jnp.asarray([0, 1])
+
+    def loss(params):
+        lo, lf, _ = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=1.0,
+            prune_active=True, train=True, targets=targets)
+        return lo + 0.1 * lf
+
+    g = jax.grad(loss)(params)
+    g_sd = float(jnp.sum(jnp.abs(g["space_dict"])))
+    assert g_sd > 0.0, "space_dict got zero gradient"
+    # and the task loss alone also reaches it via merge weights
+    def loss_ori_only(params):
+        lo, _, _ = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=1.0,
+            prune_active=True, train=True, targets=targets)
+        return lo
+
+    g2 = jax.grad(loss_ori_only)(params)
+    assert float(jnp.sum(jnp.abs(g2["space_dict"]))) > 0.0
