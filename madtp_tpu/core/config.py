@@ -27,6 +27,10 @@ class ViTConfig:
     # stochastic depth at train time (reference create_vit drop_path_rate:
     # 0.1 for NLVR/VQA, 0 for caption/retrieval, models/blip.py:228-247)
     drop_path_rate: float = 0.0
+    # rematerialize each block in the backward pass (the reference's
+    # fairscale checkpoint_wrapper, models/vit.py:119-121; configs ship it
+    # off: vit_grad_ckpt False)
+    grad_checkpoint: bool = False
     # DTP execution
     dtype: str = "float32"
 

@@ -157,8 +157,9 @@ def vit_forward(
         if use_fdt
         else jnp.zeros((), jnp.float32)
     )
+    scan_body = jax.checkpoint(body) if cfg.grad_checkpoint else body
     (state, sd_all), kept_counts = jax.lax.scan(
-        body,
+        scan_body,
         (state, sd_all0),
         (params["blocks"], jnp.arange(depth)),
     )

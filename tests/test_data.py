@@ -182,3 +182,37 @@ def test_on_device_normalization_matches_host():
     u8 = eval_resize_uint8(img, 32)
     dev = np.asarray(normalize_images(jnp.asarray(u8[None])))[0]
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_bert_wordpiece_matches_hf(tmp_path):
+    """Our WordPiece must tokenize identically to HF BertTokenizer over the
+    same vocab (HF constructs offline from a local vocab file)."""
+    transformers = pytest.importorskip("transformers")
+
+    words = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + ["a", "the", "picture", "of", "cat", "dog", "play", "left",
+                "right", "number", "un", "##s", "##ing", "##ber", "##ed",
+                "##affle", "w", "##1", "##2", "1", "2", "3"]
+             + list("abcdefghijklmnopqrstuvwxyz"))
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(words) + "\n")
+
+    hf = transformers.BertTokenizer(str(vocab_path), do_lower_case=True)
+    ours = BertWordPieceTokenizer(str(vocab_path))
+
+    texts = [
+        "A picture of cats playing!",
+        "the DOG plays number 123",
+        "unaffled w1 w2 left-right",
+        "accented café text",
+        "punctuation, everywhere; (truly)...",
+        "",
+        "supercalifragilistic",
+    ]
+    for t in texts:
+        got = ours.tokenize(t)
+        want = hf.tokenize(t)
+        assert got == want, (t, got, want)
+        enc_ours = ours.encode(t, max_length=16)
+        enc_hf = hf.encode(t, truncation=True, max_length=16)
+        assert enc_ours == enc_hf, (t, enc_ours, enc_hf)

@@ -119,3 +119,28 @@ def test_gather_tight_capacity_overflow_merges():
     assert st.x.shape[1] == 8
     assert np.all(np.isfinite(np.asarray(st.x)))
     assert np.asarray(kept).max() <= 7
+
+
+def test_grad_checkpoint_same_grads():
+    """vit_grad_ckpt equivalent: remat changes memory, not values/grads."""
+    import jax
+    from dataclasses import replace
+
+    params, images, sd = setup()
+    jp = jax.tree.map(jnp.asarray, params)
+
+    def make_loss(cfg):
+        def loss(p):
+            st, sd_all, _ = vit_forward(
+                p, jnp.asarray(images), cfg=cfg, space_dict=jnp.asarray(sd),
+                temperature=1.0, prune_active=True)
+            return jnp.sum(st.x ** 2) + jnp.sum(sd_all ** 2)
+        return loss
+
+    g0 = jax.grad(make_loss(CFG))(jp)
+    g1 = jax.grad(make_loss(replace(CFG, grad_checkpoint=True)))(jp)
+    a = jax.tree_util.tree_leaves(g0)
+    b = jax.tree_util.tree_leaves(g1)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
