@@ -109,3 +109,31 @@ def batched_loader(
     finally:
         stop.set()
         pool.shutdown(wait=False)
+
+
+def device_prefetch(iterator, *, size: int = 2, sharding=None):
+    """Overlap host->device transfer with device compute: keep ``size``
+    batches' arrays already on device ahead of the consumer (the jit'd step
+    then never waits on PCIe/tunnel transfer).  ``sharding`` optionally
+    places arrays (e.g. NamedSharding over the 'data' axis).
+
+    The reference relies on torch DataLoader pin_memory+prefetch_factor
+    (data/__init__.py:93-104) which prefetches to HOST only; this completes
+    the pipeline to the device."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        return tuple(
+            jax.device_put(x, sharding) if isinstance(x, np.ndarray) else x
+            for x in batch
+        )
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

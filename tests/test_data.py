@@ -216,3 +216,14 @@ def test_bert_wordpiece_matches_hf(tmp_path):
         enc_ours = ours.encode(t, max_length=16)
         enc_hf = hf.encode(t, truncation=True, max_length=16)
         assert enc_ours == enc_hf, (t, enc_ours, enc_hf)
+
+
+def test_device_prefetch_preserves_order_and_content():
+    from madtp_tpu.data.loader import device_prefetch
+
+    batches = [(np.full((2, 3), i, np.float32), [f"s{i}"]) for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, (arr, txt) in enumerate(out):
+        assert float(np.asarray(arr)[0, 0]) == i
+        assert txt == [f"s{i}"]
