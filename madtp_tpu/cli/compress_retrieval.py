@@ -102,9 +102,34 @@ def main():
     text_ids, text_mask = tok["input_ids"], tok["attention_mask"]
 
     prune = temperature > 0
+    caps_v = caps_t = None
+    if args.fast_eval and prune:
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        probe = next(image_batches_fn() if callable(image_batches_fn)
+                     else iter(image_batches))
+        import madtp_tpu.models.vit as V
+
+        _, _, vk = V.vit_forward(
+            params["visual_encoder"], jnp.asarray(probe), cfg=cfg.vit,
+            space_dict=params["space_dict"],
+            temperature=jnp.float32(temperature), prune_active=True)
+        from madtp_tpu.models import med as MM
+
+        tout = MM.med_encoder(
+            params["text_encoder"], jnp.asarray(text_ids[:8]),
+            jnp.asarray(text_mask[:8]), cfg.med, mode="text",
+            space_dict=params["space_dict"],
+            temperature=jnp.float32(temperature), prune_active=True)
+        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16, multiple=64)
+        caps_t = calibrate_capacities(np.asarray(tout.kept_counts)[None],
+                                      margin=4, multiple=8)
+        print("fast_eval capacities:", caps_v, caps_t)
+
     img_feats, img_states, txt_feats = encode_corpus(
         params, cfg, iter(image_batches), text_ids, text_mask,
         temperature=temperature, prune_active=prune,
+        capacities_v=caps_v, capacities_t=caps_t,
     )
     # ITM rerank uses [ENC]-token text (reference compress_retrieval_dtp:168)
     enc_ids = text_ids.copy()
@@ -112,7 +137,7 @@ def main():
     s_i2t, s_t2i = rerank_scores(
         params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
         k_test=min(k_test, len(texts)), temperature=temperature,
-        prune_active=prune,
+        prune_active=prune, capacities_t=caps_t,
     )
     stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
     log = {k: round(v, 3) for k, v in stats.items()}

@@ -117,13 +117,14 @@ def blip_nlvr_forward(
 
 def blip_caption_encode_image(params, images, cfg: BlipConfig, *,
                               temperature=0.0, prune_active=False,
-                              dropout_rng=None):
+                              dropout_rng=None, capacities=None):
     """Visual half of BLIP_Decoder (pruning happens once on image tokens,
     reference models/blip.py:161-163)."""
     return vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, dropout_rng=dropout_rng,
+        capacities=capacities,
     )
 
 
@@ -156,7 +157,7 @@ def blip_caption_forward(
 
 def blip_vqa_encode(
     params, images, q_ids, q_mask, cfg: BlipConfig, *,
-    temperature=0.0, prune_active=False,
+    temperature=0.0, prune_active=False, capacities_v=None, capacities_t=None,
 ):
     """Image encoder + question encoder with image cross-attention
     (reference models/blip_vqa.py:60-82,118-125).  Returns the question
@@ -164,13 +165,13 @@ def blip_vqa_encode(
     vstate, sd_img_ft, _ = vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, capacities=capacities_v,
     )
     out = M.med_encoder(
         params["text_encoder"], q_ids, q_mask, cfg.med,
         mode="multimodal", encoder_state=vstate,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, capacities=capacities_t,
     )
     return out, sd_img_ft
 
@@ -181,13 +182,14 @@ def blip_vqa_encode(
 
 
 def blip_retrieval_image_features(params, images, cfg: BlipConfig, *,
-                                  temperature=0.0, prune_active=False):
+                                  temperature=0.0, prune_active=False,
+                                  capacities=None):
     """Image tower + projection (reference models/blip_retrieval.py:103-105).
     Returns (feat [B,E] L2-normalized, TokenState for ITM rerank, sd_img_ft)."""
     vstate, sd_img_ft, _ = vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, capacities=capacities,
     )
     feat = linear(params["vision_proj"], vstate.x[:, 0, :])
     feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
@@ -195,13 +197,15 @@ def blip_retrieval_image_features(params, images, cfg: BlipConfig, *,
 
 
 def blip_retrieval_text_features(params, text_ids, text_mask, cfg: BlipConfig, *,
-                                 temperature=0.0, prune_active=False):
+                                 temperature=0.0, prune_active=False,
+                                 capacities=None):
     """Text tower in 'text' mode + projection
     (reference models/blip_retrieval.py:110-114)."""
     out = M.med_encoder(
         params["text_encoder"], text_ids, text_mask, cfg.med,
         mode="text", space_dict=params["space_dict"],
         temperature=temperature, prune_active=prune_active,
+        capacities=capacities,
     )
     feat = linear(params["text_proj"], out.state.x[:, 0, :])
     feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
@@ -209,7 +213,8 @@ def blip_retrieval_text_features(params, text_ids, text_mask, cfg: BlipConfig, *
 
 
 def blip_itm_score(params, text_ids, text_mask, image_state: TokenState,
-                   cfg: BlipConfig, *, temperature=0.0, prune_active=False):
+                   cfg: BlipConfig, *, temperature=0.0, prune_active=False,
+                   capacities=None):
     """ITM head over the multimodal encoder's CLS (reference
     compress_retrieval_dtp.py:166-178): returns logits[:, 1] as the match
     score."""
@@ -217,7 +222,7 @@ def blip_itm_score(params, text_ids, text_mask, image_state: TokenState,
         params["text_encoder"], text_ids, text_mask, cfg.med,
         mode="multimodal", encoder_state=image_state,
         space_dict=params["space_dict"], temperature=temperature,
-        prune_active=prune_active,
+        prune_active=prune_active, capacities=capacities,
     )
     logits = linear(params["itm_head"], out.state.x[:, 0, :])
     return logits[:, 1]

@@ -52,6 +52,7 @@ def encode_corpus(
     def img_step(params, images, t):
         feat, state, _ = blip_retrieval_image_features(
             params, images, cfg, temperature=t, prune_active=prune_active,
+            capacities=capacities_v,
         )
         return feat, state
 
@@ -59,6 +60,7 @@ def encode_corpus(
     def txt_step(params, ids, mask, t):
         feat, out = blip_retrieval_text_features(
             params, ids, mask, cfg, temperature=t, prune_active=prune_active,
+            capacities=capacities_t,
         )
         return feat
 
@@ -99,6 +101,7 @@ def rerank_scores(
     prune_active: bool = False,
     row_slice: Optional[Tuple[int, int]] = None,
     rows_per_call: int = 1,
+    capacities_t=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stage 2 (reference :157-205): sims matrix, then ITM logits over each
     row's top-k_test candidates.  ``row_slice`` shards rows across processes;
@@ -116,6 +119,7 @@ def rerank_scores(
         return blip_itm_score(
             params, ids, mask, state, cfg,
             temperature=t, prune_active=prune_active,
+            capacities=capacities_t,
         )
 
     # rows are processed `rows_per_call` at a time so each device dispatch
