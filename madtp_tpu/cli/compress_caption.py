@@ -41,12 +41,14 @@ PROMPT = "a picture of "
 
 
 def generate_captions(params, cfg, tokenizer, images, temperature, *,
-                      num_beams=3, max_length=20, min_length=5):
+                      num_beams=3, max_length=20, min_length=5,
+                      capacities=None):
     """Pruned image encode + beam decode (reference models/blip.py:161-202)."""
     prune = temperature > 0
     vstate, _, v_kept = blip_caption_encode_image(
         params, jnp.asarray(images), cfg,
         temperature=jnp.float32(temperature), prune_active=prune,
+        capacities=capacities,
     )
     B = images.shape[0]
     prompt = tokenizer([PROMPT] * B, padding="longest")
@@ -106,13 +108,30 @@ def main():
                                       with_encoder=False, with_decoder=True)
             temperature = 1.0
 
+    caps_v = None
+    if args.fast_eval and temperature > 0:
+        import madtp_tpu.models.vit as V
+
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        rngp = np.random.RandomState(9)
+        probe = rngp.randn(4, 3, image_size, image_size).astype(np.float32)
+        _, _, vk = V.vit_forward(
+            params["visual_encoder"], jnp.asarray(probe), cfg=cfg.vit,
+            space_dict=params["space_dict"],
+            temperature=jnp.float32(temperature), prune_active=True)
+        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
+                                      multiple=64)
+        print("fast_eval vision capacities:", caps_v)
+
     def eval_epoch(temperature, loader):
         logger = MetricLogger()
         results = []
         g_sum, n = 0.0, 0
         for images, img_ids in logger.log_every(loader(), 10, "Caption eval:"):
             caps, v_kept = generate_captions(params, cfg, tokenizer,
-                                             images, temperature)
+                                             images, temperature,
+                                             capacities=caps_v)
             for c, i in zip(caps, img_ids):
                 results.append({"image_id": int(i), "caption": c})
             g_sum += caption_gflops(cfg.vit, cfg.med, v_kept, 14)

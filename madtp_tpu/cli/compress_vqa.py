@@ -90,12 +90,14 @@ def main():
     a_ids, a_mask = jnp.asarray(a_ids), jnp.asarray(a_mask)
 
     inference = config.get("inference", "rank")
+    caps_v = caps_t = None
 
     @jax.jit
     def eval_step(params, images, q_ids, q_mask, t):
         out, _ = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=t, prune_active=True,
+            capacities_v=caps_v, capacities_t=caps_t,
         )
         best, _ = rank_answers(
             params["text_decoder"], out.state, a_ids, a_mask, cfg,
@@ -123,6 +125,28 @@ def main():
             pad_token_id=tokenizer.pad_token_id,
         )
         return seqs, out.kept_counts
+
+    def calibrate_fast_eval(loader):
+        nonlocal caps_v, caps_t
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        images, questions, _ = next(iter(loader()))
+        q = tokenizer(list(questions), padding="longest")
+        qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
+        out, _ = blip_vqa_encode(
+            params, jnp.asarray(images), jnp.asarray(qi),
+            jnp.asarray(q["attention_mask"]), cfg,
+            temperature=jnp.float32(temperature), prune_active=True)
+        import madtp_tpu.models.vit as V
+
+        _, _, vk = V.vit_forward(
+            params["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
+            space_dict=params["space_dict"],
+            temperature=jnp.float32(temperature), prune_active=True)
+        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16, multiple=64)
+        caps_t = calibrate_capacities(np.asarray(out.kept_counts)[None],
+                                      margin=4, multiple=8)
+        print("fast_eval capacities:", caps_v, caps_t)
 
     def run_eval(loader):
         logger = MetricLogger()
@@ -161,6 +185,8 @@ def main():
                 yield (rng.randn(2, 3, image_size, image_size).astype(np.float32),
                        ["where is the object"] * 2, np.arange(2) + 2 * i)
 
+        if args.fast_eval:
+            calibrate_fast_eval(loader)
         results, cur_g = run_eval(loader)
         log = {"n_answers": len(results), "Cur_Gflops": round(cur_g, 4),
                "sample": results[0]["answer"]}
@@ -178,6 +204,9 @@ def main():
                     config.get("vg_root", ""), split="test")
 
     if args.evaluate:
+        if args.fast_eval:
+            calibrate_fast_eval(
+                lambda: batched_loader(ds, config.get("batch_size_test", 16)))
         results, cur_g = run_eval(
             lambda: batched_loader(ds, config.get("batch_size_test", 16)))
         save_result(results, args.output_dir, "vqa_result")
