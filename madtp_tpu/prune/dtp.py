@@ -297,22 +297,18 @@ def dtp_prune_gather(
     overflow = jnp.maximum(jnp.where(apply, topk_num, alive_cnt) - cap_p, 0)
 
     score_ranked = jnp.where(palive, score, NEG_INF)
-    # exact top-cap_p by score (lax.top_k: descending, ties by lower index —
-    # cheaper than a full argsort on TPU)
-    _, sel = jax.lax.top_k(score_ranked, cap_p)  # [B, cap_p]
+    order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, S-1] desc
+    sel = order[:, :cap_p]  # top cap_p patch indices (0-based into patches)
     ranks_sel = jnp.arange(cap_p)[None, :]
     sel_alive = jnp.take_along_axis(palive, sel, axis=1) & (ranks_sel < eff_keep)
 
     gx = jnp.take_along_axis(x[:, 1:], sel[:, :, None], axis=1)  # [B,cap_p,D]
     gbias = None if bias is None else jnp.take_along_axis(bias[:, 1:], sel, axis=1)
 
-    # merged token: everything alive that is NOT effectively kept — built by
-    # scattering the kept set back (avoids a second full sort)
-    keep_scatter = jnp.zeros(palive.shape, bool)
-    keep_scatter = keep_scatter.at[
-        jnp.arange(palive.shape[0])[:, None], sel
-    ].set(ranks_sel < eff_keep)
-    merge_mask = palive & ~keep_scatter
+    # merged token: everything alive and not effectively kept (ranks derived
+    # from `order` — one sort fewer than calling _rank_desc again)
+    rank_full = jnp.argsort(order, axis=-1, stable=True)
+    merge_mask = palive & (rank_full >= eff_keep)
     w = jnp.where(merge_mask, score, 0.0)
     w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)
     merged = jnp.einsum(
@@ -328,12 +324,8 @@ def dtp_prune_gather(
     )
     new_bias = None
     if bias is not None:
-        # the rank-eff_keep token is sel[:, eff_keep] when it fits in the
-        # capacity window; otherwise fall back to the last selected slot
-        # (capacity overflow, already a documented deviation)
-        idx_k = jnp.minimum(eff_keep, cap_p - 1)
         rank_k_tok = jnp.take_along_axis(
-            sel, jnp.broadcast_to(idx_k[None, None], (B, 1)), axis=1)
+            order, jnp.broadcast_to(eff_keep[None, None], (B, 1)), axis=1)
         merged_bias = jnp.take_along_axis(bias[:, 1:], rank_k_tok, axis=1)
         new_bias = jnp.concatenate([bias[:, :1], gbias, merged_bias], axis=1)
     kept = eff_keep + do_merge.astype(eff_keep.dtype)
