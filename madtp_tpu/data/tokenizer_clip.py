@@ -3,8 +3,7 @@
 Reference: ``clip/simple_tokenizer.py`` + ``clip/clip.py:202-242``
 (``tokenize`` pads to context length 77 with <|startoftext|>/<|endoftext|>).
 The merge table is the standard public ``bpe_simple_vocab_16e6.txt.gz`` data
-file; its default location points at the read-only reference mount so no
-vendoring is needed (override via ``vocab_path``).
+file, vendored under ``madtp_tpu/data/assets/`` (override via ``vocab_path``).
 
 Vocab layout (OpenAI CLIP): 256 byte-units + 256 byte-units+'</w>' +
 48894 merged symbols + 2 specials = 49408.
@@ -14,12 +13,16 @@ from __future__ import annotations
 
 import gzip
 import html
+import os
 from functools import lru_cache
 from typing import List, Sequence
 
 import numpy as np
 
-DEFAULT_BPE = "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz"
+DEFAULT_BPE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "assets", "bpe_simple_vocab_16e6.txt.gz",
+)
 SOT, EOT = "<|startoftext|>", "<|endoftext|>"
 
 

@@ -8,44 +8,57 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 
+def _rank_of_columns(scores: np.ndarray) -> np.ndarray:
+    """rank[q, c] = zero-based position of candidate ``c`` in row ``q``'s
+    descending-score ordering.  One argsort per matrix (vectorized; the
+    reference loops rows and re-scans the ordering per ground-truth item)."""
+    n_q, n_c = scores.shape
+    order = np.argsort(-scores, axis=1, kind="stable")
+    rank = np.empty((n_q, n_c), dtype=np.int64)
+    np.put_along_axis(rank, order, np.broadcast_to(np.arange(n_c), (n_q, n_c)), axis=1)
+    return rank
+
+
+def _recall_triplet(best_rank: np.ndarray) -> tuple:
+    return tuple(float(100.0 * np.mean(best_rank < k)) for k in (1, 5, 10))
+
+
 def itm_eval(
     scores_i2t: np.ndarray,  # [n_images, n_texts]
     scores_t2i: np.ndarray,  # [n_texts, n_images]
     txt2img: Sequence[int],
     img2txt: Sequence[Sequence[int]],
 ) -> Dict[str, float]:
-    """Recall@{1,5,10} both directions + means
-    (reference compress_retrieval_dtp.py:209-254)."""
-    ranks = np.zeros(scores_i2t.shape[0])
-    for index, score in enumerate(scores_i2t):
-        inds = np.argsort(score)[::-1]
-        rank = 1e20
-        for i in img2txt[index]:
-            tmp = np.where(inds == i)[0][0]
-            if tmp < rank:
-                rank = tmp
-        ranks[index] = rank
+    """Recall@{1,5,10} both directions + means — the standard retrieval
+    metric (behavior of reference ``compress_retrieval_dtp.py:209-254``,
+    re-derived: rank of the best-ranked ground-truth per query)."""
+    i2t_rank = _rank_of_columns(np.asarray(scores_i2t, dtype=np.float64))
+    n_images = i2t_rank.shape[0]
+    # Ragged ground-truth sets: flatten to (query, text) index pairs, take a
+    # per-query min via minimum.at (vectorized over the pair list).
+    q_idx = np.concatenate(
+        [np.full(len(img2txt[i]), i, dtype=np.int64) for i in range(n_images)]
+    )
+    t_idx = np.concatenate(
+        [np.asarray(list(img2txt[i]), dtype=np.int64) for i in range(n_images)]
+    )
+    best_txt_rank = np.full(n_images, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(best_txt_rank, q_idx, i2t_rank[q_idx, t_idx])
 
-    tr1 = 100.0 * len(np.where(ranks < 1)[0]) / len(ranks)
-    tr5 = 100.0 * len(np.where(ranks < 5)[0]) / len(ranks)
-    tr10 = 100.0 * len(np.where(ranks < 10)[0]) / len(ranks)
+    t2i_rank = _rank_of_columns(np.asarray(scores_t2i, dtype=np.float64))
+    n_texts = t2i_rank.shape[0]
+    gt_img = np.asarray([txt2img[t] for t in range(n_texts)], dtype=np.int64)
+    img_rank = t2i_rank[np.arange(n_texts), gt_img]
 
-    ranks = np.zeros(scores_t2i.shape[0])
-    for index, score in enumerate(scores_t2i):
-        inds = np.argsort(score)[::-1]
-        ranks[index] = np.where(inds == txt2img[index])[0][0]
-
-    ir1 = 100.0 * len(np.where(ranks < 1)[0]) / len(ranks)
-    ir5 = 100.0 * len(np.where(ranks < 5)[0]) / len(ranks)
-    ir10 = 100.0 * len(np.where(ranks < 10)[0]) / len(ranks)
-
+    tr1, tr5, tr10 = _recall_triplet(best_txt_rank)
+    ir1, ir5, ir10 = _recall_triplet(img_rank)
     tr_mean = (tr1 + tr5 + tr10) / 3
     ir_mean = (ir1 + ir5 + ir10) / 3
-    r_mean = (tr_mean + ir_mean) / 2
     return {
         "txt_r1": tr1, "txt_r5": tr5, "txt_r10": tr10,
         "img_r1": ir1, "img_r5": ir5, "img_r10": ir10,
-        "txt_r_mean": tr_mean, "img_r_mean": ir_mean, "r_mean": r_mean,
+        "txt_r_mean": tr_mean, "img_r_mean": ir_mean,
+        "r_mean": (tr_mean + ir_mean) / 2,
     }
 
 

@@ -52,3 +52,27 @@ def test_cider_orders_quality():
         {"1": refs["1"], "2": refs["2"]},
     )
     assert out["CIDEr"] > 0 and 0 <= out["Bleu_4"] <= 1
+
+
+def test_itm_eval_random_vs_rowwise_oracle():
+    """Vectorized itm_eval == naive per-row rank computation on random data."""
+    rng = np.random.RandomState(0)
+    n_img, n_txt = 17, 5 * 17
+    s_i2t = rng.randn(n_img, n_txt)
+    s_t2i = rng.randn(n_txt, n_img)
+    txt2img = {t: t // 5 for t in range(n_txt)}
+    img2txt = {i: list(range(5 * i, 5 * i + 5)) for i in range(n_img)}
+
+    def naive_rank(scores, gts):
+        out = []
+        for row, gt in zip(scores, gts):
+            order = list(np.argsort(-row))
+            out.append(min(order.index(g) for g in gt))
+        return np.array(out)
+
+    got = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
+    txt_rank = naive_rank(s_i2t, [img2txt[i] for i in range(n_img)])
+    img_rank = naive_rank(s_t2i, [[txt2img[t]] for t in range(n_txt)])
+    for k in (1, 5, 10):
+        assert got[f"txt_r{k}"] == 100.0 * np.mean(txt_rank < k)
+        assert got[f"img_r{k}"] == 100.0 * np.mean(img_rank < k)
