@@ -11,7 +11,8 @@ Procedure:
    chases with fvcore tracing;
 2. calibrate a static per-layer capacity schedule from mask-mode kept counts;
 3. time the gather-mode eval step (the TPU fast path);
-4. baseline = the same model dense (temperature 0, no pruning).
+4. baseline = the same model dense (temperature 0, no pruning), SAME dtype
+   (bf16 both sides; the fp32 dense number is reported in detail only).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 Weights are random (no reference checkpoints are shipped in-tree); throughput

@@ -34,7 +34,26 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                    help="resume compression from an orbax checkpoint dir "
                         "(params + optimizer state + controller state; "
                         "capability the reference lacks, SURVEY.md §5)")
+    p.add_argument("--dp", default="auto", choices=["auto", "off"],
+                   help="data-parallel over all visible devices (the "
+                        "reference's default 8-way DDP, "
+                        "compress_nlvr_dtp.py:148); 'off' forces single-device")
+    p.add_argument("--batch_size_train", default=0, type=int,
+                   help="override config batch_size_train (0 = config default)")
+    p.add_argument("--batch_size_test", default=0, type=int,
+                   help="override config batch_size_test (0 = config default)")
     return p
+
+
+def driver_mesh(args):
+    """Build the driver's data-parallel mesh (None if single-device/--dp off),
+    logging the decision once."""
+    from madtp_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(enable=args.dp != "off")
+    if mesh is not None:
+        print(f"data-parallel: {mesh.shape['data']} devices over 'data'")
+    return mesh
 
 
 def load_config(args) -> dict:
@@ -47,6 +66,11 @@ def load_config(args) -> dict:
     config["pretrained"] = args.pretrained or config.get("pretrained", "")
     config["max_epoch"] = args.epoch
     config["p"] = args.p
+    if getattr(args, "batch_size_train", 0):
+        config["batch_size_train"] = args.batch_size_train
+        config["batch_size"] = args.batch_size_train  # caption yaml key
+    if getattr(args, "batch_size_test", 0):
+        config["batch_size_test"] = args.batch_size_test
     # yaml 1.1 parses exponent-without-dot floats ('3e-6') as strings
     for k, v in list(config.items()):
         if isinstance(v, str):

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from madtp_tpu.cli.common import (
-    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
-    set_seed,
+    base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
+    make_tokenizer, set_seed,
 )
 from madtp_tpu.core.config import MedConfig, ViTConfig
 from madtp_tpu.models.blip import (
@@ -42,26 +42,34 @@ PROMPT = "a picture of "
 
 def generate_captions(params, cfg, tokenizer, images, temperature, *,
                       num_beams=3, max_length=20, min_length=5,
-                      capacities=None):
-    """Pruned image encode + beam decode (reference models/blip.py:161-202)."""
+                      capacities=None, mesh=None):
+    """Pruned image encode + beam decode (reference models/blip.py:161-202).
+
+    ``mesh``: GSPMD data-parallel decode — the batch is padded (repeating the
+    last image, neutral for DTP batch-max coupling) and sharded over 'data';
+    the padded captions are dropped, so results match single-device exactly."""
+    from madtp_tpu.parallel.mesh import shard_batch_padded
+
     prune = temperature > 0
+    B = images.shape[0]
+    images, n = shard_batch_padded(mesh, images)
     vstate, _, v_kept = blip_caption_encode_image(
-        params, jnp.asarray(images), cfg,
+        params, images, cfg,
         temperature=jnp.float32(temperature), prune_active=prune,
         capacities=capacities,
     )
-    B = images.shape[0]
-    prompt = tokenizer([PROMPT] * B, padding="longest")
+    prompt = tokenizer([PROMPT] * int(images.shape[0]), padding="longest")
     prompt_ids = prompt["input_ids"][:, :-1]  # drop [SEP] (reference :173)
     prompt_ids[:, 0] = tokenizer.bos_token_id
+    prompt_ids, _ = shard_batch_padded(mesh, prompt_ids)
     out = beam_generate(
-        params["text_decoder"], vstate, jnp.asarray(prompt_ids), cfg,
+        params["text_decoder"], vstate, prompt_ids, cfg,
         num_beams=num_beams, max_length=max_length, min_length=min_length,
         eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
     )
     caps = [tokenizer.decode(row)[len(PROMPT):].strip()
             if tokenizer.decode(row).startswith(PROMPT)
-            else tokenizer.decode(row) for row in np.asarray(out)]
+            else tokenizer.decode(row) for row in np.asarray(out)[:B]]
     return caps, np.asarray(v_kept)
 
 
@@ -74,6 +82,7 @@ def main():
 
     image_size = config.get("image_size", 64 if args.synthetic else 384)
     tokenizer = make_tokenizer(args, config)
+    mesh = driver_mesh(args)
 
     if args.synthetic:
         from madtp_tpu.models.med import init_med_params
@@ -131,7 +140,7 @@ def main():
         for images, img_ids in logger.log_every(loader(), 10, "Caption eval:"):
             caps, v_kept = generate_captions(params, cfg, tokenizer,
                                              images, temperature,
-                                             capacities=caps_v)
+                                             capacities=caps_v, mesh=mesh)
             for c, i in zip(caps, img_ids):
                 results.append({"image_id": int(i), "caption": c})
             g_sum += caption_gflops(cfg.vit, cfg.med, v_kept, 14)
@@ -222,6 +231,22 @@ def main():
         measure, target, t0=1.0, tol=1.0)
     print("pre-searched temperature:", controller.temperature)
 
+    from madtp_tpu.parallel.mesh import replicate as _replicate
+
+    def put_batch(*arrays):
+        from madtp_tpu.parallel.mesh import shard_batch_padded
+
+        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                f"train batch {arrays[0].shape[0]} not divisible by data axis"
+                f" {mesh.shape['data']}; set --batch_size_train accordingly")
+        out = shard_batch_padded(mesh, *arrays)
+        return out[:-1]
+
+    if mesh is not None:
+        params = _replicate(mesh, params)
+        opt_state = _replicate(mesh, opt_state)
+
     best, cur_g = -1.0, ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
         if epoch > 0:
@@ -239,14 +264,19 @@ def main():
             ids[:, 0] = tokenizer.bos_token_id  # reference models/blip.py:118
             labels = np.where(ids == tokenizer.pad_token_id, -100, ids)
             labels[:, :prompt_length] = -100  # reference models/blip.py:121
+            images_d, ids_d, mask_d, labels_d = put_batch(
+                images, ids, mask, labels)
             params, opt_state, metrics = train_step(
-                params, opt_state, jnp.asarray(images), jnp.asarray(ids),
-                jnp.asarray(mask), jnp.asarray(labels),
+                params, opt_state, images_d, ids_d, mask_d, labels_d,
                 jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         results, cur_g = eval_epoch(temperature, make_loader("val"))
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                "train_loss": f"{logger.meters['loss'].global_avg:.4f}"}
+        # Best-checkpoint gate: CIDEr ALONE (the reference gates on
+        # CIDEr+SPICE, compress_caption_dtp.py:303; SPICE needs a Java
+        # scorer that is out of scope here — eval/caption_metrics.py — so
+        # the gate is explicitly CIDEr-only and logged as such).
         gt_path = os.path.join(config.get("coco_gt_root", ""), "gt.json")
         if os.path.exists(gt_path):
             import json as _json
@@ -256,6 +286,7 @@ def main():
             scores = coco_caption_scores(results, _json.load(open(gt_path)))
             log.update({k: round(v, 4) for k, v in scores.items()})
             metric = scores["CIDEr"]
+            log["ckpt_gate"] = "CIDEr (reference uses CIDEr+SPICE)"
         else:
             metric = 0.0
         if metric >= best and cur_g - target < 5.0:

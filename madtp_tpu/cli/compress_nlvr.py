@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from madtp_tpu.cli.common import (
-    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
-    set_seed,
+    base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
+    make_tokenizer, set_seed,
 )
 from madtp_tpu.core.config import MedConfig, ViTConfig
 from madtp_tpu.models.blip import BlipConfig, load_blip_nlvr
@@ -86,7 +86,8 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0):
     ds = NLVRDataset(tf, config["image_root"], config["ann_root"], split)
 
     def it():
-        for batch_data in batched_loader(ds, batch, shuffle=train, epoch=epoch):
+        for batch_data in batched_loader(ds, batch, shuffle=train, epoch=epoch,
+                                         drop_last=train):
             yield batch_data
 
     return it
@@ -156,9 +157,15 @@ def main():
             },
         })
 
+    mesh = driver_mesh(args)
     target_gflops = ORI_GFLOPS * (1.0 - config["p"])
     batch_train = config.get("batch_size_train", 4 if args.synthetic else 16)
     batch_test = config.get("batch_size_test", 4 if args.synthetic else 32)
+    if mesh is not None:
+        d = mesh.shape["data"]
+        batch_train += (-batch_train) % d  # train batches must divide 'data'
+        if args.synthetic:  # synthetic loader feeds training too
+            batch_test += (-batch_test) % d
 
     def get_loader(split, train=False, epoch=0):
         if args.synthetic:
@@ -188,12 +195,12 @@ def main():
         val_stats, cur_g = task.evaluate(
             params, get_loader("val"), tokenize, cfg, temperature,
             prune_active=temperature > 0, enc_token_id=tokenizer.enc_token_id,
-            capacities_v=caps_v, capacities_t=caps_t,
+            capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
         )
         test_stats, _ = task.evaluate(
             params, get_loader("test"), tokenize, cfg, temperature,
             prune_active=temperature > 0, enc_token_id=tokenizer.enc_token_id,
-            capacities_v=caps_v, capacities_t=caps_t,
+            capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
         )
         log = {**{f"val_{k}": v for k, v in val_stats.items()},
                **{f"test_{k}": v for k, v in test_stats.items()},
@@ -241,15 +248,15 @@ def main():
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
         params, opt_state, train_stats = task.train_epoch(
             params, opt_state, train_step, get_loader("train", True, epoch),
-            tokenize, tokenizer.enc_token_id, temperature, lr=lr,
+            tokenize, tokenizer.enc_token_id, temperature, lr=lr, mesh=mesh,
         )
         val_stats, cur_g = task.evaluate(
             params, get_loader("val"), tokenize, cfg, temperature,
-            prune_active=True, enc_token_id=tokenizer.enc_token_id,
+            prune_active=True, enc_token_id=tokenizer.enc_token_id, mesh=mesh,
         )
         test_stats, _ = task.evaluate(
             params, get_loader("test"), tokenize, cfg, temperature,
-            prune_active=True, enc_token_id=tokenizer.enc_token_id,
+            prune_active=True, enc_token_id=tokenizer.enc_token_id, mesh=mesh,
         )
         log = {**{f"train_{k}": v for k, v in train_stats.items()},
                **{f"val_{k}": v for k, v in val_stats.items()},

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from madtp_tpu.cli.common import (
-    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
-    set_seed,
+    base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
+    make_tokenizer, set_seed,
 )
 from madtp_tpu.core.config import MedConfig, ViTConfig
 from madtp_tpu.eval.metrics import itm_eval
@@ -36,6 +36,7 @@ def main():
 
     image_size = config.get("image_size", 64 if args.synthetic else 384)
     tokenizer = make_tokenizer(args, config)
+    mesh = driver_mesh(args)
     k_test = config.get("k_test", 4 if args.synthetic else 256)
 
     if args.synthetic:
@@ -129,7 +130,7 @@ def main():
     img_feats, img_states, txt_feats = encode_corpus(
         params, cfg, iter(image_batches), text_ids, text_mask,
         temperature=temperature, prune_active=prune,
-        capacities_v=caps_v, capacities_t=caps_t,
+        capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
     )
     # ITM rerank uses [ENC]-token text (reference compress_retrieval_dtp:168)
     enc_ids = text_ids.copy()
@@ -137,7 +138,7 @@ def main():
     s_i2t, s_t2i = rerank_scores(
         params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
         k_test=min(k_test, len(texts)), temperature=temperature,
-        prune_active=prune, capacities_t=caps_t,
+        prune_active=prune, capacities_t=caps_t, mesh=mesh,
     )
     stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
     log = {k: round(v, 3) for k, v in stats.items()}
@@ -174,7 +175,8 @@ def main():
     train_step = make_retrieval_train_step(
         cfg, tx, alpha=config.get("alpha", 0.4),
         enc_token_id=tokenizer.enc_token_id,
-        negative_all_rank=config.get("negative_all_rank", False))
+        negative_all_rank=config.get("negative_all_rank", False),
+        data_shards=mesh.shape["data"] if mesh is not None else 1)
     state = RetrievalTrainState(
         params=params,
         params_m={k: params[k] for k in MOMENTUM_KEYS},
@@ -184,6 +186,19 @@ def main():
         temp=jnp.float32(0.07),
     )
     controller = TemperatureController(target_gflops=target)
+
+    from madtp_tpu.parallel.mesh import replicate as _replicate, \
+        shard_batch_padded as _shard
+
+    if mesh is not None:
+        state = _replicate(mesh, state)
+
+    def put_train(*arrays):
+        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                f"train batch {arrays[0].shape[0]} not divisible by data axis"
+                f" {mesh.shape['data']}; set --batch_size_train accordingly")
+        return _shard(mesh, *arrays)[:-1]
 
     _trng = _random.Random(args.seed)
     train_ds = CaptionTrainDataset(
@@ -207,20 +222,20 @@ def main():
             50, f"Train [{epoch}]"):
             tok = tokenizer(list(captions), padding="max_length", max_length=35)
             rng_key, sub = jrandom.split(rng_key)
+            batch_d = put_train(images, tok["input_ids"],
+                                tok["attention_mask"], np.asarray(img_idx))
             state, metrics = train_step(
-                state, sub, jnp.asarray(images), jnp.asarray(tok["input_ids"]),
-                jnp.asarray(tok["attention_mask"]), jnp.asarray(img_idx),
-                jnp.float32(temperature))
+                state, sub, *batch_d, jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         # eval epoch: re-embed + rerank with current weights
         params = state.params
         img_feats, img_states, txt_feats = encode_corpus(
             params, cfg, iter(image_batches_fn()), text_ids, text_mask,
-            temperature=temperature, prune_active=True)
+            temperature=temperature, prune_active=True, mesh=mesh)
         s_i2t, s_t2i = rerank_scores(
             params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
             k_test=min(k_test, len(texts)), temperature=temperature,
-            prune_active=True)
+            prune_active=True, mesh=mesh)
         stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
         # analytic GFLOPs from a mask-mode probe
         from madtp_tpu.models.blip import blip_retrieval_image_features

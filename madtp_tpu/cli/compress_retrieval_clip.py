@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from madtp_tpu.cli.common import (
-    base_parser, dump_log, enable_compile_cache, load_config, set_seed,
+    base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
+    set_seed,
 )
 from madtp_tpu.core.config import CLIPConfig
 from madtp_tpu.eval.metrics import itm_eval
@@ -104,6 +105,14 @@ def main():
     images_all = images
 
     prune = temperature > 0
+    mesh = driver_mesh(args)
+    from madtp_tpu.parallel.mesh import replicate as _replicate, \
+        shard_batch_padded as _shard
+
+    if mesh is not None:
+        params = _replicate(mesh, params)
+        if space_dict is not None:
+            space_dict = _replicate(mesh, space_dict)
 
     @jax.jit
     def img_step(params, images, sd, t):
@@ -124,13 +133,13 @@ def main():
     img_feats, txt_feats = [], []
     v_kept = t_kept = None
     for i in range(0, len(images), bt):
-        f, v_kept = img_step(params, jnp.asarray(images[i : i + bt]),
-                             space_dict, t)
-        img_feats.append(np.asarray(f))
+        im_d, n = _shard(mesh, images[i : i + bt])
+        f, v_kept = img_step(params, im_d, space_dict, t)
+        img_feats.append(np.asarray(f)[:n])
     for i in range(0, len(text), bt):
-        f, t_kept = txt_step(params, jnp.asarray(text[i : i + bt]),
-                             space_dict, t)
-        txt_feats.append(np.asarray(f))
+        tx_d, n = _shard(mesh, text[i : i + bt])
+        f, t_kept = txt_step(params, tx_d, space_dict, t)
+        txt_feats.append(np.asarray(f)[:n])
     img_feats = np.concatenate(img_feats)
     txt_feats = np.concatenate(txt_feats)
 
@@ -175,6 +184,15 @@ def main():
         space_dict=space_dict,
     )
     controller = TemperatureController(target_gflops=target)
+    if mesh is not None:
+        state = _replicate(mesh, state)
+
+    def put_train(*arrays):
+        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                f"train batch {arrays[0].shape[0]} not divisible by data axis"
+                f" {mesh.shape['data']}; set --batch_size_train accordingly")
+        return _shard(mesh, *arrays)[:-1]
 
     _trng = _random.Random(args.seed)
     train_ds = CaptionTrainDataset(
@@ -196,21 +214,23 @@ def main():
                            shuffle=True, epoch=epoch, drop_last=True),
             50, f"Train [{epoch}]"):
             txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
+            batch_d = put_train(images, txt, np.asarray(img_idx))
             state, metrics = train_step(
-                state, jnp.asarray(images), jnp.asarray(txt),
-                jnp.asarray(img_idx), jnp.float32(temperature))
+                state, *batch_d, jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         params, space_dict = state.params, state.space_dict
         # eval epoch (ITC-only like the reference CLIP driver)
         img_feats, txt_feats = [], []
         for i in range(0, len(images_all), bt):
-            f, v_kept = img_step(params, jnp.asarray(images_all[i:i+bt]),
-                                 space_dict, jnp.float32(temperature))
-            img_feats.append(np.asarray(f))
+            im_d, n = _shard(mesh, images_all[i:i+bt])
+            f, v_kept = img_step(params, im_d, space_dict,
+                                 jnp.float32(temperature))
+            img_feats.append(np.asarray(f)[:n])
         for i in range(0, len(text), bt):
-            f, t_kept = txt_step(params, jnp.asarray(text[i:i+bt]),
-                                 space_dict, jnp.float32(temperature))
-            txt_feats.append(np.asarray(f))
+            tx_d, n = _shard(mesh, text[i:i+bt])
+            f, t_kept = txt_step(params, tx_d, space_dict,
+                                 jnp.float32(temperature))
+            txt_feats.append(np.asarray(f)[:n])
         sims = np.concatenate(img_feats) @ np.concatenate(txt_feats).T
         stats = itm_eval(sims, sims.T, txt2img, img2txt)
         cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))

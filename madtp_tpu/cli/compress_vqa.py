@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from madtp_tpu.cli.common import (
-    base_parser, dump_log, enable_compile_cache, load_config, make_tokenizer,
-    set_seed,
+    base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
+    make_tokenizer, set_seed,
 )
 from madtp_tpu.core.config import MedConfig, ViTConfig
 from madtp_tpu.models.blip import BlipConfig, blip_vqa_encode, load_blip_vqa
@@ -46,6 +46,7 @@ def main():
 
     image_size = config.get("image_size", 64 if args.synthetic else 480)
     tokenizer = make_tokenizer(args, config)
+    mesh = driver_mesh(args)
     k_test = config.get("k_test", 8 if args.synthetic else 128)
 
     if args.synthetic:
@@ -149,6 +150,11 @@ def main():
         print("fast_eval capacities:", caps_v, caps_t)
 
     def run_eval(loader):
+        # GSPMD data-parallel eval: batch padded (repeat last sample — neutral
+        # for DTP batch-max coupling) and sharded over 'data'; padded rows
+        # dropped, so sharded metrics == single-device (tests/test_spmd.py).
+        from madtp_tpu.parallel.mesh import shard_batch_padded
+
         logger = MetricLogger()
         results = []
         g_sum, n = 0.0, 0
@@ -156,18 +162,20 @@ def main():
             q = tokenizer(list(questions), padding="longest")
             q_ids_np = q["input_ids"]
             q_ids_np[:, 0] = tokenizer.enc_token_id
+            images_d, q_ids_d, q_mask_d, nb = shard_batch_padded(
+                mesh, images, q_ids_np, q["attention_mask"])
             if inference == "generate":
                 seqs, kept = gen_step(
-                    params, jnp.asarray(images), jnp.asarray(q_ids_np),
-                    jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
-                for row, qid in zip(np.asarray(seqs), qids):
+                    params, images_d, q_ids_d, q_mask_d,
+                    jnp.float32(temperature))
+                for row, qid in zip(np.asarray(seqs)[:nb], qids):
                     results.append({"question_id": int(qid),
                                     "answer": tokenizer.decode(row)})
             else:
                 best, kept = eval_step(
-                    params, jnp.asarray(images), jnp.asarray(q_ids_np),
-                    jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
-                for b, qid in zip(np.asarray(best), qids):
+                    params, images_d, q_ids_d, q_mask_d,
+                    jnp.float32(temperature))
+                for b, qid in zip(np.asarray(best)[:nb], qids):
                     results.append({"question_id": int(qid),
                                     "answer": answer_list[int(b)]})
             g_sum += vqa_gflops(
@@ -242,6 +250,21 @@ def main():
         split="train", train_files=tuple(config.get(
             "train_files", ("vqa_train", "vqa_val", "vg_qa"))))
 
+    if mesh is not None:
+        from madtp_tpu.parallel.mesh import replicate as _replicate
+
+        params = _replicate(mesh, params)
+        opt_state = _replicate(mesh, opt_state)
+
+    def put_train(*arrays):
+        from madtp_tpu.parallel.mesh import shard_batch_padded
+
+        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                f"train batch {arrays[0].shape[0]} not divisible by data axis"
+                f" {mesh.shape['data']}; set --batch_size_train accordingly")
+        return shard_batch_padded(mesh, *arrays)[:-1]
+
     cur_g = ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
         if epoch > 0:
@@ -272,10 +295,10 @@ def main():
                 ans_msk[b, :cnt] = a["attention_mask"][pos : pos + cnt]
                 w[b, :cnt] = weights[pos : pos + cnt]
                 pos += cnt
+            batch_d = put_train(images, q_ids, q["attention_mask"],
+                                ans_ids, ans_msk, w)
             params, opt_state, metrics = train_step(
-                params, opt_state, jnp.asarray(images), jnp.asarray(q_ids),
-                jnp.asarray(q["attention_mask"]), jnp.asarray(ans_ids),
-                jnp.asarray(ans_msk), jnp.asarray(w), jnp.float32(temperature))
+                params, opt_state, *batch_d, jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         results, cur_g = run_eval(
             lambda: batched_loader(ds, config.get("batch_size_test", 16)))

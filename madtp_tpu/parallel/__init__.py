@@ -1,6 +1,8 @@
 from madtp_tpu.parallel.mesh import (
     make_mesh,
+    data_mesh,
     shard_batch,
+    shard_batch_padded,
     replicate,
     model_parallel_param_shardings,
 )

@@ -32,6 +32,50 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+def data_mesh(enable: bool = True) -> Optional[Mesh]:
+    """Default driver-level data-parallel mesh: 1-D 'data' axis over all
+    visible devices, or ``None`` when single-device / disabled.
+
+    The reference runs every task driver 8-way DDP by default
+    (``compress_nlvr_dtp.py:148``, ``utils.py:254-276``); this is the GSPMD
+    equivalent every ``cli/compress_*`` driver builds at startup."""
+    if not enable:
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    return Mesh(np.array(devices), ("data",))
+
+
+def shard_batch_padded(mesh: Optional[Mesh], *arrays):
+    """Place ``arrays`` batch-sharded over 'data', padding the leading dim to
+    a multiple of the axis size by REPEATING the final row.  Returns
+    ``(*placed_arrays, n_valid)`` — callers slice outputs back to ``n_valid``.
+
+    Repeating an existing row is exactly neutral for DTP's batch-coupled
+    keep counts (``topk_num = max_b counts[b]``, prune/dtp.py:171): a
+    duplicate contributes an already-present count, so the max — and hence
+    every original row's pruning decision — is unchanged.  Sharded eval is
+    therefore bit-identical to the unsharded run (tests/test_spmd.py).
+
+    ``mesh=None``: plain ``jnp.asarray`` passthrough (single-device)."""
+    import jax.numpy as jnp
+
+    n = int(arrays[0].shape[0])
+    if mesh is None:
+        return (*(jnp.asarray(a) for a in arrays), n)
+    d = mesh.shape["data"]
+    pad = (-n) % d
+    s = NamedSharding(mesh, P("data"))
+    placed = []
+    for a in arrays:
+        a = np.asarray(a)
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        placed.append(jax.device_put(a, s))
+    return (*placed, n)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Shard leading (batch) axis over 'data'."""
     s = NamedSharding(mesh, P("data"))

@@ -25,8 +25,20 @@ def calibrate_capacities(
     margin: int = 8,
     multiple: int = 32,
     max_tokens: int = 10_000,
+    mode: str = "ceil",
 ) -> Tuple[int, ...]:
-    """Returns a per-layer buffer capacity tuple (CLS + patches + merge)."""
+    """Returns a per-layer buffer capacity tuple (CLS + patches + merge).
+
+    ``mode``:
+    * ``"ceil"`` (default) — round the needed buffer UP to ``multiple``:
+      lossless (every mask-mode keep fits, modulo batch variance > margin).
+    * ``"nearest"`` — round to the NEAREST ``multiple`` (never below one
+      ``multiple``): with ``multiple=128`` this matches the fused attention
+      kernel's lane granularity, so layers just past a boundary are clamped
+      down instead of paying a whole extra 128-lane tile; clamped tokens fold
+      into the merge token (counted, never silent).  Accuracy drift is
+      measured in tests/test_calibration_drift.py and COVERAGE.md.
+    """
     kept = np.asarray(kept_counts).reshape(-1, np.asarray(kept_counts).shape[-1])
     per_layer = kept.max(axis=0)
     caps = []
@@ -34,7 +46,11 @@ def calibrate_capacities(
         # total buffer (CLS + >=topk patches + merge) rounded so the buffer
         # size itself is lane-aligned (the fused attention kernel requires
         # N % 128 == 0 to engage)
-        cap = round_up(int(k) - 1 + margin + 2, multiple)
+        need = int(k) - 1 + margin + 2
+        if mode == "nearest":
+            cap = max(multiple, int(round(need / multiple)) * multiple)
+        else:
+            cap = round_up(need, multiple)
         caps.append(min(cap, max_tokens))
     # enforce non-increasing (token counts never grow in DTP)
     for i in range(1, len(caps)):

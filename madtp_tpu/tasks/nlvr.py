@@ -69,22 +69,20 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
 
     ``mesh``: optional ``jax.sharding.Mesh`` — each batch is sharded over the
     'data' axis and params replicated (GSPMD data-parallel eval; the
-    reference's DistributedSampler+DDP equivalent, SURVEY.md §2.5)."""
+    reference's DistributedSampler+DDP equivalent, SURVEY.md §2.5).  Ragged
+    final batches are padded by repeating the last sample — exactly neutral
+    for DTP's batch-max keep counts (see parallel/mesh.shard_batch_padded) —
+    and the padded logits are dropped, so sharded eval metrics are identical
+    to single-device."""
     step = make_eval_step(cfg, prune_active, capacities_v, capacities_t)
+    dsh = None
     if mesh is not None:
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rep = NamedSharding(mesh, P())
-        dsh = NamedSharding(mesh, P("data"))
-        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
-        base_step = step
+        from madtp_tpu.parallel.mesh import replicate
 
-        def step(params, images, ids, mask, t):
-            images = jax.device_put(images, dsh)
-            ids = jax.device_put(ids, dsh)
-            mask = jax.device_put(mask, dsh)
-            return base_step(params, images, ids, mask, t)
+        params = replicate(mesh, params)
+        dsh = NamedSharding(mesh, P("data"))
 
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
@@ -92,13 +90,22 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
     for image0, image1, sentences, targets in logger.log_every(
         loader_fn(), print_freq, "Evaluation:"
     ):
-        images = np.concatenate([image0, image1], axis=0)
         ids, mask = tokenize(sentences)
         ids[:, 0] = enc_token_id  # reference models/blip_nlvr.py:69
-        logits, vk, tk = step(
-            params, jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask), t
-        )
-        preds = np.asarray(logits).argmax(-1)
+        B = len(targets)
+        if mesh is not None:
+            pad = (-B) % mesh.shape["data"]
+            if pad:
+                image0, image1, ids, mask = (
+                    np.concatenate([np.asarray(a),
+                                    np.repeat(np.asarray(a)[-1:], pad, axis=0)])
+                    for a in (image0, image1, ids, mask))
+        images = np.concatenate([image0, image1], axis=0)
+        images, ids_d, mask_d = (
+            jnp.asarray(a) if dsh is None else jax.device_put(np.asarray(a), dsh)
+            for a in (images, ids, mask))
+        logits, vk, tk = step(params, images, ids_d, mask_d, t)
+        preds = np.asarray(logits)[:B].argmax(-1)
         acc = float((preds == np.asarray(targets)).mean())
         logger.meters["acc"].update(acc, n=len(targets))
         if prune_active:
@@ -119,18 +126,41 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
 
 def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
                 enc_token_id: int, temperature: float, *, print_fn=print,
-                print_freq: int = 50, lr: float = 0.0):
+                print_freq: int = 50, lr: float = 0.0, mesh=None):
+    """``mesh``: GSPMD data-parallel training — params/optimizer replicated,
+    batches sharded over 'data' (XLA inserts the gradient all-reduce; the
+    reference's DDP, compress_nlvr_dtp.py:148).  Train batches must divide
+    the 'data' axis (use drop_last + a per-device-multiple batch size, like
+    the reference's per-GPU batch)."""
+    dsh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from madtp_tpu.parallel.mesh import replicate
+
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        dsh = NamedSharding(mesh, P("data"))
+
+    def put(a):
+        a = np.asarray(a)
+        return jnp.asarray(a) if dsh is None else jax.device_put(a, dsh)
+
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
     for image0, image1, sentences, targets in logger.log_every(
         loader_fn(), print_freq, "Train:"
     ):
-        images = np.concatenate([image0, image1], axis=0)
         ids, mask = tokenize(sentences)
         ids[:, 0] = enc_token_id
+        if mesh is not None and len(targets) % mesh.shape["data"]:
+            raise ValueError(
+                f"train batch {len(targets)} not divisible by data axis "
+                f"{mesh.shape['data']}; set batch_size_train to a multiple "
+                f"(drop_last pads the epoch, reference DistributedSampler)")
+        images = np.concatenate([image0, image1], axis=0)
         params, opt_state, metrics = train_step(
-            params, opt_state, jnp.asarray(images), jnp.asarray(ids),
-            jnp.asarray(mask), jnp.asarray(targets), t,
+            params, opt_state, put(images), put(ids), put(mask), put(targets), t,
         )
         logger.update(temperature=float(temperature), lr=lr,
                       **{k: float(v) for k, v in metrics.items()})

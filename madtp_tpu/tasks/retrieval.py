@@ -6,11 +6,17 @@ differences:
 * the reference pads each eval batch's ragged (pruned) token features to the
   global max by repeating the CLS token (``:142-154``); our gather/masked
   states are batch-uniform by construction, so no rag fix is needed;
-* the ITM rerank runs as a jitted fixed-shape step (one image x k_test texts
-  per call), instead of a host loop with per-batch fvcore tracing;
-* multi-device sharding splits the i2t/t2i row loops across the 'data' axis
-  and sums the -100-initialized score matrices (the reference's
-  ``dist.all_reduce(SUM)`` at ``:202-205``).
+* the ITM rerank runs as a jitted fixed-shape step, ``rows_per_call`` query
+  rows at a time with the per-row ITM batches **vmapped** — every DTP
+  reduction (the batch-max keep count, ``prune/dtp.py:171``) stays inside its
+  own row, so any ``rows_per_call`` reproduces the reference's
+  one-row-per-step loop (``:166-178``) bit-exactly (tested,
+  tests/test_retrieval_task.py);
+* single-process multi-device: ``mesh`` shards the vmapped row axis over
+  'data' (rows are independent, so this is embarrassingly parallel);
+  multi-process: ``row_slice`` splits rows across processes and
+  ``merge_score_matrices`` combines the -100-initialized score matrices
+  (the reference's ``dist.all_reduce(SUM)`` at ``:202-205``).
 """
 
 from __future__ import annotations
@@ -38,8 +44,13 @@ def encode_corpus(
     capacities_v=None,
     capacities_t=None,
     text_batch: int = 256,
+    mesh=None,
 ):
     """Stage 1: embed all texts and images (reference :95-125).
+
+    ``mesh``: GSPMD data-parallel encode — each batch is padded (repeating
+    the last sample, neutral for DTP batch-max coupling) and sharded over
+    'data'; padded rows are dropped.
 
     Returns (img_feats [ni,E], img_states TokenState stacked on host,
     txt_feats [nt,E])."""
@@ -47,6 +58,10 @@ def encode_corpus(
         blip_retrieval_image_features,
         blip_retrieval_text_features,
     )
+    from madtp_tpu.parallel.mesh import replicate, shard_batch_padded
+
+    if mesh is not None:
+        params = replicate(mesh, params)
 
     @jax.jit
     def img_step(params, images, t):
@@ -67,10 +82,11 @@ def encode_corpus(
     t = jnp.float32(temperature)
     img_feats, xs, alives = [], [], []
     for images in image_batches:
-        feat, state = img_step(params, jnp.asarray(images), t)
-        img_feats.append(np.asarray(feat))
-        xs.append(np.asarray(state.x))
-        alives.append(np.asarray(state.alive))
+        images, n = shard_batch_padded(mesh, images)
+        feat, state = img_step(params, images, t)
+        img_feats.append(np.asarray(feat)[:n])
+        xs.append(np.asarray(state.x)[:n])
+        alives.append(np.asarray(state.alive)[:n])
     img_feats = np.concatenate(img_feats)
     img_states = TokenState(
         np.concatenate(xs), np.concatenate(alives), None
@@ -78,11 +94,10 @@ def encode_corpus(
 
     txt_feats = []
     for i in range(0, len(text_ids), text_batch):
-        feat = txt_step(
-            params, jnp.asarray(text_ids[i : i + text_batch]),
-            jnp.asarray(text_mask[i : i + text_batch]), t,
-        )
-        txt_feats.append(np.asarray(feat))
+        ids_d, mask_d, n = shard_batch_padded(
+            mesh, text_ids[i : i + text_batch], text_mask[i : i + text_batch])
+        feat = txt_step(params, ids_d, mask_d, t)
+        txt_feats.append(np.asarray(feat)[:n])
     txt_feats = np.concatenate(txt_feats)
     return img_feats, img_states, txt_feats
 
@@ -102,42 +117,60 @@ def rerank_scores(
     row_slice: Optional[Tuple[int, int]] = None,
     rows_per_call: int = 1,
     capacities_t=None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stage 2 (reference :157-205): sims matrix, then ITM logits over each
     row's top-k_test candidates.  ``row_slice`` shards rows across processes;
-    un-scored entries stay at -100 for the cross-process SUM."""
+    un-scored entries stay at -100 for the cross-process SUM.  ``mesh``
+    shards the row axis of each dispatch over 'data' (rows are independent)."""
+    from madtp_tpu.parallel.mesh import replicate, shard_batch_padded
+
     sims = img_feats @ txt_feats.T  # [ni, nt]
     ni, nt = sims.shape
     score_i2t = np.full((ni, nt), -100.0, np.float32)
     score_t2i = np.full((nt, ni), -100.0, np.float32)
 
     t = jnp.float32(temperature)
+    if mesh is not None:
+        params = replicate(mesh, params)
+        rows_per_call = max(rows_per_call, mesh.shape["data"])
 
     @jax.jit
-    def itm_batch(params, ids, mask, state_x, state_alive, t):
-        state = TokenState(state_x, state_alive, None)
-        return blip_itm_score(
-            params, ids, mask, state, cfg,
-            temperature=t, prune_active=prune_active,
-            capacities=capacities_t,
-        )
+    def itm_rows(params, ids, mask, state_x, state_alive, t):
+        """Per-row ITM batches, vmapped over the row axis: every DTP
+        reduction (batch-max keep count, merge weights) stays inside its own
+        row, so any rows_per_call reproduces the reference's one-row-per-step
+        loop (compress_retrieval_dtp.py:166-178) exactly.
 
-    # rows are processed `rows_per_call` at a time so each device dispatch
-    # scores rows_per_call * k_test pairs.  NOTE: DTP keep counts are
-    # batch-coupled, so rows_per_call > 1 changes scores slightly relative to
-    # the reference's one-row-per-step loop (compress_retrieval_dtp.py:166-178)
-    # — use > 1 only as an explicit throughput knob.
+        The side shared within a row (the image state for i2t, the text for
+        t2i) arrives WITHOUT the k_test dim and is broadcast on device —
+        the host never materializes k_test copies."""
+
+        def one(ids_r, mask_r, sx_r, sa_r):
+            k = ids_r.shape[0] if ids_r.ndim == 2 else sx_r.shape[0]
+
+            def bc(a, nd):
+                return a if a.ndim == nd else jnp.broadcast_to(
+                    a[None], (k,) + a.shape)
+
+            return blip_itm_score(
+                params, bc(ids_r, 2), bc(mask_r, 2),
+                TokenState(bc(sx_r, 3), bc(sa_r, 2), None), cfg,
+                temperature=t, prune_active=prune_active,
+                capacities=capacities_t,
+            )
+
+        return jax.vmap(one)(ids, mask, state_x, state_alive)
+
     def run_rows(lo, hi, make_row, write):
         for base in range(lo, hi, rows_per_call):
             rows = list(range(base, min(base + rows_per_call, hi)))
             ids_l, mask_l, sx_l, sa_l = zip(*(make_row(r) for r in rows))
-            itm = np.asarray(itm_batch(
-                params,
-                jnp.asarray(np.concatenate(ids_l)),
-                jnp.asarray(np.concatenate(mask_l)),
-                jnp.asarray(np.concatenate(sx_l)),
-                jnp.asarray(np.concatenate(sa_l)), t,
-            )).reshape(len(rows), k_test)
+            ids_d, mask_d, sx_d, sa_d, nr = shard_batch_padded(
+                mesh, np.stack(ids_l), np.stack(mask_l),
+                np.stack(sx_l), np.stack(sa_l))
+            itm = np.asarray(
+                itm_rows(params, ids_d, mask_d, sx_d, sa_d, t))[:nr]
             for r, scores in zip(rows, itm):
                 write(r, scores)
 
@@ -146,11 +179,8 @@ def rerank_scores(
 
     def make_i2t(i):
         topk = topk_i[i]
-        sx = np.broadcast_to(img_states.x[i][None],
-                             (k_test,) + img_states.x[i].shape)
-        sa = np.broadcast_to(img_states.alive[i][None],
-                             (k_test,) + img_states.alive[i].shape)
-        return text_ids[topk], text_mask[topk], sx, sa
+        # image state shared across the row's k_test texts: device-broadcast
+        return text_ids[topk], text_mask[topk], img_states.x[i], img_states.alive[i]
 
     def write_i2t(i, itm):
         score_i2t[i, topk_i[i]] = itm + sims[i, topk_i[i]]
@@ -165,9 +195,8 @@ def rerank_scores(
 
     def make_t2i(j):
         topk = topk_t[j]
-        ids = np.broadcast_to(text_ids[j][None], (k_test, text_ids.shape[1]))
-        mask = np.broadcast_to(text_mask[j][None], (k_test, text_mask.shape[1]))
-        return ids, mask, img_states.x[topk], img_states.alive[topk]
+        # text shared across the row's k_test images: device-broadcast
+        return text_ids[j], text_mask[j], img_states.x[topk], img_states.alive[topk]
 
     def write_t2i(j, itm):
         score_t2i[j, topk_t[j]] = itm + sims_t[j, topk_t[j]]

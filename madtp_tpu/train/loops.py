@@ -162,13 +162,29 @@ MOMENTUM_KEYS = ("visual_encoder", "vision_proj", "text_encoder", "text_proj")
 def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                               *, alpha: float = 0.4, momentum: float = 0.995,
                               enc_token_id: int, prune_active: bool = True,
-                              negative_all_rank: bool = False):
+                              negative_all_rank: bool = False,
+                              data_shards: int = 1):
     """Full ITC+ITM compression step (reference models/blip_retrieval.py:99-282):
     momentum towers + queue soft targets, hard-negative ITM, FDT losses from
     both online and momentum towers.
 
-    Single-process version; ``negative_all_rank`` gathers across the 'data'
-    axis when run under shard_map (the collective shims in parallel/dist)."""
+    Cross-rank semantics under GSPMD (single controller, batch sharded over
+    'data' into ``data_shards`` contiguous blocks — each block is one
+    reference "rank"):
+
+    * ``negative_all_rank=True``: hard negatives are drawn from the whole
+      global batch; the similarity matmul over the sharded features IS the
+      reference's ``all_gather_with_grad`` (``:209``) — XLA inserts the
+      (differentiable) all-gather, and the cross-shard ``vstate.x[neg]``
+      gather carries gradient exactly like GatherLayer (``:348-380``).
+    * ``negative_all_rank=False``: candidates are restricted to the query's
+      own block — the reference's same-rank mining (``:229-258``).
+    * the queue always receives the full global momentum batch — the
+      reference's ``concat_all_gather`` before ``_dequeue_and_enqueue``
+      (``:172-173,334-345``).
+
+    Sharded vs single-device runs of the same global batch are numerically
+    identical (tests/test_spmd.py)."""
 
     def towers(params, images, ids, mask, temperature):
         img_feat, vstate, sd_img = blip_retrieval_image_features(
@@ -217,13 +233,19 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
             loss_fdt = fdt_alignment_loss(sd_img, sd_txt, cfg.sd_dim)
             loss_fdt_m = fdt_alignment_loss(sd_img_m, sd_txt_m, cfg.sd_dim)
 
-        # ITM with in-batch hard negatives (reference :229-281)
+        # ITM with hard negatives (reference :229-281); group restriction
+        # implements negative_all_rank=False (same-shard mining only)
+        group = None
+        if not negative_all_rank and data_shards > 1:
+            group = jnp.arange(B) * data_shards // B  # contiguous shard blocks
         enc_ids = ids.at[:, 0].set(enc_token_id)
         k1, k2 = jax.random.split(rng)
         neg_img = L.sample_hard_negatives(
-            k1, txt_feat, img_feat, idx, idx, temp)  # image index per text
+            k1, txt_feat, img_feat, idx, idx, temp,
+            group_a=group, group_b=group)  # image index per text
         neg_txt = L.sample_hard_negatives(
-            k2, img_feat, txt_feat, idx, idx, temp)  # text index per image
+            k2, img_feat, txt_feat, idx, idx, temp,
+            group_a=group, group_b=group)  # text index per image
 
         ids_all = jnp.concatenate([enc_ids, enc_ids, enc_ids[neg_txt]], axis=0)
         mask_all = jnp.concatenate([mask, mask, mask[neg_txt]], axis=0)

@@ -51,12 +51,21 @@ def sample_hard_negatives(
     idx: jnp.ndarray,  # [B]
     idx_world: jnp.ndarray,  # [Bw]
     temp: jnp.ndarray,
+    group_a: jnp.ndarray = None,  # [B] data-shard id per query row
+    group_b: jnp.ndarray = None,  # [Bw] data-shard id per candidate row
 ) -> jnp.ndarray:
     """Multinomial hard-negative index per row, same-id pairs masked out
     (reference models/blip_retrieval.py:194-227).  Returns [B] indices into
-    the world batch."""
+    the world batch.
+
+    ``group_a``/``group_b``: when given, candidates outside the query's group
+    are masked out — the reference's ``negative_all_rank=False`` (same-rank
+    negatives only, ``:229-258``) expressed in GSPMD terms, where a "rank" is
+    a contiguous block of the global batch living on one 'data' shard."""
     sim = feat_a @ feat_b.T / temp
     mask = idx[:, None] == idx_world[None, :]
+    if group_a is not None:
+        mask = mask | (group_a[:, None] != group_b[None, :])
     w = jax.nn.softmax(sim, axis=1)
     w = jnp.where(mask, 0.0, w)
     logw = jnp.log(jnp.maximum(w, 1e-20))

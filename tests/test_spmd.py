@@ -180,3 +180,176 @@ def test_nlvr_evaluate_on_mesh_matches_single_device():
                                1.0, mesh=mesh, **kw)
     assert stats1["acc"] == stats2["acc"]
     assert abs(g1 - g2) < 1e-6
+
+
+def test_nlvr_evaluate_mesh_pads_ragged_batch():
+    """Eval batch NOT divisible by the data axis: padded by repeating the
+    last sample (neutral for DTP batch-max coupling) and must still equal
+    the single-device result exactly."""
+    from madtp_tpu.core.config import MedConfig, ViTConfig
+    from madtp_tpu.models.blip import BlipConfig
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+    from madtp_tpu.tasks import nlvr as task
+
+    vit = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4, sd_dim=32)
+    med = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=64,
+                    max_position_embeddings=32, encoder_width=32, sd_dim=32,
+                    twin_cross=True)
+    cfg = BlipConfig(vit=vit, med=med, sd_dim=32)
+    rng = np.random.RandomState(3)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(vit, rng),
+        "text_encoder": init_med_params(med, rng),
+        "space_dict": rng.randn(8, 32).astype(np.float32),
+        "cls_head": {
+            "fc1": {"kernel": rng.randn(32, 32).astype(np.float32) * 0.02,
+                    "bias": np.zeros(32, np.float32)},
+            "fc2": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.02,
+                    "bias": np.zeros(2, np.float32)},
+        },
+    })
+    B = 5  # not divisible by 8
+    batches = [(rng.randn(B, 3, 32, 32).astype(np.float32),
+                rng.randn(B, 3, 32, 32).astype(np.float32),
+                ["x"] * B, rng.randint(0, 2, (B,)))]
+    ids = rng.randint(1, 60, (B, 6)).astype(np.int32)
+    mask = np.ones((B, 6), np.int32)
+
+    def tokenize(sentences):
+        n = len(sentences)
+        return ids[:n].copy(), mask[:n].copy()
+
+    kw = dict(prune_active=True, enc_token_id=58, print_fn=lambda *a: None)
+    stats1, g1 = task.evaluate(params, lambda: iter(batches), tokenize, cfg,
+                               1.0, **kw)
+    mesh = make_mesh(n_data=8, n_model=1)
+    stats2, g2 = task.evaluate(params, lambda: iter(batches), tokenize, cfg,
+                               1.0, mesh=mesh, **kw)
+    assert stats1["acc"] == stats2["acc"]
+    assert abs(g1 - g2) < 1e-6
+
+
+def _retrieval_fixture(rng):
+    from madtp_tpu.core.config import MedConfig, ViTConfig
+    from madtp_tpu.models.blip import BlipConfig
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+
+    vit = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4, sd_dim=32)
+    med = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=64,
+                    max_position_embeddings=32, encoder_width=32, sd_dim=32)
+    cfg = BlipConfig(vit=vit, med=med, sd_dim=32)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(vit, rng),
+        "text_encoder": init_med_params(med, rng),
+        "space_dict": rng.randn(8, 32).astype(np.float32),
+        "vision_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.1,
+                        "bias": np.zeros(16, np.float32)},
+        "text_proj": {"kernel": rng.randn(32, 16).astype(np.float32) * 0.1,
+                      "bias": np.zeros(16, np.float32)},
+        "itm_head": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.1,
+                     "bias": np.zeros(2, np.float32)},
+    })
+    return cfg, params
+
+
+def test_retrieval_train_step_sharded_matches_single_device():
+    """VERDICT r1 item 4: the full ITC+ITM+queue train step on an 8-device
+    'data' mesh must reproduce the single-device run of the same global batch
+    — in particular the queue must contain the full cross-shard momentum
+    batch (the reference's concat_all_gather + _dequeue_and_enqueue,
+    models/blip_retrieval.py:172-173,334-345)."""
+    from madtp_tpu.parallel.mesh import replicate, shard_batch_padded
+    from madtp_tpu.train.loops import (
+        MOMENTUM_KEYS, RetrievalTrainState, make_retrieval_train_step,
+    )
+    from madtp_tpu.train.momentum import init_queue
+    from madtp_tpu.train.optim import make_adamw_injectable
+
+    rng = np.random.RandomState(7)
+    cfg, params = _retrieval_fixture(rng)
+    B = 8
+    images = rng.randn(B, 3, 32, 32).astype(np.float32)
+    ids = rng.randint(1, 60, (B, 7)).astype(np.int32)
+    mask = np.ones((B, 7), np.int32)
+    idx = np.arange(B)
+
+    def fresh_state():
+        tx = make_adamw_injectable(0.05)
+        return tx, RetrievalTrainState(
+            params=params,
+            params_m={k: params[k] for k in MOMENTUM_KEYS},
+            opt_state=tx.init(params),
+            queue=init_queue(16, 32),
+            temp=jnp.float32(0.07),
+        )
+
+    key = jax.random.PRNGKey(0)
+    tx1, state1 = fresh_state()
+    step1 = make_retrieval_train_step(
+        cfg, tx1, enc_token_id=58, negative_all_rank=True)
+    state1, m1 = step1(state1, key, jnp.asarray(images), jnp.asarray(ids),
+                       jnp.asarray(mask), jnp.asarray(idx), jnp.float32(1.0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    tx2, state2 = fresh_state()
+    state2 = replicate(mesh, state2)
+    images_d, ids_d, mask_d, idx_d, _ = shard_batch_padded(
+        mesh, images, ids, mask, idx)
+    step2 = make_retrieval_train_step(
+        cfg, tx2, enc_token_id=58, negative_all_rank=True, data_shards=8)
+    state2, m2 = step2(state2, key, images_d, ids_d, mask_d, idx_d,
+                       jnp.float32(1.0))
+
+    # queue received the full global batch, identically
+    np.testing.assert_allclose(np.asarray(state1.queue.image),
+                               np.asarray(state2.queue.image),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state1.queue.text),
+                               np.asarray(state2.queue.text),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(state1.queue.idx),
+                                  np.asarray(state2.queue.idx))
+    for k, v in m1.items():
+        np.testing.assert_allclose(float(v), float(m2[k]), rtol=2e-4,
+                                   err_msg=k)
+    # updated params identical too (XLA-inserted grad collectives == DDP)
+    f1 = np.asarray(state1.params["vision_proj"]["kernel"])
+    f2 = np.asarray(state2.params["vision_proj"]["kernel"])
+    np.testing.assert_allclose(f1, f2, rtol=1e-5, atol=1e-6)
+
+
+def test_hard_negative_group_locality():
+    """negative_all_rank=False semantics: with group restriction the sampled
+    negative must come from the query's own shard block even when every
+    cross-block candidate is overwhelmingly more similar."""
+    from madtp_tpu.train.losses import sample_hard_negatives
+
+    B, E, shards = 8, 4, 4
+    group = jnp.asarray(np.arange(B) * shards // B)  # [0,0,1,1,2,2,3,3]
+    rng = np.random.RandomState(0)
+    feat = rng.randn(B, E).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)  # like the real towers
+    # make cross-group pairs maximally similar: identical feature per group-pair
+    feat_b = np.roll(feat, B // shards, axis=0)  # best match is next block
+    idx = jnp.arange(B)
+    idx_world = jnp.arange(B) + 100  # no id collisions -> nothing id-masked
+
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        neg_local = sample_hard_negatives(
+            key, jnp.asarray(feat), jnp.asarray(feat_b), idx, idx_world,
+            jnp.float32(0.05), group_a=group, group_b=group)
+        picked_groups = np.asarray(group)[np.asarray(neg_local)]
+        np.testing.assert_array_equal(picked_groups, np.asarray(group))
+
+    # and without the restriction the sampler does reach other blocks
+    neg_global = sample_hard_negatives(
+        jax.random.PRNGKey(0), jnp.asarray(feat), jnp.asarray(feat_b), idx,
+        idx_world, jnp.float32(0.05))
+    assert (np.asarray(group)[np.asarray(neg_global)] != np.asarray(group)).any()
