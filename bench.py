@@ -78,7 +78,14 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
         else:
             hi_t = t
     t_star, g_star, vk, tk = best
-    caps_v = calibrate_capacities(vk[None, :], margin=8, multiple=64)
+    # Vision capacities rounded to the NEAREST 128 — the fused kernel's lane
+    # granularity — instead of ceil-64: a 320-slot buffer costs the same
+    # 384-lane kernel as a 384-slot one, so layers just past a boundary are
+    # clamped down to 256 (overflow folds into the merge token).  On-chip
+    # A/B (tools/bench_ablate.py): 468 vs 400 samples/s; decision drift is
+    # quantified in tests/test_calibration_drift.py + COVERAGE.md.
+    caps_v = calibrate_capacities(vk[None, :], margin=8, multiple=128,
+                                  mode="nearest")
     caps_t = calibrate_capacities(tk[None, :], margin=2, multiple=8)
 
     @jax.jit
@@ -132,9 +139,6 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
     params16 = cast_tree(params, jnp.bfloat16)
     images16 = [im.astype(jnp.bfloat16) for im in images_list]
 
-    def g16(im, params, ids, mask, t):
-        return fwd_gather(params, im, ids, mask, t)
-
     dt_pruned, lat_pruned = time_fn(
         lambda im: fwd_gather(params16, im, ids, mask, tj), images16)
 
@@ -145,7 +149,11 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
         )
         return logits
 
+    # dense baseline in the SAME dtype as the pruned path (bf16) so
+    # vs_baseline isolates the pruning speedup; fp32 dense reported aside
     dt_dense, lat_dense = time_fn(
+        lambda im: fwd_dense(params16, im, ids, mask), images16)
+    dt_dense32, _ = time_fn(
         lambda im: fwd_dense(params, im, ids, mask), images_list)
 
     sps = batch / dt_pruned
@@ -157,6 +165,7 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
         "vs_baseline": round(sps / sps_dense, 3),
         "detail": {
             "dense_samples_per_sec": round(sps_dense, 2),
+            "dense_fp32_samples_per_sec": round(batch / dt_dense32, 2),
             "temperature": round(float(t_star), 4),
             "gflops_pruned": round(g_star, 2),
             "gflops_dense": round(ori, 2),
@@ -166,7 +175,7 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
             "batch": batch,
             "latency_ms_pruned": round(lat_pruned * 1000, 1),
             "latency_ms_dense": round(lat_dense * 1000, 1),
-            "compute_dtype": "bfloat16 (pruned) / float32 (dense ref)",
+            "compute_dtype": "bfloat16 (both; matched baseline)",
             "backend": jax.default_backend(),
         },
     }

@@ -26,6 +26,11 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                    help="path to bert-base-uncased vocab.txt")
     p.add_argument("--fast_eval", action="store_true",
                    help="use calibrated gather capacities for eval speed")
+    p.add_argument("--cap_mode", default="ceil", choices=["ceil", "nearest"],
+                   help="--fast_eval capacity rounding: 'ceil' (lossless) or "
+                        "'nearest' to the 128-lane kernel granularity "
+                        "(faster; bounded decision drift, see "
+                        "tests/test_calibration_drift.py)")
     p.add_argument("--synthetic", action="store_true",
                    help="random weights + synthetic data (pipeline smoke run; "
                         "no checkpoints/datasets required)")

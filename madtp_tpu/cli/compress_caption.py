@@ -130,7 +130,8 @@ def main():
             space_dict=params["space_dict"],
             temperature=jnp.float32(temperature), prune_active=True)
         caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
-                                      multiple=64)
+                                      multiple=128 if args.cap_mode == 'nearest' else 64,
+                                      mode=args.cap_mode)
         print("fast_eval vision capacities:", caps_v)
 
     def eval_epoch(temperature, loader):

@@ -187,7 +187,9 @@ def main():
         _, vk, tk = step(params, jnp.asarray(np.concatenate([image0, image1])),
                          jnp.asarray(ids0), jnp.asarray(mask0),
                          jnp.float32(temperature))
-        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16, multiple=64)
+        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
+                                      multiple=128 if args.cap_mode == 'nearest' else 64,
+                                      mode=args.cap_mode)
         caps_t = calibrate_capacities(np.asarray(tk)[None], margin=4, multiple=8)
         print("fast_eval capacities:", caps_v, caps_t)
 

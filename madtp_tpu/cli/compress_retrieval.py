@@ -122,7 +122,9 @@ def main():
             jnp.asarray(text_mask[:8]), cfg.med, mode="text",
             space_dict=params["space_dict"],
             temperature=jnp.float32(temperature), prune_active=True)
-        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16, multiple=64)
+        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
+                                      multiple=128 if args.cap_mode == 'nearest' else 64,
+                                      mode=args.cap_mode)
         caps_t = calibrate_capacities(np.asarray(tout.kept_counts)[None],
                                       margin=4, multiple=8)
         print("fast_eval capacities:", caps_v, caps_t)
