@@ -59,7 +59,12 @@ def export_vit(tree, prefix: str = "visual_encoder.",
 
 
 def export_med(tree, prefix: str = "text_encoder.", *, twin_cross=False,
-               has_lm_head=False) -> Dict[str, np.ndarray]:
+               has_lm_head=False, merge_start_layer: int = 6) -> Dict[str, np.ndarray]:
+    """``merge_start_layer``: the reference's twin encoder only instantiates
+    ``crossattention.output.merge_layer`` at layers >= 6
+    (reference nlvr_encoder.py:282 ``merge=(... and layer_num>=6)``); weights
+    below it are semantically dead in our scan-uniform tree and are not
+    exported, so the reference's ``load_state_dict`` sees its exact shape."""
     sd: Dict[str, np.ndarray] = {}
     bert = prefix + ("bert." if has_lm_head else "")
     emb = tree["embeddings"]
@@ -67,6 +72,10 @@ def export_med(tree, prefix: str = "text_encoder.", *, twin_cross=False,
         emb["word_embeddings"])
     sd[bert + "embeddings.position_embeddings.weight"] = np.asarray(
         emb["position_embeddings"])
+    # registered arange buffer persisted by the reference's transformers
+    # version (BertEmbeddings.position_ids)
+    sd[bert + "embeddings.position_ids"] = np.arange(
+        np.asarray(emb["position_embeddings"]).shape[0], dtype=np.int64)[None]
     _ln(sd, bert + "embeddings.LayerNorm", emb["LayerNorm"])
     depth = np.asarray(
         tree["layers"]["attention"]["output"]["LayerNorm"]["scale"]).shape[0]
@@ -85,8 +94,9 @@ def export_med(tree, prefix: str = "text_encoder.", *, twin_cross=False,
                         _lin(sd, b + f"crossattention.{s}.{nm}", ca[s][nm])
                 _lin(sd, b + "crossattention.output.dense0", ca["output"]["dense0"])
                 _lin(sd, b + "crossattention.output.dense1", ca["output"]["dense1"])
-                _lin(sd, b + "crossattention.output.merge_layer",
-                     ca["output"]["merge_layer"])
+                if i >= merge_start_layer:
+                    _lin(sd, b + "crossattention.output.merge_layer",
+                         ca["output"]["merge_layer"])
             else:
                 for nm in ("query", "key", "value"):
                     _lin(sd, b + f"crossattention.self.{nm}", ca["self"][nm])

@@ -50,7 +50,11 @@ def test_med_pth_roundtrip(tmp_path, twin):
     rng = np.random.RandomState(1)
     cfg = MedConfig(**{**MED.__dict__, "twin_cross": twin})
     tree = init_med_params(cfg, rng)
-    sd = export_med(tree, "text_encoder.", twin_cross=twin)
+    # merge_start_layer=0: export ALL merge layers so the roundtrip compares
+    # full trees (the default 6 drops semantically-dead sub-merge-layer
+    # weights to match the reference model's exact shape)
+    sd = export_med(tree, "text_encoder.", twin_cross=twin,
+                    merge_start_layer=0)
     path = str(tmp_path / "ckpt.pth")
     save_torch_checkpoint(path, sd)
     sd2, _ = load_state_dict(path)

@@ -1,0 +1,222 @@
+"""FULL-SIZE golden parity vs the unmodified reference torch code
+(VERDICT r1 item 5): ViT-B/16@384 (577 tokens, 12 layers, 768 dim) and the
+12-layer MED text encoder, pruned and unpruned, plus a base-scale .pth
+export -> REFERENCE-load -> re-export roundtrip through the reference's own
+``blip_nlvr(pretrained=...)`` loader.
+
+Opt-in (several minutes of CPU):
+
+    MADTP_FULL_GOLDEN=1 python -m pytest tests/test_golden_fullsize.py -v -s
+
+The run's measured deviations are recorded in COVERAGE.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+if not os.environ.get("MADTP_FULL_GOLDEN"):
+    pytest.skip("set MADTP_FULL_GOLDEN=1 (slow, base-scale)",
+                allow_module_level=True)
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+from tests import torch_shims
+
+torch_shims.install()
+
+import jax
+import jax.numpy as jnp
+
+from madtp_tpu.ckpt.remap import remap_med, remap_vit
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models import med as our_med
+from madtp_tpu.models.vit import vit_forward
+from tests.test_golden_reference import match_multiset, randomize_state_dict
+
+
+@pytest.mark.parametrize("temperature", [0.0, 3.5])
+def test_vit_base_384_golden_full_size(temperature):
+    """ViT-B/16 @ 384 (12 layers, 768 dim, 576 patches) vs reference
+    models/vit.py, unpruned and at the bench's p=0.5 temperature."""
+    from models.vit import VisionTransformer as RefViT
+
+    ref = RefViT(img_size=384, patch_size=16, embed_dim=768, depth=12,
+                 num_heads=12, evaluate=True, sd_dim=768)
+    ref.eval()
+    sd = randomize_state_dict(ref, seed=0)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 384, 384).astype(np.float32)
+    space = (rng.randn(100, 768) * 0.2).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out, ref_sdft = ref(torch.from_numpy(x),
+                                space_dict=torch.from_numpy(space),
+                                temperature=temperature)
+    ref_out = ref_out.numpy()
+
+    cfg = ViTConfig(image_size=384, patch_size=16, embed_dim=768, depth=12,
+                    num_heads=12, sd_dim=768)
+    params = jax.tree.map(jnp.asarray, remap_vit(sd, prefix=""))
+    state, sdft, kept = vit_forward(
+        params, jnp.asarray(x), cfg=cfg, space_dict=jnp.asarray(space),
+        temperature=temperature, prune_active=temperature > 0,
+    )
+    xm, alive = np.asarray(state.x), np.asarray(state.alive)
+    n_alive = [int(alive[b].sum()) for b in range(2)]
+    print(f"[fullsize vit T={temperature}] ref tokens={ref_out.shape[1]} "
+          f"ours alive={n_alive} kept/layer={np.asarray(kept).tolist()}")
+
+    for b in range(2):
+        np.testing.assert_allclose(xm[b, 0], ref_out[b, 0], atol=2e-3,
+                                   rtol=3e-3, err_msg="CLS")
+        ours_rows = [xm[b, s] for s in range(1, xm.shape[1]) if alive[b, s]]
+        match_multiset(ours_rows, list(ref_out[b, 1:]), atol=2e-3,
+                       label=f"vit-base b={b}")
+    if temperature > 0:
+        np.testing.assert_allclose(np.asarray(sdft), ref_sdft.numpy(),
+                                   atol=2e-3, rtol=3e-3)
+
+
+@pytest.mark.parametrize("temperature", [0.0, 3.5])
+def test_med_base_golden_full_size(temperature):
+    """12-layer 768-dim MED text encoder (the reference med_config.json
+    shape, vocab 30524) vs reference models/med.py."""
+    from models.med import BertModel as RefBert
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    rcfg = BertConfig(
+        vocab_size=30524, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    rcfg.encoder_width = 768
+    rcfg.add_cross_attention = True
+    rcfg.evaluate = True
+    ref = RefBert(rcfg, add_pooling_layer=False, sd_dim=768)
+    ref.eval()
+    sd = randomize_state_dict(ref, seed=2)
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(1, 30524, size=(2, 26))
+    mask = np.ones((2, 26), np.int64)
+    mask[1, -5:] = 0
+    space = (rng.randn(100, 768) * 0.2).astype(np.float32)
+
+    with torch.no_grad():
+        out, ref_sdft = ref(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask),
+            return_dict=True, mode="text",
+            space_dict=torch.from_numpy(space), temperature=temperature,
+        )
+    ref_h = out.last_hidden_state.numpy()
+
+    cfg = MedConfig(
+        vocab_size=30524, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, encoder_width=768, sd_dim=768,
+    )
+    params = jax.tree.map(jnp.asarray, remap_med(sd, prefix=""))
+    res = our_med.med_encoder(
+        params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+        mode="text", space_dict=jnp.asarray(space),
+        temperature=temperature, prune_active=temperature > 0,
+    )
+    xm, alive = np.asarray(res.state.x), np.asarray(res.state.alive)
+    print(f"[fullsize med T={temperature}] ref tokens={ref_h.shape[1]} "
+          f"ours alive={[int(alive[b].sum()) for b in range(2)]}")
+    for b in range(2):
+        np.testing.assert_allclose(xm[b, 0], ref_h[b, 0], atol=2e-3,
+                                   rtol=3e-3, err_msg="CLS")
+        ours_rows = [xm[b, s] for s in range(1, xm.shape[1]) if alive[b, s]]
+        match_multiset(ours_rows, list(ref_h[b, 1:]), atol=2e-3,
+                       label=f"med-base b={b}")
+    if temperature > 0:
+        np.testing.assert_allclose(np.asarray(res.sd_txt_ft),
+                                   ref_sdft.numpy(), atol=2e-3, rtol=3e-3)
+
+
+def test_nlvr_pth_reference_load_roundtrip_full_size(tmp_path):
+    """Base-scale export -> the REFERENCE's own blip_nlvr loader -> re-export:
+    no missing/mismatched keys, and the re-exported weights remap back to the
+    original tree (reference models/blip_nlvr.py:122-160)."""
+    import models.blip_nlvr as ref_nlvr
+
+    from madtp_tpu.ckpt.export import (
+        export_med, export_vit, save_torch_checkpoint,
+    )
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+
+    vit_cfg = ViTConfig()  # B/16 @ 384
+    med_cfg = MedConfig(twin_cross=True)
+    rng = np.random.RandomState(0)
+    vit_tree = init_vit_params(vit_cfg, rng)
+    med_tree = init_med_params(med_cfg, rng)
+    space = rng.randn(100, 768).astype(np.float32)
+    H = med_cfg.hidden_size
+    cls_fc1_k = (rng.randn(H, H) * 0.02).astype(np.float32)
+    cls_fc2_k = (rng.randn(H, 2) * 0.02).astype(np.float32)
+
+    sd = {}
+    sd.update(export_vit(vit_tree, patch_size=16))
+    sd.update(export_med(med_tree, "text_encoder.", twin_cross=True))
+    sd["space_dict"] = space
+    sd["cls_head.0.weight"] = cls_fc1_k.T
+    sd["cls_head.0.bias"] = np.zeros(H, np.float32)
+    sd["cls_head.2.weight"] = cls_fc2_k.T
+    sd["cls_head.2.bias"] = np.zeros(2, np.float32)
+    path = str(tmp_path / "nlvr_base.pth")
+    save_torch_checkpoint(path, sd, epoch=1, temperature=1.5)
+
+    # the reference loader downloads a HF tokenizer at construction;
+    # zero-egress env -> stub it out (irrelevant to weight loading)
+    ref_nlvr.init_tokenizer = lambda: None
+    model = ref_nlvr.BLIP_NLVR(
+        med_config="/root/reference/configs/med_config.json",
+        image_size=384, vit="base", evaluate=True)
+    model, msg = ref_nlvr.load_checkpoint(model, path)
+    missing = [k for k in msg.missing_keys
+               if not k.endswith("num_batches_tracked")]
+    # the reference builds its NLVR text encoder with add_pooling_layer=False;
+    # our generic MED tree carries a pooler (other heads use it) — benign
+    unexpected = [k for k in msg.unexpected_keys if ".pooler." not in k]
+    print("[fullsize roundtrip] missing:", missing[:10],
+          "unexpected:", unexpected[:10])
+    assert missing == [], f"reference loader missing keys: {missing[:10]}"
+    assert unexpected == []
+
+    # re-export the reference model's state and remap back
+    back = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    vit_back = remap_vit(back, prefix="visual_encoder.")
+    med_back = remap_med(back, prefix="text_encoder.", twin_cross=True)
+
+    def trees_close(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                trees_close(a[k], b[k], path + "." + k)
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, err_msg=path)
+
+    trees_close(vit_tree, vit_back)
+    med_tree_cmp = dict(med_tree)
+    med_tree_cmp.pop("cls", None)  # no LM head in the NLVR encoder export
+    med_tree_cmp.pop("pooler", None)  # reference NLVR encoder has no pooler
+    # merge_layer weights below layer 6 are semantically dead (the scan picks
+    # the avg branch there) and are not exported; remap zero-fills them
+    ml = med_tree_cmp["layers"]["crossattention"]["output"]["merge_layer"]
+    for leaf in ("kernel", "bias"):
+        arr = np.asarray(ml[leaf]).copy()
+        arr[:6] = 0.0
+        ml[leaf] = arr
+    trees_close(med_tree_cmp, med_back)
+    np.testing.assert_allclose(back["space_dict"], space, rtol=1e-6)
+    np.testing.assert_allclose(back["cls_head.0.weight"], cls_fc1_k.T,
+                               rtol=1e-6)
