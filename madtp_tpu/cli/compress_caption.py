@@ -118,21 +118,32 @@ def main():
             temperature = 1.0
 
     caps_v = None
-    if args.fast_eval and temperature > 0:
+
+    def calibrate_fast_eval(probe_batches):
+        # multi-batch mask-mode probe (max over batches + margin absorbs
+        # cross-batch keep-count variance, tests/test_calibration_drift.py)
+        nonlocal caps_v
         import madtp_tpu.models.vit as V
 
         from madtp_tpu.prune.calibrate import calibrate_capacities
 
-        rngp = np.random.RandomState(9)
-        probe = rngp.randn(4, 3, image_size, image_size).astype(np.float32)
-        _, _, vk = V.vit_forward(
-            params["visual_encoder"], jnp.asarray(probe), cfg=cfg.vit,
-            space_dict=params["space_dict"],
-            temperature=jnp.float32(temperature), prune_active=True)
-        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
-                                      multiple=128 if args.cap_mode == 'nearest' else 64,
-                                      mode=args.cap_mode)
+        vks = []
+        for probe in probe_batches:
+            _, _, vk = V.vit_forward(
+                params["visual_encoder"], jnp.asarray(probe), cfg=cfg.vit,
+                space_dict=params["space_dict"],
+                temperature=jnp.float32(temperature), prune_active=True)
+            vks.append(np.asarray(vk))
+        caps_v = calibrate_capacities(
+            np.stack(vks), margin=16,
+            multiple=128 if args.cap_mode == 'nearest' else 64,
+            mode=args.cap_mode)
         print("fast_eval vision capacities:", caps_v)
+
+    if args.fast_eval and temperature > 0 and args.synthetic:
+        rngp = np.random.RandomState(9)
+        calibrate_fast_eval([rngp.randn(4, 3, image_size, image_size)
+                             .astype(np.float32) for _ in range(2)])
 
     def eval_epoch(temperature, loader):
         logger = MetricLogger()
@@ -176,6 +187,11 @@ def main():
     if args.evaluate:
         from madtp_tpu.data.text_utils import save_result
 
+        if args.fast_eval and temperature > 0:
+            import itertools
+
+            calibrate_fast_eval(
+                im for im, _ in itertools.islice(make_loader("test")(), 4))
         results, cur_g = eval_epoch(temperature, make_loader("test"))
         save_result(results, args.output_dir, "test_epoch_eval",
                     remove_duplicate="image_id")

@@ -177,20 +177,30 @@ def main():
 
     caps_v = caps_t = None
     if args.evaluate and args.fast_eval and temperature > 0:
-        # calibrate static gather capacities from one mask-mode batch
+        # calibrate static gather capacities from several mask-mode batches
+        # (one-batch schedules risk under-covering unlucky batches; the max
+        # over a probe set plus margin absorbs cross-batch variance —
+        # measured in tests/test_calibration_drift.py)
         from madtp_tpu.prune.calibrate import calibrate_capacities
 
+        import itertools
+
         step = task.make_eval_step(cfg, True)
-        image0, image1, sentences, _ = next(iter(get_loader("val")()))
-        ids0, mask0 = tokenize(sentences)
-        ids0[:, 0] = tokenizer.enc_token_id
-        _, vk, tk = step(params, jnp.asarray(np.concatenate([image0, image1])),
-                         jnp.asarray(ids0), jnp.asarray(mask0),
-                         jnp.float32(temperature))
-        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
+        vks, tks = [], []
+        for image0, image1, sentences, _ in itertools.islice(
+                get_loader("val")(), 4):
+            ids0, mask0 = tokenize(sentences)
+            ids0[:, 0] = tokenizer.enc_token_id
+            _, vk, tk = step(params,
+                             jnp.asarray(np.concatenate([image0, image1])),
+                             jnp.asarray(ids0), jnp.asarray(mask0),
+                             jnp.float32(temperature))
+            vks.append(np.asarray(vk))
+            tks.append(np.asarray(tk))
+        caps_v = calibrate_capacities(np.stack(vks), margin=16,
                                       multiple=128 if args.cap_mode == 'nearest' else 64,
                                       mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.asarray(tk)[None], margin=4, multiple=8)
+        caps_t = calibrate_capacities(np.stack(tks), margin=4, multiple=8)
         print("fast_eval capacities:", caps_v, caps_t)
 
     if args.evaluate:

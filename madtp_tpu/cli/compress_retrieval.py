@@ -105,28 +105,36 @@ def main():
     prune = temperature > 0
     caps_v = caps_t = None
     if args.fast_eval and prune:
+        # multi-batch mask-mode probe (max + margin absorbs cross-batch
+        # keep-count variance, tests/test_calibration_drift.py)
+        import itertools
+
         from madtp_tpu.prune.calibrate import calibrate_capacities
 
-        probe = next(image_batches_fn() if callable(image_batches_fn)
-                     else iter(image_batches))
         import madtp_tpu.models.vit as V
-
-        _, _, vk = V.vit_forward(
-            params["visual_encoder"], jnp.asarray(probe), cfg=cfg.vit,
-            space_dict=params["space_dict"],
-            temperature=jnp.float32(temperature), prune_active=True)
         from madtp_tpu.models import med as MM
 
-        tout = MM.med_encoder(
-            params["text_encoder"], jnp.asarray(text_ids[:8]),
-            jnp.asarray(text_mask[:8]), cfg.med, mode="text",
-            space_dict=params["space_dict"],
-            temperature=jnp.float32(temperature), prune_active=True)
-        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
+        vks = []
+        for probe in itertools.islice(
+                image_batches_fn() if callable(image_batches_fn)
+                else iter(image_batches), 4):
+            _, _, vk = V.vit_forward(
+                params["visual_encoder"], jnp.asarray(probe), cfg=cfg.vit,
+                space_dict=params["space_dict"],
+                temperature=jnp.float32(temperature), prune_active=True)
+            vks.append(np.asarray(vk))
+        tks = []
+        for i in range(0, min(len(text_ids), 32), 8):
+            tout = MM.med_encoder(
+                params["text_encoder"], jnp.asarray(text_ids[i:i + 8]),
+                jnp.asarray(text_mask[i:i + 8]), cfg.med, mode="text",
+                space_dict=params["space_dict"],
+                temperature=jnp.float32(temperature), prune_active=True)
+            tks.append(np.asarray(tout.kept_counts))
+        caps_v = calibrate_capacities(np.stack(vks), margin=16,
                                       multiple=128 if args.cap_mode == 'nearest' else 64,
                                       mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.asarray(tout.kept_counts)[None],
-                                      margin=4, multiple=8)
+        caps_t = calibrate_capacities(np.stack(tks), margin=4, multiple=8)
         print("fast_eval capacities:", caps_v, caps_t)
 
     img_feats, img_states, txt_feats = encode_corpus(

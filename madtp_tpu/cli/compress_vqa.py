@@ -128,27 +128,33 @@ def main():
         return seqs, out.kept_counts
 
     def calibrate_fast_eval(loader):
+        # multi-batch mask-mode probe (max + margin absorbs cross-batch
+        # keep-count variance, tests/test_calibration_drift.py)
         nonlocal caps_v, caps_t
+        import itertools
+
         from madtp_tpu.prune.calibrate import calibrate_capacities
 
-        images, questions, _ = next(iter(loader()))
-        q = tokenizer(list(questions), padding="longest")
-        qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
-        out, _ = blip_vqa_encode(
-            params, jnp.asarray(images), jnp.asarray(qi),
-            jnp.asarray(q["attention_mask"]), cfg,
-            temperature=jnp.float32(temperature), prune_active=True)
         import madtp_tpu.models.vit as V
 
-        _, _, vk = V.vit_forward(
-            params["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
-            space_dict=params["space_dict"],
-            temperature=jnp.float32(temperature), prune_active=True)
-        caps_v = calibrate_capacities(np.asarray(vk)[None], margin=16,
+        vks, tks = [], []
+        for images, questions, _ in itertools.islice(loader(), 4):
+            q = tokenizer(list(questions), padding="longest")
+            qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
+            out, _ = blip_vqa_encode(
+                params, jnp.asarray(images), jnp.asarray(qi),
+                jnp.asarray(q["attention_mask"]), cfg,
+                temperature=jnp.float32(temperature), prune_active=True)
+            _, _, vk = V.vit_forward(
+                params["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
+                space_dict=params["space_dict"],
+                temperature=jnp.float32(temperature), prune_active=True)
+            vks.append(np.asarray(vk))
+            tks.append(np.asarray(out.kept_counts))
+        caps_v = calibrate_capacities(np.stack(vks), margin=16,
                                       multiple=128 if args.cap_mode == 'nearest' else 64,
                                       mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.asarray(out.kept_counts)[None],
-                                      margin=4, multiple=8)
+        caps_t = calibrate_capacities(np.stack(tks), margin=4, multiple=8)
         print("fast_eval capacities:", caps_v, caps_t)
 
     def run_eval(loader):

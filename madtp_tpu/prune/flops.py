@@ -61,7 +61,8 @@ def med_flops(
     total = 0.0
     n_prev = float(n_text0)
     streams = 2 if twin else 1
-    for k in kept_counts:
+    merge_start = getattr(cfg, "merge_start_layer", 6)
+    for i, k in enumerate(kept_counts):
         n_out = float(k) + 1
         total += _layer_macs(n_prev, n_out, D, I)
         if cross_kv > 0:
@@ -72,7 +73,10 @@ def med_flops(
                 + n_out * D * D  # out proj
             )
             total += streams * per_stream
-            if twin:
+            if twin and i >= merge_start:
+                # the reference twin encoder only instantiates/executes the
+                # merge matmul at layers >= 6 (nlvr_encoder.py:282); earlier
+                # layers average the two streams (no MACs)
                 total += n_out * (2 * D) * D  # merge layer
         total += n_out * 100 * D * 2  # MAG
         n_prev = n_out
