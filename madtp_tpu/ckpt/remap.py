@@ -226,6 +226,45 @@ def remap_med(
     return out
 
 
+def _remap_resnet_visual(sd: Dict[str, np.ndarray]) -> dict:
+    """ModifiedResNet visual keys -> models/clip_resnet.py tree (reference
+    clip/model.py:97-156; conv kernels stay in torch OIHW layout)."""
+
+    def bn(prefix):
+        return {"scale": _f32(sd[prefix + ".weight"]),
+                "bias": _f32(sd[prefix + ".bias"]),
+                "mean": _f32(sd[prefix + ".running_mean"]),
+                "var": _f32(sd[prefix + ".running_var"])}
+
+    out = {"stem": {
+        "conv1": _f32(sd["visual.conv1.weight"]), "bn1": bn("visual.bn1"),
+        "conv2": _f32(sd["visual.conv2.weight"]), "bn2": bn("visual.bn2"),
+        "conv3": _f32(sd["visual.conv3.weight"]), "bn3": bn("visual.bn3"),
+    }}
+    for li in range(1, 5):
+        n_blocks = len({k.split(".")[2] for k in sd
+                        if k.startswith(f"visual.layer{li}.")})
+        blocks = []
+        for bi in range(n_blocks):
+            b = f"visual.layer{li}.{bi}."
+            bp = {"conv1": _f32(sd[b + "conv1.weight"]), "bn1": bn(b + "bn1"),
+                  "conv2": _f32(sd[b + "conv2.weight"]), "bn2": bn(b + "bn2"),
+                  "conv3": _f32(sd[b + "conv3.weight"]), "bn3": bn(b + "bn3")}
+            if (b + "downsample.0.weight") in sd:
+                bp["downsample"] = {"conv": _f32(sd[b + "downsample.0.weight"]),
+                                    "bn": bn(b + "downsample.1")}
+            blocks.append(bp)
+        out[f"layer{li}"] = blocks
+    out["attnpool"] = {
+        "positional_embedding": _f32(sd["visual.attnpool.positional_embedding"]),
+        "q_proj": _lin(sd, "visual.attnpool.q_proj"),
+        "k_proj": _lin(sd, "visual.attnpool.k_proj"),
+        "v_proj": _lin(sd, "visual.attnpool.v_proj"),
+        "c_proj": _lin(sd, "visual.attnpool.c_proj"),
+    }
+    return out
+
+
 def remap_clip(sd: Dict[str, np.ndarray]) -> dict:
     """OpenAI-CLIP weights incl. per-block MAG q_map
     (reference clip/model.py:678-716 build_model key layout).  fp16 weights
@@ -262,14 +301,14 @@ def remap_clip(sd: Dict[str, np.ndarray]) -> dict:
             out.append(blk)
         return _stack(out)
 
-    v_depth = len({k.split(".")[3] for k in sd
-                   if k.startswith("visual.transformer.resblocks")})
     t_depth = len({k.split(".")[2] for k in sd
                    if k.startswith("transformer.resblocks")})
-    conv = _f32(sd["visual.conv1.weight"])  # [W,3,p,p]
-    W = conv.shape[0]
-    return {
-        "visual": {
+    if "visual.proj" in sd:  # ViT visual (reference build_model:679)
+        v_depth = len({k.split(".")[3] for k in sd
+                       if k.startswith("visual.transformer.resblocks")})
+        conv = _f32(sd["visual.conv1.weight"])  # [W,3,p,p]
+        W = conv.shape[0]
+        visual = {
             "conv1": {"kernel": _t(conv.reshape(W, -1))},
             "class_embedding": _f32(sd["visual.class_embedding"]),
             "positional_embedding": _f32(sd["visual.positional_embedding"]),
@@ -277,7 +316,11 @@ def remap_clip(sd: Dict[str, np.ndarray]) -> dict:
             "blocks": blocks("visual.transformer", v_depth),
             "ln_post": _ln(sd, "visual.ln_post"),
             "proj": _f32(sd["visual.proj"]),
-        },
+        }
+    else:  # ModifiedResNet visual (reference build_model:687-694)
+        visual = _remap_resnet_visual(sd)
+    return {
+        "visual": visual,
         "token_embedding": _f32(sd["token_embedding.weight"]),
         "positional_embedding": _f32(sd["positional_embedding"]),
         "blocks": blocks("transformer", t_depth),

@@ -27,7 +27,30 @@ ORI_GFLOPS = 395.7  # reference compress_retrieval_clip_dtp.py:281
 
 
 def infer_clip_config(sd, sd_dim=768) -> CLIPConfig:
-    """Arch from checkpoint shapes (reference clip/model.py:678-701)."""
+    """Arch from checkpoint shapes (reference clip/model.py:678-701),
+    including the ModifiedResNet branch (``:688-694``)."""
+    if "visual.proj" not in sd:  # RN visual
+        counts = tuple(len({k.split(".")[2] for k in sd
+                            if k.startswith(f"visual.layer{b}.")})
+                       for b in (1, 2, 3, 4))
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        out_w = round((sd["visual.attnpool.positional_embedding"].shape[0]
+                       - 1) ** 0.5)
+        return CLIPConfig(
+            embed_dim=sd["text_projection"].shape[1],
+            image_resolution=out_w * 32,
+            vision_layers=sum(counts),
+            vision_width=vision_width,
+            vision_patch_size=32,  # unused for RN (grid = res // 32)
+            resnet_layers=counts,
+            context_length=sd["positional_embedding"].shape[0],
+            vocab_size=sd["token_embedding.weight"].shape[0],
+            transformer_width=sd["ln_final.weight"].shape[0],
+            transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+            transformer_layers=len({k.split(".")[2] for k in sd
+                                    if k.startswith("transformer.resblocks")}),
+            sd_dim=sd_dim,
+        )
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len([k for k in sd
                          if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])

@@ -109,6 +109,16 @@ class CLIPConfig:
     # 0 -> derive as vision_width // 64 (reference clip/model.py:361)
     vision_heads_override: int = 0
 
+    # non-empty -> ModifiedResNet visual tower with these per-stage block
+    # counts (reference clip/model.py:350-359; vision_width is then the RN
+    # stem width, e.g. RN50 = (3,4,6,3) width 64).  RN towers run unpruned —
+    # see models/clip_resnet.py docstring.
+    resnet_layers: tuple = ()
+
+    @property
+    def is_resnet(self) -> bool:
+        return bool(self.resnet_layers)
+
     @property
     def vision_heads(self) -> int:
         return self.vision_heads_override or max(1, self.vision_width // 64)

@@ -144,6 +144,17 @@ def clip_encode_image(
     Returns (features [B,E], sd_img_ft_all, kept_counts)."""
     from madtp_tpu.ops.layers import patch_embed
 
+    if cfg.is_resnet:
+        # ModifiedResNet tower (clip/model.py:97-156) — unpruned; the
+        # reference's own RN+DTP integration cannot even be constructed
+        # (models/clip_resnet.py docstring), so kept_counts is empty
+        from madtp_tpu.models.clip_resnet import modified_resnet_forward
+
+        feats = modified_resnet_forward(
+            params["visual"], images, layers=cfg.resnet_layers,
+            width=cfg.vision_width)
+        return feats, None, jnp.zeros((0,), jnp.int32)
+
     v = params["visual"]
     x = patch_embed({"kernel": v["conv1"]["kernel"], "bias": None}, images)
     B = x.shape[0]

@@ -137,16 +137,22 @@ def vqa_gflops(vit_cfg: ViTConfig, med_cfg: MedConfig,
 
 def clip_gflops(cfg: CLIPConfig, v_kept: Sequence[int], t_kept: Sequence[int]) -> float:
     """CLIP dual towers (reference Ori 395.7 for ViT-L/14@336)."""
-    Dv, Iv = cfg.vision_width, cfg.vision_width * 4
     Dt, It = cfg.transformer_width, cfg.transformer_width * 4
-    total = cfg.vision_num_patches * (3 * cfg.vision_patch_size ** 2) * Dv
-    n_prev = cfg.vision_num_patches + 1
-    for k in v_kept:
-        n_out = float(k) + 1
-        total += _layer_macs(n_prev, n_out, Dv, Iv)
-        total += n_out * 100 * Dv * 2
-        n_prev = n_out
-    total += (n_prev * Dv * cfg.embed_dim)
+    if getattr(cfg, "resnet_layers", ()):
+        from madtp_tpu.models.clip_resnet import resnet_gflops
+
+        total = resnet_gflops(cfg.resnet_layers, cfg.vision_width,
+                              cfg.image_resolution, cfg.embed_dim) * 1e9
+    else:
+        Dv, Iv = cfg.vision_width, cfg.vision_width * 4
+        total = cfg.vision_num_patches * (3 * cfg.vision_patch_size ** 2) * Dv
+        n_prev = cfg.vision_num_patches + 1
+        for k in v_kept:
+            n_out = float(k) + 1
+            total += _layer_macs(n_prev, n_out, Dv, Iv)
+            total += n_out * 100 * Dv * 2
+            n_prev = n_out
+        total += (n_prev * Dv * cfg.embed_dim)
     n_prev = float(cfg.context_length)
     for k in t_kept:
         n_out = float(k) + 1
