@@ -8,7 +8,9 @@
 Evaluation decodes with beam search (num_beams=3, max_length=20, min_length=5,
 prompt "a picture of ") over the pruned image tokens and writes per-image
 caption JSON (reference eval loop ``:61-105``).  Scoring against COCO ground
-truth uses :mod:`madtp_tpu.eval.caption_metrics` (BLEU/CIDEr, offline).
+truth uses :mod:`madtp_tpu.eval.caption_metrics` (Bleu_1..4 / METEOR /
+ROUGE_L / CIDEr, offline; SPICE needs Java — the checkpoint gate below is
+CIDEr-only and logged as such).
 """
 
 from __future__ import annotations

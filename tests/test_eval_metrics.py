@@ -2,7 +2,9 @@
 
 import numpy as np
 
-from madtp_tpu.eval.caption_metrics import bleu4, cider_d, coco_caption_scores
+from madtp_tpu.eval.caption_metrics import (bleu, bleu4, cider_d,
+                                            coco_caption_scores, meteor,
+                                            porter_stem, rouge_l)
 from madtp_tpu.eval.metrics import accuracy, itm_eval, vqa_accuracy
 
 
@@ -52,6 +54,64 @@ def test_cider_orders_quality():
         {"1": refs["1"], "2": refs["2"]},
     )
     assert out["CIDEr"] > 0 and 0 <= out["Bleu_4"] <= 1
+
+
+def test_porter_stem_published_examples():
+    """Porter (1980) paper examples, one per rule family."""
+    cases = {
+        "caresses": "caress", "ponies": "poni", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "hopping": "hop",
+        "filing": "file", "happy": "happi", "relational": "relat",
+        "digitizer": "digit", "vietnamization": "vietnam",
+        "triplicate": "triplic", "electriciti": "electr", "hopeful": "hope",
+        "allowance": "allow", "replacement": "replac", "adoption": "adopt",
+        "activate": "activ", "probate": "probat", "rate": "rate",
+        "controll": "control", "roll": "roll",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_rouge_l_bounds_and_order():
+    refs = {"1": ["a man riding a horse on the beach"]}
+    perfect = rouge_l(["a man riding a horse on the beach"], refs, ["1"])
+    partial = rouge_l(["a man on the beach"], refs, ["1"])
+    junk = rouge_l(["quantum banana engine"], refs, ["1"])
+    assert abs(perfect - 1.0) < 1e-9
+    assert perfect > partial > junk == 0.0
+
+
+def test_meteor_stem_matching_and_order():
+    refs = {"1": ["a dog runs through the park"]}
+    perfect = meteor(["a dog runs through the park"], refs, ["1"])
+    # stem matches: running~runs -> full credit, same alignment as exact
+    stemmy = meteor(["a dog running through the park"], refs, ["1"])
+    partial = meteor(["a dog in the park"], refs, ["1"])
+    shuffled = meteor(["park the through runs dog a"], refs, ["1"])
+    junk = meteor(["quantum banana engine"], refs, ["1"])
+    assert abs(perfect - (1.0 - 0.5 * (1 / 6) ** 3)) < 1e-9  # one chunk
+    assert abs(stemmy - perfect) < 1e-9
+    assert perfect > partial > junk == 0.0
+    # fragmentation penalty: same matches, more chunks -> lower score
+    assert shuffled < perfect
+
+
+def test_bleu_ladder_monotone():
+    refs = {"1": ["a cat sits on the red mat"]}
+    b = bleu(["a cat sits on the mat"], refs, ["1"])
+    assert len(b) == 4
+    assert all(0.0 <= x <= 1.0 for x in b)
+    assert b[0] >= b[1] >= b[2] >= b[3]
+    assert abs(b[3] - bleu4(["a cat sits on the mat"], refs, ["1"])) < 1e-12
+
+
+def test_coco_caption_scores_full_suite_keys():
+    refs = {"1": ["a cat sits on the mat"]}
+    out = coco_caption_scores([{"image_id": 1, "caption": "a cat on a mat"}],
+                              refs)
+    for k in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
+              "CIDEr"):
+        assert k in out
 
 
 def test_itm_eval_random_vs_rowwise_oracle():
