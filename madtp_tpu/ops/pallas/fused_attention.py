@@ -7,7 +7,9 @@ the measured bottleneck (bf16 only bought 10%).  This kernel keeps the
 probabilities in VMEM: one grid program per batch row loops over heads,
 accumulating
 
-* ``out``      [B,H,Dh,N] — attention output (pre-projection, per head);
+* ``out``      [B,H,Dh,N] — attention output (pre-projection, per head;
+  fp32 accumulation, stored in the input dtype — the caller consumes it in
+  that dtype anyway and bf16 halves the kernel's output HBM traffic);
 * ``col_mass`` [B,N]      — sum over alive queries (rows >= 1) of the
   head-max probability per key column (reference ``models/vit.py:126-128``);
 * ``cls_attn`` [B,N]      — head-diversity-weighted CLS attention
@@ -99,7 +101,7 @@ def _kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
         @pl.when(h > 0)
         def _():
             pltpu.make_async_copy(oh, o_ref.at[b, h - 1], osem).wait()
-        oh[:, :] = o
+        oh[:, :] = o.astype(oh.dtype)  # input dtype (bf16 halves out traffic)
         pltpu.make_async_copy(oh, o_ref.at[b, h], osem).start()
 
         colmax[:, :] = jnp.maximum(colmax[:, :], p)
@@ -133,7 +135,7 @@ def fused_attention_scores(
     scale: float,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (out [B,H,Dh,N] fp32, col_mass [B,N], cls_attn [B,N])."""
+    """Returns (out [B,H,Dh,N] in q.dtype, col_mass [B,N], cls_attn [B,N])."""
     B, H, Dh, N = q.shape
     assert H == num_heads
     af = alive.astype(jnp.float32)
@@ -147,23 +149,23 @@ def fused_attention_scores(
         functools.partial(_kernel, num_heads=H, scale=scale),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             vec_in, vec_in, vec_in,
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             vec_in, vec_in,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Dh, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Dh, N), q.dtype),
             jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 3, Dh, N), q.dtype),  # double-buffered qkv stages
-            pltpu.VMEM((Dh, N), jnp.float32),  # oh
+            pltpu.VMEM((Dh, N), q.dtype),  # oh (out staging, input dtype)
             pltpu.VMEM((N, N), jnp.float32),  # colmax accumulator
             pltpu.VMEM((H, N), jnp.float32),  # cls rows
             pltpu.VMEM((H, N), jnp.float32),  # row norms
