@@ -31,6 +31,12 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                         "'nearest' to the 128-lane kernel granularity "
                         "(faster; bounded decision drift, see "
                         "tests/test_calibration_drift.py)")
+    p.add_argument("--fast_train", action="store_true",
+                   help="gather-mode TRAINING: recalibrate static capacities "
+                        "each epoch (mask-mode probe batch) and run the "
+                        "compression train step physically compacted — the "
+                        "TPU analogue of the reference's shrinking training "
+                        "sequences; one recompile per distinct schedule")
     p.add_argument("--synthetic", action="store_true",
                    help="random weights + synthetic data (pipeline smoke run; "
                         "no checkpoints/datasets required)")

@@ -225,6 +225,36 @@ def main():
     tx = make_adamw_injectable(config.get("weight_decay", 0.05))
     opt_state = tx.init(params)
     train_step = make_nlvr_train_step(cfg, tx)
+    step_cache = {}  # capacity schedule -> compiled gather-mode train step
+
+    def fast_train_step(params, temperature, epoch):
+        """--fast_train: calibrate ceil (lossless + margin) capacities from
+        one mask-mode probe batch at this epoch's temperature and return a
+        gather-mode train step.  Distinct schedules compile once (bounded by
+        the 64/8-multiple bucketing); repeats hit ``step_cache``."""
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        image0, image1, sentences, _ = next(
+            iter(get_loader("train", True, epoch)()))
+        ids0, mask0 = tokenize(sentences)
+        ids0[:, 0] = tokenizer.enc_token_id
+        probe = task.make_eval_step(cfg, True)
+        _, vk, tk = probe(params,
+                          jnp.asarray(np.concatenate([image0, image1])),
+                          jnp.asarray(ids0), jnp.asarray(mask0),
+                          jnp.float32(temperature))
+        caps_v = calibrate_capacities(
+            np.asarray(vk)[None, :], margin=16,
+            multiple=128 if args.cap_mode == "nearest" else 64,
+            mode=args.cap_mode)
+        caps_t = calibrate_capacities(np.asarray(tk)[None, :], margin=4,
+                                      multiple=8)
+        key = (caps_v, caps_t)
+        if key not in step_cache:
+            step_cache[key] = make_nlvr_train_step(
+                cfg, tx, capacities_v=caps_v, capacities_t=caps_t)
+        return step_cache[key], key
+
     controller = TemperatureController(target_gflops=target_gflops)
     if args.synthetic:
         controller.target_gflops = 1e-3  # tiny model: exercise the ladder
@@ -258,8 +288,12 @@ def main():
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 3e-6), config.get("min_lr", 0.0))
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        step_fn = train_step
+        if args.fast_train and temperature > 0:
+            step_fn, sched = fast_train_step(params, temperature, epoch)
+            print("fast_train capacities:", sched)
         params, opt_state, train_stats = task.train_epoch(
-            params, opt_state, train_step, get_loader("train", True, epoch),
+            params, opt_state, step_fn, get_loader("train", True, epoch),
             tokenize, tokenizer.enc_token_id, temperature, lr=lr, mesh=mesh,
         )
         val_stats, cur_g = task.evaluate(

@@ -70,9 +70,15 @@ def blip_nlvr_forward(
     train: bool = False,
     targets: Optional[jnp.ndarray] = None,
     dropout_rng=None,
+    capacities_v=None,
+    capacities_t=None,
 ):
     """Reference models/blip_nlvr.py:63-100.  Returns logits [B,2] at eval or
-    (loss_ori, loss_fdt, logits) at train."""
+    (loss_ori, loss_fdt, logits) at train.
+
+    ``capacities_v``/``capacities_t`` (static tuples) switch both towers to
+    the gather fast path — identical DTP decisions, physically compacted to
+    the calibrated per-layer schedule (eval --fast_eval and --fast_train)."""
     B = text_ids.shape[0]
     r_v = r_t = None
     if dropout_rng is not None:
@@ -81,6 +87,7 @@ def blip_nlvr_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, dropout_rng=r_v,
+        capacities=capacities_v,
     )
     st0, st1 = _split_state(vstate, B)
     out = M.med_encoder(
@@ -88,6 +95,7 @@ def blip_nlvr_forward(
         mode="multimodal", encoder_state=st0, encoder_state1=st1,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, dropout_rng=r_t,
+        capacities=capacities_t,
     )
     hidden = out.state.x[:, 0, :]
     h = jax.nn.relu(linear(params["cls_head"]["fc1"], hidden))

@@ -12,6 +12,8 @@ Total loss everywhere: ``loss_task + 0.1 * loss_fdt``
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -37,9 +39,19 @@ FDT_WEIGHT = 0.1
 
 
 def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
-                         prune_active: bool = True, use_dropout: bool = False):
+                         prune_active: bool = True, use_dropout: bool = False,
+                         capacities_v=None, capacities_t=None):
     """``use_dropout`` enables the reference training recipe (BERT dropout
-    0.1, ViT stochastic depth per cfg.vit.drop_path_rate)."""
+    0.1, ViT stochastic depth per cfg.vit.drop_path_rate).
+
+    ``capacities_v``/``capacities_t`` (static tuples) switch the towers to
+    the gather fast path during TRAINING (--fast_train): the reference's
+    training steps get faster as tokens are pruned because its sequences
+    physically shrink (dynamic shapes); mask mode pays full-buffer FLOPs
+    every step, gather mode banks the reduction at the cost of one
+    recompile per distinct schedule.  Gradients are identical to mask mode
+    at lossless capacities (tests/test_train.py::
+    test_gather_mode_training_grads_match_mask_mode)."""
 
     def loss_fn(params, images, ids, mask, targets, temperature, rng):
         loss_ori, loss_fdt, logits = blip_nlvr_forward(
@@ -47,11 +59,12 @@ def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
             temperature=temperature, prune_active=prune_active,
             train=True, targets=targets,
             dropout_rng=rng if use_dropout else None,
+            capacities_v=capacities_v, capacities_t=capacities_t,
         )
         loss = loss_ori + FDT_WEIGHT * loss_fdt
         return loss, {"loss": loss, "loss_ori": loss_ori, "loss_fdt": loss_fdt}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, ids, mask, targets, temperature,
              rng=None):
         if rng is None:
@@ -83,7 +96,7 @@ def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         loss = loss_lm + FDT_WEIGHT * loss_fdt
         return loss, {"loss": loss, "loss_lm": loss_lm, "loss_fdt": loss_fdt}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, ids, mask, labels, temperature,
              rng=None):
         if rng is None:
@@ -135,7 +148,7 @@ def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         loss = loss_vqa + FDT_WEIGHT * loss_fdt
         return loss, {"loss": loss, "loss_vqa": loss_vqa, "loss_fdt": loss_fdt}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, q_ids, q_mask, a_ids, a_mask, weights,
              temperature):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -268,6 +281,9 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                    "loss_fdt": loss_fdt, "loss_fdt_m": loss_fdt_m}
         return loss, (metrics, m_img_feat, m_txt_feat)
 
+    # NOTE: no donation here — RetrievalTrainState aliases params/params_m
+    # leaves at init (momentum towers start as references to the same
+    # buffers), and XLA rejects donating one buffer twice.
     @jax.jit
     def step(state: RetrievalTrainState, rng, images, ids, mask, idx,
              temperature):
@@ -357,6 +373,7 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
                    "loss_fdt_m": loss_fdt_m}
         return loss, (metrics, img, txt)
 
+    # NOTE: no donation — ClipTrainState aliases params/params_m at init.
     @jax.jit
     def step(state: ClipTrainState, images, text, idx, temperature):
         params_m = momentum_update(

@@ -70,3 +70,25 @@ def test_nlvr_driver_dp_training_matches(tmp_path):
             return json.loads(f.readline())
 
     _compare(run("single", "off"), run("sharded", "auto"))
+
+
+def test_nlvr_driver_fast_train_runs(tmp_path):
+    """--fast_train: gather-mode training with per-epoch calibrated
+    capacities runs the full synthetic pipeline (calibration probe ->
+    compiled gather step -> eval) and produces finite losses."""
+    from madtp_tpu.cli import compress_nlvr as module
+
+    out = os.path.join(str(tmp_path), "fast_train")
+    argv = sys.argv
+    sys.argv = ["x", "--synthetic", "--epoch", "2", "--fast_train",
+                "--dp", "off", "--output_dir", out]
+    try:
+        module.main()
+    finally:
+        sys.argv = argv
+    with open(os.path.join(out, "log.txt")) as f:
+        logs = [json.loads(l) for l in f]
+    assert len(logs) == 2
+    for log in logs:
+        assert float(log["train_loss"]) == float(log["train_loss"])  # finite
+        assert 0.0 <= float(log["val_acc"]) <= 1.0

@@ -95,7 +95,7 @@ def test_nlvr_train_step_updates_params():
     ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
     mask = jnp.ones((B, 8), jnp.int32)
     targets = jnp.asarray([0, 1])
-    p0 = params["cls_head"]["fc1"]["kernel"]
+    p0 = np.asarray(params["cls_head"]["fc1"]["kernel"]).copy()  # pre-donation snapshot
     params2, opt_state, metrics = step(
         params, opt_state, images, ids, mask, targets, jnp.float32(1.0))
     assert np.isfinite(float(metrics["loss"]))
@@ -320,3 +320,43 @@ def test_space_dict_receives_gradients():
 
     g2 = jax.grad(loss_ori_only)(params)
     assert float(jnp.sum(jnp.abs(g2["space_dict"]))) > 0.0
+
+
+def test_gather_mode_training_grads_match_mask_mode():
+    """--fast_train foundation: with lossless capacities (cap = kept + 2),
+    gather-mode compaction is a pure re-indexing of the mask-mode buffer, so
+    training gradients must match mask mode to fp tolerance."""
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    rng = np.random.RandomState(1)
+    cfg = BlipConfig(
+        vit=VIT, med=MedConfig(**{**MED.__dict__, "twin_cross": True}),
+        sd_dim=32)
+    params = _nlvr_params(rng)
+    B = 2
+    images = jnp.asarray(rng.randn(2 * B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+    targets = jnp.asarray([0, 1])
+    t = 1.0
+
+    logits, (vk, tk) = blip_nlvr_forward(
+        params, images, ids, mask, cfg, temperature=t, prune_active=True)
+    caps_v = tuple(int(k) + 2 for k in np.asarray(vk))
+    caps_t = tuple(int(k) + 2 for k in np.asarray(tk))
+
+    def loss(params, caps):
+        lo, lf, _ = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=t,
+            prune_active=True, train=True, targets=targets,
+            capacities_v=caps[0], capacities_t=caps[1])
+        return lo + 0.1 * lf
+
+    l_mask, g_mask = jax.value_and_grad(loss)(params, (None, None))
+    l_gat, g_gat = jax.value_and_grad(loss)(params, (caps_v, caps_t))
+    assert abs(float(l_mask) - float(l_gat)) < 1e-5
+    flat_m, _ = jax.tree_util.tree_flatten(g_mask)
+    flat_g, _ = jax.tree_util.tree_flatten(g_gat)
+    for a, b in zip(flat_m, flat_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -1,0 +1,123 @@
+"""On-chip compression TRAINING step timing: mask mode vs gather mode.
+
+The reference trains with physically shrinking sequences, so its training
+steps get faster as the temperature rises (dynamic shapes, GPU).  Our
+mask-mode training step (exact reference semantics, fixed 1+P+depth buffer)
+pays full-buffer FLOPs every step; the gather fast path (static calibrated
+capacities) banks the same token reduction the reference gets — at the cost
+of one recompile per distinct capacity schedule (bounded by bucketing).
+
+Times (batch ``--batch`` pairs, ViT-B/384 NLVR, fp32 params like the
+drivers):
+  - dense training step (prune off)          [the no-compression baseline]
+  - mask-mode pruned training step           [driver default]
+  - gather-mode pruned training step         [--fast_train candidate]
+
+Run: python tools/bench_train.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(batch=8, image_size=384, text_len=26, reps=3, pipeline=4):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from madtp_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
+    from __graft_entry__ import _nlvr_setup
+    from madtp_tpu.models.blip import blip_nlvr_forward
+    from madtp_tpu.prune.calibrate import calibrate_capacities
+    from madtp_tpu.train.optim import make_adamw
+
+    # remat over the ViT block scan: without it the backward saves
+    # [12,B*2,12,577,577] attention probabilities (~6.4G fp32 at batch 8)
+    # and a full-size training step cannot fit 16G HBM at any useful batch
+    cfg, params, images, ids, mask, targets = _nlvr_setup(
+        image_size=image_size, B=batch, text_len=text_len,
+        vit_kw=dict(grad_checkpoint=True))
+    tx = make_adamw(lr=3e-6, weight_decay=0.05)
+    opt_state = tx.init(params)
+    t_star = jnp.float32(3.4785)  # the p=0.5 bench temperature
+
+    def make_step(prune_active, capacities_v=None, capacities_t=None):
+        def loss_fn(params, images, ids, mask, targets, temperature):
+            loss_ori, loss_fdt, _ = blip_nlvr_forward(
+                params, images, ids, mask, cfg,
+                temperature=temperature, prune_active=prune_active,
+                train=True, targets=targets,
+                capacities_v=capacities_v, capacities_t=capacities_t,
+            )
+            return loss_ori + 0.1 * loss_fdt
+
+        @jax.jit
+        def step(params, opt_state, images, ids, mask, targets, temperature):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, images, ids, mask, targets, temperature)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    rng = np.random.RandomState(7)
+    ims = [jnp.asarray(rng.randn(*images.shape).astype(np.float32))
+           for _ in range(pipeline)]
+
+    def timed(step):
+        # train steps donate (params, opt_state) — give each variant fresh
+        # device buffers so the module-level trees stay valid
+        p = jax.tree.map(jnp.array, params)
+        o = tx.init(p)
+        p, o, loss = step(p, o, ims[0], ids, mask, targets, t_star)
+        float(loss)  # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for im in ims:
+                p, o, loss = step(p, o, im, ids, mask, targets, t_star)
+            float(loss)
+            best = min(best, (time.perf_counter() - t0) / len(ims))
+        return best * 1000
+
+    res = {"batch_pairs": batch}
+
+    res["dense_step_ms"] = round(timed(make_step(False)), 1)
+    res["mask_step_ms"] = round(timed(make_step(True)), 1)
+
+    # capacity schedule from one mask-mode probe batch at t_star (what a
+    # --fast_train epoch would calibrate)
+    @jax.jit
+    def probe(params, images, ids, mask, t):
+        _, kept = blip_nlvr_forward(params, images, ids, mask, cfg,
+                                    temperature=t, prune_active=True)
+        return kept
+
+    vk, tk = probe(params, ims[0], ids, mask, t_star)
+    caps_v = calibrate_capacities(np.asarray(vk)[None, :], margin=8,
+                                  multiple=128, mode="nearest")
+    caps_t = calibrate_capacities(np.asarray(tk)[None, :], margin=2, multiple=8)
+    res["capacities_vision"] = list(caps_v)
+    res["capacities_text"] = list(caps_t)
+
+    res["gather_step_ms"] = round(timed(make_step(True, caps_v, caps_t)), 1)
+
+    res["gather_speedup_vs_mask"] = round(
+        res["mask_step_ms"] / res["gather_step_ms"], 3)
+    res["gather_speedup_vs_dense"] = round(
+        res["dense_step_ms"] / res["gather_step_ms"], 3)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
