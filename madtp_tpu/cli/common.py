@@ -146,23 +146,32 @@ def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
     from madtp_tpu.core.config import MedConfig, ViTConfig
     from madtp_tpu.models.blip import BlipConfig
 
+    import dataclasses
+
     preset = config.get("vit", "base")
+    # reference yaml key vit_grad_ckpt (models/vit.py:119-121); the reference
+    # ships it False on 80G A100s — here it defaults ON for full-size
+    # presets because a BLIP-base training step does not fit 16G HBM without
+    # remat (forward-only eval is unaffected by jax.checkpoint)
+    remat = bool(config.get("vit_grad_ckpt", preset != "tiny"))
     if preset == "large":
-        vit = ViTConfig.large(image_size)
+        vit = dataclasses.replace(ViTConfig.large(image_size),
+                                  grad_checkpoint=remat)
         med = MedConfig(twin_cross=twin_cross, encoder_width=vit.embed_dim)
         return BlipConfig(vit=vit, med=med,
                           sd_num=config.get("sd_num", 100),
                           sd_dim=config.get("sd_dim", 768))
     if preset == "tiny":
         vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
-                        depth=2, num_heads=4, sd_dim=64)
+                        depth=2, num_heads=4, sd_dim=64,
+                        grad_checkpoint=remat)
         med = MedConfig(twin_cross=twin_cross, encoder_width=64,
                         hidden_size=64, num_hidden_layers=2,
                         num_attention_heads=4, intermediate_size=256,
                         vocab_size=config.get("vocab_size", 30524), sd_dim=64)
         return BlipConfig(vit=vit, med=med,
                           sd_num=config.get("sd_num", 100), sd_dim=64)
-    vit = ViTConfig(image_size=image_size)
+    vit = ViTConfig(image_size=image_size, grad_checkpoint=remat)
     med = MedConfig(twin_cross=twin_cross, encoder_width=vit.embed_dim)
     return BlipConfig(vit=vit, med=med,
                       sd_num=config.get("sd_num", 100),

@@ -266,6 +266,26 @@ def main():
         params = _replicate(mesh, params)
         opt_state = _replicate(mesh, opt_state)
 
+    step_cache = {}  # --fast_train: capacity schedule -> compiled step
+
+    def fast_train_step(temperature):
+        """Calibrate ViT capacities from the mask-mode probe at this epoch's
+        temperature (reusing the pre-search probe); gather-mode training
+        step (see compress_nlvr.fast_train_step).  The decoder runs unpruned
+        (reference behavior) so only the vision schedule applies."""
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        vk = np.asarray(probe(params, jnp.asarray(probe_imgs),
+                              jnp.float32(temperature)))
+        cv = calibrate_capacities(
+            vk[None, :], margin=16,
+            multiple=128 if args.cap_mode == "nearest" else 64,
+            mode=args.cap_mode)
+        if cv not in step_cache:
+            step_cache[cv] = make_caption_train_step(cfg, tx,
+                                                     capacities_v=cv)
+        return step_cache[cv], cv
+
     best, cur_g = -1.0, ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
         if epoch > 0:
@@ -274,6 +294,10 @@ def main():
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        step_fn = train_step
+        if args.fast_train and temperature > 0:
+            step_fn, sched = fast_train_step(temperature)
+            print("fast_train capacities:", sched)
         logger = MetricLogger()
         for images, captions, img_ids in logger.log_every(
             batched_loader(ds, config.get("batch_size", 32), shuffle=True,
@@ -285,7 +309,7 @@ def main():
             labels[:, :prompt_length] = -100  # reference models/blip.py:121
             images_d, ids_d, mask_d, labels_d = put_batch(
                 images, ids, mask, labels)
-            params, opt_state, metrics = train_step(
+            params, opt_state, metrics = step_fn(
                 params, opt_state, images_d, ids_d, mask_d, labels_d,
                 jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
@@ -296,7 +320,10 @@ def main():
         # CIDEr+SPICE, compress_caption_dtp.py:303; SPICE needs a Java
         # scorer that is out of scope here — eval/caption_metrics.py — so
         # the gate is explicitly CIDEr-only and logged as such).
-        gt_path = os.path.join(config.get("coco_gt_root", ""), "gt.json")
+        gt_root = config.get("coco_gt_root", "")
+        gt_path = os.path.join(gt_root, "gt.json")
+        if not os.path.exists(gt_path):
+            gt_path = os.path.join(gt_root, "caption_gt.json")  # fixture name
         if os.path.exists(gt_path):
             import json as _json
 

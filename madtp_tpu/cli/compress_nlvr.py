@@ -36,27 +36,9 @@ ORI_GFLOPS = 132.54  # reference compress_nlvr_dtp.py:162
 
 
 def build_cfg(config, image_size):
-    preset = config.get("vit", "base")
-    if preset == "large":
-        vit = ViTConfig.large(image_size)
-        med = MedConfig(twin_cross=True, encoder_width=vit.embed_dim)
-    elif preset == "tiny":
-        # fixture/CI-scale models (tools/make_fixture.py); not a reference
-        # preset — reference supports base/large (models/blip.py:228-247)
-        vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
-                        depth=2, num_heads=4, sd_dim=64)
-        med = MedConfig(twin_cross=True, encoder_width=64, hidden_size=64,
-                        num_hidden_layers=2, num_attention_heads=4,
-                        intermediate_size=256,
-                        vocab_size=config.get("vocab_size", 30524), sd_dim=64)
-        return BlipConfig(vit=vit, med=med,
-                          sd_num=config.get("sd_num", 100), sd_dim=64)
-    else:
-        vit = ViTConfig(image_size=image_size)
-        med = MedConfig(twin_cross=True, encoder_width=vit.embed_dim)
-    return BlipConfig(vit=vit, med=med,
-                      sd_num=config.get("sd_num", 100),
-                      sd_dim=config.get("sd_dim", 768))
+    from madtp_tpu.cli.common import build_blip_cfg
+
+    return build_blip_cfg(config, image_size, twin_cross=True)
 
 
 def synthetic_loader(n_batches, batch, image_size, seed=0):

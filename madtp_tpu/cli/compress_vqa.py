@@ -273,6 +273,42 @@ def main():
                 f" {mesh.shape['data']}; set --batch_size_train accordingly")
         return shard_batch_padded(mesh, *arrays)[:-1]
 
+    step_cache = {}  # --fast_train: capacity schedule -> compiled step
+
+    def fast_train_step(temperature, epoch):
+        """Calibrate ceil/nearest capacities from one mask-mode train batch
+        at this epoch's temperature; gather-mode training step (see
+        compress_nlvr.fast_train_step)."""
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        import madtp_tpu.models.vit as V
+
+        images, questions, *_ = next(iter(batched_loader(
+            train_ds, config.get("batch_size_train", 16), shuffle=True,
+            epoch=epoch, collate=vqa_collate)))
+        q = tokenizer(list(questions), padding="longest")
+        qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
+        out, _ = blip_vqa_encode(
+            params, jnp.asarray(images), jnp.asarray(qi),
+            jnp.asarray(q["attention_mask"]), cfg,
+            temperature=jnp.float32(temperature), prune_active=True)
+        _, _, vk = V.vit_forward(
+            params["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
+            space_dict=params["space_dict"],
+            temperature=jnp.float32(temperature), prune_active=True)
+        cv = calibrate_capacities(
+            np.asarray(vk)[None, :], margin=16,
+            multiple=128 if args.cap_mode == "nearest" else 64,
+            mode=args.cap_mode)
+        ct = calibrate_capacities(np.asarray(out.kept_counts)[None, :],
+                                  margin=4, multiple=8)
+        key = (cv, ct)
+        if key not in step_cache:
+            step_cache[key] = make_vqa_train_step(
+                cfg, tx, max_answers_per_q=MAX_A,
+                capacities_v=cv, capacities_t=ct)
+        return step_cache[key], key
+
     cur_g = ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
         if epoch > 0:
@@ -281,6 +317,10 @@ def main():
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 2e-5), config.get("min_lr", 0.0))
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        step_fn = train_step
+        if args.fast_train and temperature > 0:
+            step_fn, sched = fast_train_step(temperature, epoch)
+            print("fast_train capacities:", sched)
         logger = MetricLogger()
         for images, questions, answers, weights, n in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
@@ -305,7 +345,7 @@ def main():
                 pos += cnt
             batch_d = put_train(images, q_ids, q["attention_mask"],
                                 ans_ids, ans_msk, w)
-            params, opt_state, metrics = train_step(
+            params, opt_state, metrics = step_fn(
                 params, opt_state, *batch_d, jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         results, cur_g = run_eval(

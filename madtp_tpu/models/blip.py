@@ -139,13 +139,15 @@ def blip_caption_encode_image(params, images, cfg: BlipConfig, *,
 def blip_caption_forward(
     params, images, text_ids, text_mask, cfg: BlipConfig, *,
     temperature=0.0, prune_active=False, labels=None, dropout_rng=None,
+    capacities=None,
 ):
     """Training/scoring pass (reference models/blip.py:111-159).  The decoder
     runs without text pruning (space_dict not passed there, reference
-    :124-133)."""
+    :124-133).  ``capacities`` (static tuple): gather-mode ViT tower."""
     vstate, sd_img_ft, _ = blip_caption_encode_image(
         params, images, cfg, temperature=temperature,
         prune_active=prune_active, dropout_rng=dropout_rng,
+        capacities=capacities,
     )
     hidden = M.med_decoder_forward(
         params["text_decoder"], text_ids, text_mask, cfg.med,

@@ -81,16 +81,21 @@ def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 
 def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                             prune_active: bool = True,
-                            use_dropout: bool = False):
+                            use_dropout: bool = False,
+                            capacities_v=None):
     """Reference models/blip.py:111-159: LM loss + FDT (image side only; the
     decoder runs unpruned so sd_txt_ft is None -> loss_fdt falls back to
-    loss_lm exactly like the reference's default)."""
+    loss_lm exactly like the reference's default).
+
+    ``capacities_v`` (static tuple): --fast_train gather-mode ViT tower
+    (see :func:`make_nlvr_train_step`)."""
 
     def loss_fn(params, images, ids, mask, labels, temperature, rng):
         loss_lm, sd_img_ft, _ = blip_caption_forward(
             params, images, ids, mask, cfg,
             temperature=temperature, prune_active=prune_active, labels=labels,
             dropout_rng=rng if use_dropout else None,
+            capacities=capacities_v,
         )
         loss_fdt = loss_lm  # reference fallback when sd_txt_ft is None
         loss = loss_lm + FDT_WEIGHT * loss_fdt
@@ -112,11 +117,15 @@ def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 
 
 def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
-                        max_answers_per_q: int, prune_active: bool = True):
+                        max_answers_per_q: int, prune_active: bool = True,
+                        capacities_v=None, capacities_t=None):
     """Reference models/blip_vqa.py:67-115.  The ragged per-question answer
     lists are padded to ``max_answers_per_q`` with zero weights (static
     shapes); weighted per-answer LM losses sum to the reference's
-    ``(weights * loss).sum() / B``."""
+    ``(weights * loss).sum() / B``.
+
+    ``capacities_v``/``capacities_t`` (static tuples): --fast_train
+    gather-mode towers (see :func:`make_nlvr_train_step`)."""
 
     def loss_fn(params, images, q_ids, q_mask, a_ids, a_mask, weights,
                 temperature):
@@ -125,6 +134,7 @@ def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         out, sd_img_ft = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=temperature, prune_active=prune_active,
+            capacities_v=capacities_v, capacities_t=capacities_t,
         )
         qs = out.state
 
