@@ -213,7 +213,11 @@ def _vit_forward_gather(params, x, *, cfg: ViTConfig, space_dict, temperature,
 
     assert len(capacities) == cfg.depth
     B = x.shape[0]
-    state = init_token_state(x, depth=0)
+    # pad_to=8: 1+576 = 577 tokens is not a lane-aligned count, and the
+    # fused kernel's eligibility gate requires N % 8 == 0 — without padding
+    # the FIRST layer (the largest N in the whole schedule) silently fell
+    # back to the XLA scoring attention and materialized [B,H,577,577]
+    state = init_token_state(x, depth=0, pad_to=8)
     sd_all = jnp.zeros((B, space_dict.shape[0], space_dict.shape[1]), jnp.float32)
     kept_list = []
     for i in range(cfg.depth):
