@@ -216,6 +216,48 @@ def main():
         config["image_root"], config["ann_root"],
         dataset=config.get("dataset", "coco"))
 
+    step_cache = {}  # --fast_train: capacity schedule -> compiled step
+
+    def fast_train_step(state, temperature, epoch):
+        """Calibrate tower capacities from one mask-mode probe batch at this
+        epoch's temperature; gather-mode retrieval train step (see
+        compress_nlvr.fast_train_step).  Both online and momentum towers and
+        the ITM pass run compacted."""
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        import madtp_tpu.models.vit as V
+        from madtp_tpu.models import med as M_
+
+        images, captions, _ = next(iter(batched_loader(
+            train_ds, config.get("batch_size_train", 16), shuffle=True,
+            epoch=epoch, drop_last=True)))
+        tok = tokenizer(list(captions), padding="max_length", max_length=35)
+        p = state.params
+        _, _, vk = V.vit_forward(
+            p["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
+            space_dict=p["space_dict"], temperature=jnp.float32(temperature),
+            prune_active=True)
+        out = M_.med_encoder(
+            p["text_encoder"], jnp.asarray(tok["input_ids"]),
+            jnp.asarray(tok["attention_mask"]), cfg.med, mode="text",
+            space_dict=p["space_dict"], temperature=jnp.float32(temperature),
+            prune_active=True)
+        cv = calibrate_capacities(
+            np.asarray(vk)[None, :], margin=16,
+            multiple=128 if args.cap_mode == "nearest" else 64,
+            mode=args.cap_mode)
+        ct = calibrate_capacities(np.asarray(out.kept_counts)[None, :],
+                                  margin=4, multiple=8)
+        key = (cv, ct)
+        if key not in step_cache:
+            step_cache[key] = make_retrieval_train_step(
+                cfg, tx, alpha=config.get("alpha", 0.4),
+                enc_token_id=tokenizer.enc_token_id,
+                negative_all_rank=config.get("negative_all_rank", False),
+                data_shards=mesh.shape["data"] if mesh is not None else 1,
+                capacities_v=cv, capacities_t=ct)
+        return step_cache[key], key
+
     rng_key = jrandom.PRNGKey(args.seed)
     best, cur_g = 0.0, ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
@@ -225,6 +267,10 @@ def main():
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
         state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        step_fn = train_step
+        if args.fast_train and temperature > 0:
+            step_fn, sched = fast_train_step(state, temperature, epoch)
+            print("fast_train capacities:", sched)
         logger = MetricLogger()
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
@@ -234,7 +280,7 @@ def main():
             rng_key, sub = jrandom.split(rng_key)
             batch_d = put_train(images, tok["input_ids"],
                                 tok["attention_mask"], np.asarray(img_idx))
-            state, metrics = train_step(
+            state, metrics = step_fn(
                 state, sub, *batch_d, jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         # eval epoch: re-embed + rerank with current weights

@@ -137,11 +137,35 @@ def main():
         if space_dict is not None:
             space_dict = _replicate(mesh, space_dict)
 
+    caps_v = None
+    if (args.fast_eval and prune and not cfg.is_resnet
+            and (args.evaluate or args.synthetic)):
+        # (evaluation runs only: during compression training the temperature
+        # moves every epoch, so a startup-calibrated schedule would go stale
+        # for the per-epoch evals)
+        # calibrate a static vision-capacity schedule from mask-mode probe
+        # batches, then run the gather fast path (the text tower stays
+        # mask-mode: causal + 77 tokens, see models/clip.py:_tower_gather)
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        probe = jax.jit(lambda p, im, s, t: clip_encode_image(
+            p, im, cfg, space_dict=s, temperature=t, prune_active=True)[2])
+        vks = []
+        for i in range(0, min(len(images), 4 * 16), 16):
+            im_d, _ = _shard(mesh, images[i : i + 16])
+            vks.append(np.asarray(probe(params, im_d, space_dict,
+                                        jnp.float32(temperature))))
+        caps_v = calibrate_capacities(
+            np.stack(vks), margin=16,
+            multiple=128 if args.cap_mode == "nearest" else 64,
+            mode=args.cap_mode)
+        print("fast_eval vision capacities:", caps_v)
+
     @jax.jit
     def img_step(params, images, sd, t):
         f, _, kept = clip_encode_image(
             params, images, cfg, space_dict=sd, temperature=t,
-            prune_active=prune)
+            prune_active=prune, capacities=caps_v)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
 
     @jax.jit
@@ -223,6 +247,30 @@ def main():
         config["image_root"], config["ann_root"],
         dataset=config.get("dataset", "flickr"))
 
+    step_cache = {}  # --fast_train: vision capacity schedule -> step
+
+    def fast_train_step(state, temperature, epoch):
+        """Calibrate vision capacities from one mask-mode probe batch at
+        this epoch's temperature; gather-mode CLIP train step (the causal
+        text tower stays mask-mode)."""
+        from madtp_tpu.prune.calibrate import calibrate_capacities
+
+        images_p, _, _ = next(iter(batched_loader(
+            train_ds, config.get("batch_size_train", 16), shuffle=True,
+            epoch=epoch, drop_last=True)))
+        _, _, vk = clip_encode_image(
+            state.params, jnp.asarray(images_p), cfg,
+            space_dict=state.space_dict,
+            temperature=jnp.float32(temperature), prune_active=True)
+        cv = calibrate_capacities(
+            np.asarray(vk)[None, :], margin=16,
+            multiple=128 if args.cap_mode == "nearest" else 64,
+            mode=args.cap_mode)
+        if cv not in step_cache:
+            step_cache[cv] = make_clip_train_step(
+                cfg, tx, alpha=config.get("alpha", 0.4), capacities_v=cv)
+        return step_cache[cv], cv
+
     best, cur_g = 0.0, ORI_GFLOPS
     for epoch in range(config["max_epoch"]):
         if epoch > 0:
@@ -231,6 +279,10 @@ def main():
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
         state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        step_fn = train_step
+        if args.fast_train and temperature > 0 and not cfg.is_resnet:
+            step_fn, sched = fast_train_step(state, temperature, epoch)
+            print("fast_train capacities:", sched)
         logger = MetricLogger()
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
@@ -238,7 +290,7 @@ def main():
             50, f"Train [{epoch}]"):
             txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
             batch_d = put_train(images, txt, np.asarray(img_idx))
-            state, metrics = train_step(
+            state, metrics = step_fn(
                 state, *batch_d, jnp.float32(temperature))
             logger.update(**{k: float(v) for k, v in metrics.items()})
         params, space_dict = state.params, state.space_dict

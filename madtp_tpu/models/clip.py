@@ -136,12 +136,62 @@ def _tower(params_blocks, state, *, num_layers, num_heads, temperature,
     return state, (sd_all if space_dict is not None else None), kept
 
 
+def _tower_gather(params_blocks, state, *, num_layers, num_heads, temperature,
+                  space_dict, max_keep, capacities, sd_shape):
+    """Gather fast path for a NON-CAUSAL tower (vision only): identical DTP
+    decisions to :func:`_tower`, physically compacted per layer to the
+    static calibrated capacity schedule (cf. models/vit.py
+    ``_vit_forward_gather``).  The text tower stays mask-mode — its causal
+    mask is tied to original token positions, and at 77 tokens there is
+    nothing worth compacting."""
+    from madtp_tpu.core.tree import layer_slice
+    from madtp_tpu.prune.dtp import dtp_prune_gather
+
+    assert len(capacities) == num_layers
+    B = state.x.shape[0]
+    sd_all = (jnp.zeros((B,) + sd_shape, jnp.float32)
+              if space_dict is not None else None)
+    kept_list = []
+    for i in range(num_layers):
+        p = layer_slice(params_blocks, i)
+        x, alive, bias = state
+        token_attn = None
+        if space_dict is not None:
+            token_attn, sd_ft = query_model(
+                p["query_model"], x[:, 1:], space_dict, alive=alive[:, 1:],
+                map_func=True)
+            sd_all = sd_all + sd_ft
+        xn = layer_norm(p["ln_1"], x, LN_EPS)
+        qkv = linear(p["attn"]["in_proj"], xn)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out, aux = attention_core(
+            _heads(q, num_heads), _heads(k, num_heads), _heads(v, num_heads),
+            key_alive=alive, query_alive=alive, need_scores=True)
+        x = x + linear(p["attn"]["out_proj"], out)
+        state = TokenState(x, alive, bias)
+        signals = DTPSignals(cls_attn=aux.cls_attn, col_mass=aux.col_mass,
+                             token_attn=token_attn)
+        cap = min(capacities[i], state.x.shape[1])
+        state, kept, _ovf = dtp_prune_gather(
+            state, signals, temperature, cap, variant="clip",
+            max_keep=max_keep)
+        x, alive, bias = state
+        h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x, LN_EPS))
+        x = x + linear(p["mlp"]["c_proj"], quick_gelu(h))
+        state = TokenState(x, alive, bias)
+        kept_list.append(kept)
+    return state, sd_all, jnp.stack(kept_list)
+
+
 def clip_encode_image(
     params, images, cfg: CLIPConfig, *, space_dict=None, temperature=0.0,
-    prune_active=False,
+    prune_active=False, capacities=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Vision tower (reference clip/model.py:275-313).
-    Returns (features [B,E], sd_img_ft_all, kept_counts)."""
+    Returns (features [B,E], sd_img_ft_all, kept_counts).
+
+    ``capacities`` (static tuple, one per layer): gather fast path —
+    physically compacted eval/training (--fast_eval/--fast_train)."""
     from madtp_tpu.ops.layers import patch_embed
 
     if cfg.is_resnet:
@@ -166,8 +216,23 @@ def clip_encode_image(
     x = layer_norm(v["ln_pre"], x, LN_EPS)
 
     P0 = x.shape[1] - 1
-    state = init_token_state(x, depth=cfg.vision_layers if prune_active else 0)
     sd_shape = None if space_dict is None else (space_dict.shape[0], space_dict.shape[1])
+    if capacities is not None and prune_active:
+        state = init_token_state(x, depth=0, pad_to=8)
+        state, sd_all, kept = _tower_gather(
+            v["blocks"], state,
+            num_layers=cfg.vision_layers, num_heads=cfg.vision_heads,
+            temperature=temperature, space_dict=space_dict, max_keep=1,
+            capacities=capacities, sd_shape=sd_shape,
+        )
+        feats = layer_norm(v["ln_post"], state.x[:, 0, :], LN_EPS)
+        feats = jnp.dot(feats, v["proj"], preferred_element_type=jnp.float32)
+        return feats.astype(x.dtype), sd_all, kept
+    # pad_to=8: 1+576+24 = 601 slots is not lane-aligned and the fused
+    # kernel's gate requires N % 8 == 0 — without padding the whole CLIP
+    # vision tower takes the XLA fallback on TPU (cf. models/vit.py:220)
+    state = init_token_state(x, depth=cfg.vision_layers if prune_active else 0,
+                             pad_to=8 if prune_active else 1)
     state, sd_all, kept = _tower(
         v["blocks"], state,
         num_layers=cfg.vision_layers, num_heads=cfg.vision_heads,
@@ -193,7 +258,8 @@ def clip_encode_text(
     max_keep = jnp.max(eot_pos) + 2  # reference clip/model.py:492
 
     P0 = x.shape[1] - 1
-    state = init_token_state(x, depth=cfg.transformer_layers if prune_active else 0)
+    state = init_token_state(x, depth=cfg.transformer_layers if prune_active else 0,
+                             pad_to=8 if prune_active else 1)
     sd_shape = None if space_dict is None else (space_dict.shape[0], space_dict.shape[1])
     state, sd_all, kept = _tower(
         params["blocks"], state,

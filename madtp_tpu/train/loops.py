@@ -186,7 +186,8 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                               *, alpha: float = 0.4, momentum: float = 0.995,
                               enc_token_id: int, prune_active: bool = True,
                               negative_all_rank: bool = False,
-                              data_shards: int = 1):
+                              data_shards: int = 1,
+                              capacities_v=None, capacities_t=None):
     """Full ITC+ITM compression step (reference models/blip_retrieval.py:99-282):
     momentum towers + queue soft targets, hard-negative ITM, FDT losses from
     both online and momentum towers.
@@ -212,11 +213,11 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
     def towers(params, images, ids, mask, temperature):
         img_feat, vstate, sd_img = blip_retrieval_image_features(
             params, images, cfg, temperature=temperature,
-            prune_active=prune_active,
+            prune_active=prune_active, capacities=capacities_v,
         )
         txt_feat, tout = blip_retrieval_text_features(
             params, ids, mask, cfg, temperature=temperature,
-            prune_active=prune_active,
+            prune_active=prune_active, capacities=capacities_t,
         )
         return img_feat, vstate, sd_img, txt_feat, tout
 
@@ -280,7 +281,7 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
             params["text_encoder"], ids_all, mask_all, cfg.med,
             mode="multimodal", encoder_state=TokenState(vx, va, None),
             space_dict=params["space_dict"], temperature=temperature,
-            prune_active=prune_active,
+            prune_active=prune_active, capacities=capacities_t,
         )
         vl = linear(params["itm_head"], out.state.x[:, 0, :])
         loss_itm = L.itm_loss(vl, B)
@@ -328,17 +329,22 @@ CLIP_MOMENTUM_KEYS = ("visual", "token_embedding", "positional_embedding",
 
 def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
                          alpha: float = 0.4, momentum: float = 0.995,
-                         prune_active: bool = True):
+                         prune_active: bool = True, capacities_v=None):
     """CLIP compression step (reference clip/model.py:529-595): queue-based
     soft-target InfoNCE on both towers + FDT alignment from online AND
-    momentum towers; logit_scale clamped to [0, 4.6052] (:530-531)."""
+    momentum towers; logit_scale clamped to [0, 4.6052] (:530-531).
+
+    ``capacities_v`` (static tuple): --fast_train gather-mode vision tower
+    (see :func:`make_nlvr_train_step`; the causal text tower stays
+    mask-mode)."""
     from madtp_tpu.models.blip import fdt_alignment_loss
     from madtp_tpu.models.clip import clip_encode_image, clip_encode_text
 
     def towers(params, space_dict, images, text, temperature):
         img, sd_img, _ = clip_encode_image(
             params, images, cfg, space_dict=space_dict,
-            temperature=temperature, prune_active=prune_active)
+            temperature=temperature, prune_active=prune_active,
+            capacities=capacities_v)
         txt, sd_txt, _ = clip_encode_text(
             params, text, cfg, space_dict=space_dict,
             temperature=temperature, prune_active=prune_active)

@@ -213,3 +213,25 @@ def test_clip_resnet_checkpoint_config_and_forward():
     assert feats.shape == (2, out_dim) and sd_ft is None
     assert np.all(np.isfinite(np.asarray(feats)))
     assert resnet_gflops(layers, width, res, out_dim) > 0
+
+
+def test_image_tower_gather_matches_mask_mode():
+    """CLIP vision gather fast path: with lossless capacities (kept + 2) the
+    compacted tower's features must equal mask mode (same DTP decisions,
+    physical compaction is a re-indexing; CLS is slot 0 in both)."""
+    params, images, text, sd = setup()
+    t = 1.0
+    f_mask, sd_mask, kept = C.clip_encode_image(
+        params, jnp.asarray(images), CFG, space_dict=jnp.asarray(sd),
+        temperature=t, prune_active=True,
+    )
+    caps = tuple(int(k) + 2 for k in np.asarray(kept))
+    f_gat, sd_gat, kept_g = C.clip_encode_image(
+        params, jnp.asarray(images), CFG, space_dict=jnp.asarray(sd),
+        temperature=t, prune_active=True, capacities=caps,
+    )
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(kept_g))
+    np.testing.assert_allclose(np.asarray(f_mask), np.asarray(f_gat),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sd_mask), np.asarray(sd_gat),
+                               rtol=2e-5, atol=2e-6)

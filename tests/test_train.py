@@ -360,3 +360,50 @@ def test_gather_mode_training_grads_match_mask_mode():
     for a, b in zip(flat_m, flat_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_clip_train_step_gather_matches_mask():
+    """--fast_train for CLIP: at lossless vision capacities the gather-mode
+    train step's losses equal mask mode (decisions identical, compaction is
+    a re-indexing; causal text tower stays mask-mode in both)."""
+    from madtp_tpu.core.config import CLIPConfig
+    from madtp_tpu.models.clip import clip_encode_image, init_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=32, vision_layers=2, vision_width=32,
+        vision_patch_size=8, vision_heads_override=4, context_length=12,
+        vocab_size=60, transformer_width=32, transformer_heads=4,
+        transformer_layers=2, sd_dim=32,
+    )
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, init_clip_params(cfg, rng))
+    space_dict = jnp.asarray(rng.randn(10, 32).astype(np.float32))
+    tx = optax.adamw(1e-4)
+    B = 4
+    images = jnp.asarray(rng.randn(B, 3, 32, 32).astype(np.float32))
+    text = np.zeros((B, 12), np.int64)
+    text[:, 0] = 57
+    text[:, 1:4] = rng.randint(5, 50, size=(B, 3))
+    text[:, 4] = 59  # eot
+
+    _, _, vk = clip_encode_image(params, images, cfg, space_dict=space_dict,
+                                 temperature=1.0, prune_active=True)
+    caps = tuple(int(k) + 2 for k in np.asarray(vk))
+
+    def run(capacities):
+        step = loops.make_clip_train_step(cfg, tx, capacities_v=capacities)
+        state = loops.ClipTrainState(
+            params=params,
+            params_m={k: params[k] for k in loops.CLIP_MOMENTUM_KEYS},
+            opt_state=tx.init({"params": params, "space_dict": space_dict}),
+            queue=init_queue(16, 8),
+            space_dict=space_dict,
+        )
+        _, metrics = step(state, images, jnp.asarray(text), jnp.arange(B),
+                          jnp.float32(1.0))
+        return {k: float(v) for k, v in metrics.items()}
+
+    m_mask = run(None)
+    m_gat = run(caps)
+    for k in m_mask:
+        assert abs(m_mask[k] - m_gat[k]) < 1e-4, (k, m_mask[k], m_gat[k])
