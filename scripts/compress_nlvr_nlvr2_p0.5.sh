@@ -1,7 +1,7 @@
 #!/bin/bash
 # Compress BLIP-NLVR to 50% GFLOPs (reference scripts/compress_nlvr_nlvr2_p0.5.sh;
 # SPMD replaces torchrun — one process drives the whole TPU slice)
-python -m madtp_tpu.cli.compress_nlvr \
+python -m madtp_tpu.cli.compress_nlvr --fast_train \
     --p 0.5 --epoch 15 \
     --pretrained pretrained/model_base_nlvr.pth \
     --config configs/nlvr.yaml \

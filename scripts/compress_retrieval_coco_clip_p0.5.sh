@@ -1,3 +1,3 @@
 #!/bin/bash
-python -m madtp_tpu.cli.compress_retrieval_clip --p 0.5 --config configs/retrieval_coco_clip.yaml \
+python -m madtp_tpu.cli.compress_retrieval_clip --fast_train --p 0.5 --config configs/retrieval_coco_clip.yaml \
     --output_dir output/retrieval_coco_clip_compression_p0.5

@@ -1,3 +1,3 @@
 #!/bin/bash
-python -m madtp_tpu.cli.compress_retrieval --p 0.5 --config configs/retrieval_coco.yaml \
+python -m madtp_tpu.cli.compress_retrieval --fast_train --p 0.5 --config configs/retrieval_coco.yaml \
     --output_dir output/retrieval_coco_compression_p0.5

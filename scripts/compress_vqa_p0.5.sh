@@ -1,3 +1,3 @@
 #!/bin/bash
-python -m madtp_tpu.cli.compress_vqa --p 0.5 --config configs/vqa.yaml \
+python -m madtp_tpu.cli.compress_vqa --fast_train --p 0.5 --config configs/vqa.yaml \
     --output_dir output/vqa_compression_p0.5
