@@ -92,3 +92,13 @@ def test_nlvr_driver_fast_train_runs(tmp_path):
     for log in logs:
         assert float(log["train_loss"]) == float(log["train_loss"])  # finite
         assert 0.0 <= float(log["val_acc"]) <= 1.0
+
+
+def test_clip_driver_fast_eval_matches_mask_mode(tmp_path):
+    """--fast_eval (gather vision tower, ceil/lossless capacities) must
+    reproduce the mask-mode synthetic eval metrics exactly."""
+    from madtp_tpu.cli import compress_retrieval_clip as module
+
+    mask = _run(module, tmp_path, "mask", ["--dp", "off"])
+    fast = _run(module, tmp_path, "fast", ["--dp", "off", "--fast_eval"])
+    _compare(mask, fast)
