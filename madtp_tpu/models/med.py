@@ -170,6 +170,16 @@ def med_encoder(
         emb = dropout(r_emb, emb, cfg.hidden_dropout_prob)
     pad_bias = (1.0 - attention_mask.astype(jnp.float32)) * PAD_BIAS  # [B,N]
 
+    # compute dtype follows the text embeddings: a cross-attn memory in a
+    # wider dtype (e.g. fp32 image states fed to a bf16 model) would
+    # otherwise promote the residual stream mid-scan and break the carry
+    def _align(st):
+        return None if st is None else TokenState(
+            st.x.astype(emb.dtype), st.alive, st.bias)
+
+    encoder_state = _align(encoder_state)
+    encoder_state1 = _align(encoder_state1)
+
     L = cfg.num_hidden_layers
     use_fdt = space_dict is not None
 
@@ -326,6 +336,9 @@ def med_decoder_forward(
     """Full-sequence decoder pass -> hidden states [B,N,D]
     (training / scoring path; reference models/med.py:955-1069)."""
     emb = bert_embeddings(params["embeddings"], input_ids, cfg)
+    encoder_state = TokenState(  # compute dtype follows the embeddings
+        encoder_state.x.astype(emb.dtype), encoder_state.alive,
+        encoder_state.bias)
     bias = causal_bias(attention_mask)
 
     def body(x, p):
@@ -376,6 +389,9 @@ def med_decoder_step(
     emb = bert_embeddings(
         params["embeddings"], input_ids, cfg, position_offset=position
     )
+    encoder_state = TokenState(  # compute dtype follows the embeddings
+        encoder_state.x.astype(emb.dtype), encoder_state.alive,
+        encoder_state.bias)
     max_len = cache.k.shape[3]
     valid = (jnp.arange(max_len) <= position)[None, None, None, :]  # [1,1,1,T]
     bias = jnp.where(valid, 0.0, PAD_BIAS)

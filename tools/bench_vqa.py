@@ -1,0 +1,108 @@
+"""On-chip VQA eval throughput: ViT-B/480 + question encoder + answer
+ranking over a k=128 candidate list (the reference eval configuration:
+480px inputs, ``configs/vqa.yaml``, rank_answer ``models/blip_vqa.py:
+149-203``, Ori 186.1 GFLOPs).
+
+Times image-encode + question-encode + two-pass answer ranking, pruned at
+the 50%-GFLOPs temperature (gather --fast_eval schedule) vs dense, matched
+bf16.
+
+Run: python tools/bench_vqa.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(batch=16, n_answers=256, k=128, reps=3, pipeline=4):
+    import jax
+    import jax.numpy as jnp
+
+    from madtp_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
+    import dataclasses
+
+    from madtp_tpu.cli.common import build_blip_cfg, init_blip_params
+    from madtp_tpu.core.tree import cast_tree
+    from madtp_tpu.models.blip import blip_vqa_encode
+    from madtp_tpu.prune.calibrate import calibrate_capacities
+    from madtp_tpu.tasks.vqa import rank_answers
+
+    cfg = build_blip_cfg({"vit": "base"}, 480)
+    cfg = cfg._replace(med=dataclasses.replace(cfg.med, twin_cross=False))
+    params = init_blip_params(cfg, 0, with_decoder=True, heads=())
+    params16 = cast_tree(params, jnp.bfloat16)
+    t_star = jnp.float32(3.4785)
+
+    rng = np.random.RandomState(7)
+    q_ids = jnp.asarray(rng.randint(1, cfg.med.vocab_size, (batch, 12)))
+    q_mask = jnp.ones((batch, 12), jnp.int32)
+    a_ids = np.zeros((n_answers, 6), np.int32)
+    a_ids[:, 0] = 30522  # bos
+    a_ids[:, 1:4] = rng.randint(1, 30000, (n_answers, 3))
+    a_mask = np.zeros((n_answers, 6), np.int32)
+    a_mask[:, :4] = 1
+    a_ids, a_mask = jnp.asarray(a_ids), jnp.asarray(a_mask)
+
+    def make_step(prune, cv, ct):
+        def step(params, images, q_ids, q_mask, t):
+            out, _ = blip_vqa_encode(
+                params, images, q_ids, q_mask, cfg,
+                temperature=t, prune_active=prune,
+                capacities_v=cv, capacities_t=ct)
+            best, _ = rank_answers(
+                params["text_decoder"], out.state, a_ids, a_mask, cfg,
+                k=k, pad_token_id=0)
+            return best, out.kept_counts
+
+        return jax.jit(step)
+
+    shape = (batch, 3, 480, 480)
+    ims = [jnp.asarray(rng.randn(*shape).astype(np.float32)
+                       ).astype(jnp.bfloat16) for _ in range(pipeline)]
+
+    def timed(step):
+        out = step(params16, ims[0], q_ids, q_mask, t_star)
+        float(jnp.sum(out[0]))
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [step(params16, im, q_ids, q_mask, t_star) for im in ims]
+            float(jnp.sum(outs[-1][0]))
+            best = min(best, (time.perf_counter() - t0) / len(ims))
+        return best * 1000
+
+    # calibrate capacities from a mask-mode probe
+    import madtp_tpu.models.vit as V
+
+    _, _, vk = V.vit_forward(
+        params["visual_encoder"], ims[0].astype(jnp.float32), cfg=cfg.vit,
+        space_dict=params["space_dict"], temperature=t_star,
+        prune_active=True)
+    probe = make_step(True, None, None)
+    _, tk = probe(params16, ims[0], q_ids, q_mask, t_star)
+    caps_v = calibrate_capacities(np.asarray(vk)[None, :], margin=8,
+                                  multiple=128, mode="nearest")
+    caps_t = calibrate_capacities(np.asarray(tk)[None, :], margin=4,
+                                  multiple=8)
+
+    res = {"batch": batch, "image_size": 480, "n_answers": n_answers,
+           "k": k, "capacities_v": list(caps_v), "capacities_t": list(caps_t)}
+    res["pruned_ms"] = round(timed(make_step(True, caps_v, caps_t)), 1)
+    res["dense_ms"] = round(timed(make_step(False, None, None)), 1)
+    res["samples_per_sec_pruned"] = round(batch / res["pruned_ms"] * 1000, 1)
+    res["samples_per_sec_dense"] = round(batch / res["dense_ms"] * 1000, 1)
+    res["vs_dense"] = round(res["dense_ms"] / res["pruned_ms"], 3)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
