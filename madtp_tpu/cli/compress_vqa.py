@@ -166,31 +166,40 @@ def main():
         logger = MetricLogger()
         results = []
         g_sum, n = 0.0, 0
+
+        def consume(pend):
+            nonlocal g_sum, n
+            out, kept, nb, qids, text_w = pend
+            if inference == "generate":
+                for row, qid in zip(np.asarray(out)[:nb], qids):
+                    results.append({"question_id": int(qid),
+                                    "answer": tokenizer.decode(row)})
+            else:
+                for b, qid in zip(np.asarray(out)[:nb], qids):
+                    results.append({"question_id": int(qid),
+                                    "answer": answer_list[int(b)]})
+            g_sum += vqa_gflops(
+                cfg.vit, cfg.med,
+                [cfg.vit.num_patches] * cfg.vit.depth,
+                np.asarray(kept), text_w, n_answers=k_test)
+            n += 1
+
+        # one-deep pipeline: dispatch batch i+1 before reading batch i
+        pending = None
         for images, questions, qids in logger.log_every(loader(), 10, "VQA:"):
             q = tokenizer(list(questions), padding="longest")
             q_ids_np = q["input_ids"]
             q_ids_np[:, 0] = tokenizer.enc_token_id
             images_d, q_ids_d, q_mask_d, nb = shard_batch_padded(
                 mesh, images, q_ids_np, q["attention_mask"])
-            if inference == "generate":
-                seqs, kept = gen_step(
-                    params, images_d, q_ids_d, q_mask_d,
-                    jnp.float32(temperature))
-                for row, qid in zip(np.asarray(seqs)[:nb], qids):
-                    results.append({"question_id": int(qid),
-                                    "answer": tokenizer.decode(row)})
-            else:
-                best, kept = eval_step(
-                    params, images_d, q_ids_d, q_mask_d,
-                    jnp.float32(temperature))
-                for b, qid in zip(np.asarray(best)[:nb], qids):
-                    results.append({"question_id": int(qid),
-                                    "answer": answer_list[int(b)]})
-            g_sum += vqa_gflops(
-                cfg.vit, cfg.med,
-                [cfg.vit.num_patches] * cfg.vit.depth,
-                np.asarray(kept), q_ids_np.shape[1], n_answers=k_test)
-            n += 1
+            step = gen_step if inference == "generate" else eval_step
+            out, kept = step(params, images_d, q_ids_d, q_mask_d,
+                             jnp.float32(temperature))
+            if pending is not None:
+                consume(pending)
+            pending = (out, kept, nb, qids, q_ids_np.shape[1])
+        if pending is not None:
+            consume(pending)
         return results, g_sum / max(n, 1)
 
     if args.synthetic:

@@ -87,6 +87,28 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
     gflops_sum, n_batches = 0.0, 0
+
+    def consume(pend):
+        """Read back one dispatched batch (the only host<->device sync)."""
+        nonlocal gflops_sum, n_batches
+        logits, vk, tk, targets, B, text_w = pend
+        preds = np.asarray(logits)[:B].argmax(-1)
+        acc = float((preds == np.asarray(targets)).mean())
+        logger.meters["acc"].update(acc, n=len(targets))
+        if prune_active:
+            g = nlvr_gflops(cfg.vit, cfg.med, np.asarray(vk), np.asarray(tk),
+                            text_w)
+        else:
+            g = nlvr_gflops(
+                cfg.vit, cfg.med, [cfg.vit.num_patches] * cfg.vit.depth,
+                [text_w - 1] * cfg.med.num_hidden_layers, text_w)
+        gflops_sum += g
+        n_batches += 1
+
+    # one-deep pipeline: dispatch batch i+1 (and run its host-side
+    # tokenization) before reading batch i back — the device never idles
+    # on the host loop and each readback round trip overlaps compute
+    pending = None
     for image0, image1, sentences, targets in logger.log_every(
         loader_fn(), print_freq, "Evaluation:"
     ):
@@ -105,18 +127,11 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
             jnp.asarray(a) if dsh is None else jax.device_put(np.asarray(a), dsh)
             for a in (images, ids, mask))
         logits, vk, tk = step(params, images, ids_d, mask_d, t)
-        preds = np.asarray(logits)[:B].argmax(-1)
-        acc = float((preds == np.asarray(targets)).mean())
-        logger.meters["acc"].update(acc, n=len(targets))
-        if prune_active:
-            g = nlvr_gflops(cfg.vit, cfg.med, np.asarray(vk), np.asarray(tk),
-                            ids.shape[1])
-        else:
-            g = nlvr_gflops(
-                cfg.vit, cfg.med, [cfg.vit.num_patches] * cfg.vit.depth,
-                [ids.shape[1] - 1] * cfg.med.num_hidden_layers, ids.shape[1])
-        gflops_sum += g
-        n_batches += 1
+        if pending is not None:
+            consume(pending)
+        pending = (logits, vk, tk, targets, B, ids.shape[1])
+    if pending is not None:
+        consume(pending)
     cur_gflops = gflops_sum / max(n_batches, 1)
     print_fn(f"Current Temperature: {temperature}")
     print_fn(f"Averaged GFLOPS: {cur_gflops}")

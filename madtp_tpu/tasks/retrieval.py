@@ -32,6 +32,46 @@ from madtp_tpu.models.blip import BlipConfig, blip_itm_score
 from madtp_tpu.prune.dtp import TokenState
 
 
+_STEP_CACHE: dict = {}
+
+
+def _cfg_key(cfg, *extra):
+    """Hashable cache key for jitted step reuse across calls: repr(cfg)
+    covers every config field; tracing again for identical configuration
+    wastes seconds per eval epoch (the jaxpr of an unrolled gather forward
+    is large)."""
+    return (repr(cfg),) + extra
+
+
+def _corpus_steps(cfg, prune_active, capacities_v, capacities_t):
+    from madtp_tpu.models.blip import (
+        blip_retrieval_image_features,
+        blip_retrieval_text_features,
+    )
+
+    key = _cfg_key(cfg, "corpus", prune_active, capacities_v, capacities_t)
+    if key not in _STEP_CACHE:
+
+        @jax.jit
+        def img_step(params, images, t):
+            feat, state, _ = blip_retrieval_image_features(
+                params, images, cfg, temperature=t,
+                prune_active=prune_active, capacities=capacities_v,
+            )
+            return feat, state
+
+        @jax.jit
+        def txt_step(params, ids, mask, t):
+            feat, out = blip_retrieval_text_features(
+                params, ids, mask, cfg, temperature=t,
+                prune_active=prune_active, capacities=capacities_t,
+            )
+            return feat
+
+        _STEP_CACHE[key] = (img_step, txt_step)
+    return _STEP_CACHE[key]
+
+
 def encode_corpus(
     params,
     cfg: BlipConfig,
@@ -54,51 +94,36 @@ def encode_corpus(
 
     Returns (img_feats [ni,E], img_states TokenState stacked on host,
     txt_feats [nt,E])."""
-    from madtp_tpu.models.blip import (
-        blip_retrieval_image_features,
-        blip_retrieval_text_features,
-    )
     from madtp_tpu.parallel.mesh import replicate, shard_batch_padded
 
     if mesh is not None:
         params = replicate(mesh, params)
 
-    @jax.jit
-    def img_step(params, images, t):
-        feat, state, _ = blip_retrieval_image_features(
-            params, images, cfg, temperature=t, prune_active=prune_active,
-            capacities=capacities_v,
-        )
-        return feat, state
+    img_step, txt_step = _corpus_steps(cfg, prune_active, capacities_v,
+                                       capacities_t)
 
-    @jax.jit
-    def txt_step(params, ids, mask, t):
-        feat, out = blip_retrieval_text_features(
-            params, ids, mask, cfg, temperature=t, prune_active=prune_active,
-            capacities=capacities_t,
-        )
-        return feat
-
+    # dispatch-all-then-read-back: premature np.asarray would sync the host
+    # per batch (a full round trip each on a remote/tunneled device)
     t = jnp.float32(temperature)
-    img_feats, xs, alives = [], [], []
+    pending_img = []
     for images in image_batches:
         images, n = shard_batch_padded(mesh, images)
-        feat, state = img_step(params, images, t)
-        img_feats.append(np.asarray(feat)[:n])
-        xs.append(np.asarray(state.x)[:n])
-        alives.append(np.asarray(state.alive)[:n])
-    img_feats = np.concatenate(img_feats)
-    img_states = TokenState(
-        np.concatenate(xs), np.concatenate(alives), None
-    )
-
-    txt_feats = []
+        pending_img.append((n, img_step(params, images, t)))
+    pending_txt = []
     for i in range(0, len(text_ids), text_batch):
         ids_d, mask_d, n = shard_batch_padded(
             mesh, text_ids[i : i + text_batch], text_mask[i : i + text_batch])
-        feat = txt_step(params, ids_d, mask_d, t)
-        txt_feats.append(np.asarray(feat)[:n])
-    txt_feats = np.concatenate(txt_feats)
+        pending_txt.append((n, txt_step(params, ids_d, mask_d, t)))
+
+    img_feats = np.concatenate(
+        [np.asarray(f)[:n] for n, (f, _) in pending_img])
+    img_states = TokenState(
+        np.concatenate([np.asarray(s.x)[:n] for n, (_, s) in pending_img]),
+        np.concatenate([np.asarray(s.alive)[:n] for n, (_, s) in pending_img]),
+        None,
+    )
+    txt_feats = np.concatenate(
+        [np.asarray(f)[:n] for n, f in pending_txt])
     return img_feats, img_states, txt_feats
 
 
@@ -135,42 +160,55 @@ def rerank_scores(
         params = replicate(mesh, params)
         rows_per_call = max(rows_per_call, mesh.shape["data"])
 
-    @jax.jit
-    def itm_rows(params, ids, mask, state_x, state_alive, t):
-        """Per-row ITM batches, vmapped over the row axis: every DTP
-        reduction (batch-max keep count, merge weights) stays inside its own
-        row, so any rows_per_call reproduces the reference's one-row-per-step
-        loop (compress_retrieval_dtp.py:166-178) exactly.
+    key = _cfg_key(cfg, "itm_rows", prune_active, capacities_t)
+    if key not in _STEP_CACHE:
 
-        The side shared within a row (the image state for i2t, the text for
-        t2i) arrives WITHOUT the k_test dim and is broadcast on device —
-        the host never materializes k_test copies."""
+        @jax.jit
+        def itm_rows(params, ids, mask, state_x, state_alive, t):
+            """Per-row ITM batches, vmapped over the row axis: every DTP
+            reduction (batch-max keep count, merge weights) stays inside its
+            own row, so any rows_per_call reproduces the reference's
+            one-row-per-step loop (compress_retrieval_dtp.py:166-178)
+            exactly.
 
-        def one(ids_r, mask_r, sx_r, sa_r):
-            k = ids_r.shape[0] if ids_r.ndim == 2 else sx_r.shape[0]
+            The side shared within a row (the image state for i2t, the text
+            for t2i) arrives WITHOUT the k_test dim and is broadcast on
+            device — the host never materializes k_test copies."""
 
-            def bc(a, nd):
-                return a if a.ndim == nd else jnp.broadcast_to(
-                    a[None], (k,) + a.shape)
+            def one(ids_r, mask_r, sx_r, sa_r):
+                k = ids_r.shape[0] if ids_r.ndim == 2 else sx_r.shape[0]
 
-            return blip_itm_score(
-                params, bc(ids_r, 2), bc(mask_r, 2),
-                TokenState(bc(sx_r, 3), bc(sa_r, 2), None), cfg,
-                temperature=t, prune_active=prune_active,
-                capacities=capacities_t,
-            )
+                def bc(a, nd):
+                    return a if a.ndim == nd else jnp.broadcast_to(
+                        a[None], (k,) + a.shape)
 
-        return jax.vmap(one)(ids, mask, state_x, state_alive)
+                return blip_itm_score(
+                    params, bc(ids_r, 2), bc(mask_r, 2),
+                    TokenState(bc(sx_r, 3), bc(sa_r, 2), None), cfg,
+                    temperature=t, prune_active=prune_active,
+                    capacities=capacities_t,
+                )
+
+            return jax.vmap(one)(ids, mask, state_x, state_alive)
+
+        _STEP_CACHE[key] = itm_rows
+    itm_rows = _STEP_CACHE[key]
 
     def run_rows(lo, hi, make_row, write):
+        # two-phase: dispatch every batch first (device queue stays full,
+        # no per-dispatch host sync — on a remote/tunneled device each
+        # premature readback costs a full round trip), then read back
+        pending = []
         for base in range(lo, hi, rows_per_call):
             rows = list(range(base, min(base + rows_per_call, hi)))
             ids_l, mask_l, sx_l, sa_l = zip(*(make_row(r) for r in rows))
             ids_d, mask_d, sx_d, sa_d, nr = shard_batch_padded(
                 mesh, np.stack(ids_l), np.stack(mask_l),
                 np.stack(sx_l), np.stack(sa_l))
-            itm = np.asarray(
-                itm_rows(params, ids_d, mask_d, sx_d, sa_d, t))[:nr]
+            pending.append(
+                (rows, nr, itm_rows(params, ids_d, mask_d, sx_d, sa_d, t)))
+        for rows, nr, dev in pending:
+            itm = np.asarray(dev)[:nr]
             for r, scores in zip(rows, itm):
                 write(r, scores)
 
