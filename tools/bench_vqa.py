@@ -36,11 +36,12 @@ def main(batch=16, n_answers=256, k=128, reps=3, pipeline=4):
     from madtp_tpu.prune.calibrate import calibrate_capacities
     from madtp_tpu.tasks.vqa import rank_answers
 
+    from madtp_tpu.prune.flops import vqa_gflops
+
     cfg = build_blip_cfg({"vit": "base"}, 480)
     cfg = cfg._replace(med=dataclasses.replace(cfg.med, twin_cross=False))
     params = init_blip_params(cfg, 0, with_decoder=True, heads=())
     params16 = cast_tree(params, jnp.bfloat16)
-    t_star = jnp.float32(3.4785)
 
     rng = np.random.RandomState(7)
     q_ids = jnp.asarray(rng.randint(1, cfg.med.vocab_size, (batch, 12)))
@@ -80,22 +81,43 @@ def main(batch=16, n_answers=256, k=128, reps=3, pipeline=4):
             best = min(best, (time.perf_counter() - t0) / len(ims))
         return best * 1000
 
-    # calibrate capacities from a mask-mode probe
+    # bisect the temperature to 50% of the VQA analytic GFLOPs (the same
+    # target the driver's controller chases), then calibrate capacities
     import madtp_tpu.models.vit as V
 
-    _, _, vk = V.vit_forward(
-        params["visual_encoder"], ims[0].astype(jnp.float32), cfg=cfg.vit,
-        space_dict=params["space_dict"], temperature=t_star,
-        prune_active=True)
-    probe = make_step(True, None, None)
-    _, tk = probe(params16, ims[0], q_ids, q_mask, t_star)
+    @jax.jit
+    def kept_probe(params, images, q_ids, q_mask, t):
+        _, _, vk = V.vit_forward(
+            params["visual_encoder"], images, cfg=cfg.vit,
+            space_dict=params["space_dict"], temperature=t,
+            prune_active=True)
+        out, _ = blip_vqa_encode(
+            params, images, q_ids, q_mask, cfg,
+            temperature=t, prune_active=True)
+        return vk, out.kept_counts
+
+    n_q0 = int(q_ids.shape[1])
+    ori = vqa_gflops(cfg.vit, cfg.med,
+                     [cfg.vit.num_patches] * cfg.vit.depth,
+                     [n_q0 - 1] * cfg.med.num_hidden_layers, n_q0,
+                     n_answers=k)
+    lo, hi = 0.05, 60.0
+    for _ in range(14):
+        tt = (lo * hi) ** 0.5
+        vk, tk = kept_probe(params16, ims[0], q_ids, q_mask, jnp.float32(tt))
+        g = vqa_gflops(cfg.vit, cfg.med, np.asarray(vk), np.asarray(tk),
+                       n_q0, n_answers=k)
+        lo, hi = (tt, hi) if g > 0.5 * ori else (lo, tt)
+    t_star = jnp.float32(tt)
     caps_v = calibrate_capacities(np.asarray(vk)[None, :], margin=8,
                                   multiple=128, mode="nearest")
     caps_t = calibrate_capacities(np.asarray(tk)[None, :], margin=4,
                                   multiple=8)
 
     res = {"batch": batch, "image_size": 480, "n_answers": n_answers,
-           "k": k, "capacities_v": list(caps_v), "capacities_t": list(caps_t)}
+           "k": k, "temperature": round(float(tt), 3),
+           "gflops_dense": round(ori, 1), "gflops_pruned": round(g, 1),
+           "capacities_v": list(caps_v), "capacities_t": list(caps_t)}
     res["pruned_ms"] = round(timed(make_step(True, caps_v, caps_t)), 1)
     res["dense_ms"] = round(timed(make_step(False, None, None)), 1)
     res["samples_per_sec_pruned"] = round(batch / res["pruned_ms"] * 1000, 1)
