@@ -208,6 +208,7 @@ def main():
     opt_state = tx.init(params)
     train_step = make_nlvr_train_step(cfg, tx)
     step_cache = {}  # capacity schedule -> compiled gather-mode train step
+    ft_probe = [None]  # lazily-built mask-mode probe, jitted ONCE
 
     def fast_train_step(params, temperature, epoch):
         """--fast_train: calibrate ceil (lossless + margin) capacities from
@@ -220,7 +221,9 @@ def main():
             iter(get_loader("train", True, epoch)()))
         ids0, mask0 = tokenize(sentences)
         ids0[:, 0] = tokenizer.enc_token_id
-        probe = task.make_eval_step(cfg, True)
+        if ft_probe[0] is None:  # don't re-trace the full forward per epoch
+            ft_probe[0] = task.make_eval_step(cfg, True)
+        probe = ft_probe[0]
         _, vk, tk = probe(params,
                           jnp.asarray(np.concatenate([image0, image1])),
                           jnp.asarray(ids0), jnp.asarray(mask0),

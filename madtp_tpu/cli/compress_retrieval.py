@@ -218,36 +218,61 @@ def main():
 
     step_cache = {}  # --fast_train: capacity schedule -> compiled step
 
+    def _make_ft_probe():
+        import madtp_tpu.models.vit as V
+        from madtp_tpu.models import med as M_
+
+        @jax.jit
+        def probe(params, images, ids, mask, t):
+            """Mask-mode kept counts for all three pruned passes the gather
+            step will run: vit tower, text tower, and the multimodal ITM
+            encoder — ITM keep counts under image conditioning differ from
+            text mode, so calibrating from text mode alone under-covers the
+            ITM pass."""
+            vstate, _, vkk = V.vit_forward(
+                params["visual_encoder"], images, cfg=cfg.vit,
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True)
+            out_txt = M_.med_encoder(
+                params["text_encoder"], ids, mask, cfg.med, mode="text",
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True)
+            enc_ids = ids.at[:, 0].set(tokenizer.enc_token_id)
+            out_mm = M_.med_encoder(
+                params["text_encoder"], enc_ids, mask, cfg.med,
+                mode="multimodal", encoder_state=vstate,
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True)
+            return vkk, jnp.maximum(out_txt.kept_counts, out_mm.kept_counts)
+
+        return probe
+
+    ft_probe = _make_ft_probe()  # jitted ONCE (probing is epoch-independent)
+
     def fast_train_step(state, temperature, epoch):
         """Calibrate tower capacities from one mask-mode probe batch at this
         epoch's temperature; gather-mode retrieval train step (see
         compress_nlvr.fast_train_step).  Both online and momentum towers and
-        the ITM pass run compacted."""
+        the ITM pass run compacted.  The ITM pass batches 3B rows (pos + 2
+        hard negatives), so its batch-max keep can exceed the B-row probe's;
+        margin=8 plus the max over text/multimodal probes covers it, and any
+        residual overflow folds into the merge token (the bounded-drift
+        behavior measured in tests/test_calibration_drift.py)."""
         from madtp_tpu.prune.calibrate import calibrate_capacities
-
-        import madtp_tpu.models.vit as V
-        from madtp_tpu.models import med as M_
 
         images, captions, _ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
             epoch=epoch, drop_last=True)))
         tok = tokenizer(list(captions), padding="max_length", max_length=35)
-        p = state.params
-        _, _, vk = V.vit_forward(
-            p["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
-            space_dict=p["space_dict"], temperature=jnp.float32(temperature),
-            prune_active=True)
-        out = M_.med_encoder(
-            p["text_encoder"], jnp.asarray(tok["input_ids"]),
-            jnp.asarray(tok["attention_mask"]), cfg.med, mode="text",
-            space_dict=p["space_dict"], temperature=jnp.float32(temperature),
-            prune_active=True)
+        vk, tk = ft_probe(
+            state.params, jnp.asarray(images), jnp.asarray(tok["input_ids"]),
+            jnp.asarray(tok["attention_mask"]), jnp.float32(temperature))
         cv = calibrate_capacities(
             np.asarray(vk)[None, :], margin=16,
             multiple=128 if args.cap_mode == "nearest" else 64,
             mode=args.cap_mode)
-        ct = calibrate_capacities(np.asarray(out.kept_counts)[None, :],
-                                  margin=4, multiple=8)
+        ct = calibrate_capacities(np.asarray(tk)[None, :],
+                                  margin=8, multiple=8)
         key = (cv, ct)
         if key not in step_cache:
             step_cache[key] = make_retrieval_train_step(

@@ -249,6 +249,11 @@ def main():
 
     step_cache = {}  # --fast_train: vision capacity schedule -> step
 
+    @jax.jit
+    def ft_probe(params, space_dict, images, t):
+        return clip_encode_image(params, images, cfg, space_dict=space_dict,
+                                 temperature=t, prune_active=True)[2]
+
     def fast_train_step(state, temperature, epoch):
         """Calibrate vision capacities from one mask-mode probe batch at
         this epoch's temperature; gather-mode CLIP train step (the causal
@@ -258,10 +263,8 @@ def main():
         images_p, _, _ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
             epoch=epoch, drop_last=True)))
-        _, _, vk = clip_encode_image(
-            state.params, jnp.asarray(images_p), cfg,
-            space_dict=state.space_dict,
-            temperature=jnp.float32(temperature), prune_active=True)
+        vk = ft_probe(state.params, state.space_dict,
+                      jnp.asarray(images_p), jnp.float32(temperature))
         cv = calibrate_capacities(
             np.asarray(vk)[None, :], margin=16,
             multiple=128 if args.cap_mode == "nearest" else 64,

@@ -95,7 +95,7 @@ def main():
 
     @jax.jit
     def eval_step(params, images, q_ids, q_mask, t):
-        out, _ = blip_vqa_encode(
+        out, _, vkept = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=t, prune_active=True,
             capacities_v=caps_v, capacities_t=caps_t,
@@ -105,7 +105,7 @@ def main():
             k=min(k_test, len(answer_list)),
             pad_token_id=tokenizer.pad_token_id,
         )
-        return best, out.kept_counts
+        return best, vkept, out.kept_counts
 
     @jax.jit
     def gen_step(params, images, q_ids, q_mask, t):
@@ -113,7 +113,7 @@ def main():
         beam=3 answer decoding over the question states."""
         from madtp_tpu.tasks.caption import beam_generate
 
-        out, _ = blip_vqa_encode(
+        out, _, vkept = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=t, prune_active=True,
         )
@@ -125,7 +125,15 @@ def main():
             eos_token_id=tokenizer.sep_token_id,
             pad_token_id=tokenizer.pad_token_id,
         )
-        return seqs, out.kept_counts
+        return seqs, vkept, out.kept_counts
+
+    @jax.jit
+    def kept_probe(params, images, q_ids, q_mask, t):
+        # one jitted mask-mode forward supplies BOTH towers' kept counts
+        out, _, vkept = blip_vqa_encode(
+            params, images, q_ids, q_mask, cfg, temperature=t,
+            prune_active=True)
+        return vkept, out.kept_counts
 
     def calibrate_fast_eval(loader):
         # multi-batch mask-mode probe (max + margin absorbs cross-batch
@@ -135,22 +143,15 @@ def main():
 
         from madtp_tpu.prune.calibrate import calibrate_capacities
 
-        import madtp_tpu.models.vit as V
-
         vks, tks = [], []
         for images, questions, _ in itertools.islice(loader(), 4):
             q = tokenizer(list(questions), padding="longest")
             qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
-            out, _ = blip_vqa_encode(
+            vk, tk = kept_probe(
                 params, jnp.asarray(images), jnp.asarray(qi),
-                jnp.asarray(q["attention_mask"]), cfg,
-                temperature=jnp.float32(temperature), prune_active=True)
-            _, _, vk = V.vit_forward(
-                params["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
-                space_dict=params["space_dict"],
-                temperature=jnp.float32(temperature), prune_active=True)
+                jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
             vks.append(np.asarray(vk))
-            tks.append(np.asarray(out.kept_counts))
+            tks.append(np.asarray(tk))
         caps_v = calibrate_capacities(np.stack(vks), margin=16,
                                       multiple=128 if args.cap_mode == 'nearest' else 64,
                                       mode=args.cap_mode)
@@ -169,7 +170,7 @@ def main():
 
         def consume(pend):
             nonlocal g_sum, n
-            out, kept, nb, qids, text_w = pend
+            out, vkept, tkept, nb, qids, text_w = pend
             if inference == "generate":
                 for row, qid in zip(np.asarray(out)[:nb], qids):
                     results.append({"question_id": int(qid),
@@ -178,10 +179,11 @@ def main():
                 for b, qid in zip(np.asarray(out)[:nb], qids):
                     results.append({"question_id": int(qid),
                                     "answer": answer_list[int(b)]})
+            # REAL vision kept counts (a dense-vision placeholder here fed
+            # the controller a cur_g that could never reach its target)
             g_sum += vqa_gflops(
-                cfg.vit, cfg.med,
-                [cfg.vit.num_patches] * cfg.vit.depth,
-                np.asarray(kept), text_w, n_answers=k_test)
+                cfg.vit, cfg.med, np.asarray(vkept),
+                np.asarray(tkept), text_w, n_answers=k_test)
             n += 1
 
         # one-deep pipeline: dispatch batch i+1 before reading batch i
@@ -193,11 +195,11 @@ def main():
             images_d, q_ids_d, q_mask_d, nb = shard_batch_padded(
                 mesh, images, q_ids_np, q["attention_mask"])
             step = gen_step if inference == "generate" else eval_step
-            out, kept = step(params, images_d, q_ids_d, q_mask_d,
-                             jnp.float32(temperature))
+            out, vkept, tkept = step(params, images_d, q_ids_d, q_mask_d,
+                                     jnp.float32(temperature))
             if pending is not None:
                 consume(pending)
-            pending = (out, kept, nb, qids, q_ids_np.shape[1])
+            pending = (out, vkept, tkept, nb, qids, q_ids_np.shape[1])
         if pending is not None:
             consume(pending)
         return results, g_sum / max(n, 1)
@@ -290,26 +292,19 @@ def main():
         compress_nlvr.fast_train_step)."""
         from madtp_tpu.prune.calibrate import calibrate_capacities
 
-        import madtp_tpu.models.vit as V
-
         images, questions, *_ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
             epoch=epoch, collate=vqa_collate)))
         q = tokenizer(list(questions), padding="longest")
         qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
-        out, _ = blip_vqa_encode(
+        vk, tk = kept_probe(
             params, jnp.asarray(images), jnp.asarray(qi),
-            jnp.asarray(q["attention_mask"]), cfg,
-            temperature=jnp.float32(temperature), prune_active=True)
-        _, _, vk = V.vit_forward(
-            params["visual_encoder"], jnp.asarray(images), cfg=cfg.vit,
-            space_dict=params["space_dict"],
-            temperature=jnp.float32(temperature), prune_active=True)
+            jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
         cv = calibrate_capacities(
             np.asarray(vk)[None, :], margin=16,
             multiple=128 if args.cap_mode == "nearest" else 64,
             mode=args.cap_mode)
-        ct = calibrate_capacities(np.asarray(out.kept_counts)[None, :],
+        ct = calibrate_capacities(np.asarray(tk)[None, :],
                                   margin=4, multiple=8)
         key = (cv, ct)
         if key not in step_cache:

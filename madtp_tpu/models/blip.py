@@ -171,8 +171,11 @@ def blip_vqa_encode(
 ):
     """Image encoder + question encoder with image cross-attention
     (reference models/blip_vqa.py:60-82,118-125).  Returns the question
-    TokenState (cross-attn memory for the answer decoder) and FDT features."""
-    vstate, sd_img_ft, _ = vit_forward(
+    encoder output (its ``.state`` is the cross-attn memory for the answer
+    decoder), FDT features, and the ViT tower's per-layer kept counts (the
+    analytic-FLOPs input — discarding them forced callers to re-run the
+    vision tower or mis-account GFLOPs with dense counts)."""
+    vstate, sd_img_ft, v_kept = vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, capacities=capacities_v,
@@ -183,7 +186,7 @@ def blip_vqa_encode(
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, capacities=capacities_t,
     )
-    return out, sd_img_ft
+    return out, sd_img_ft, v_kept
 
 
 # ---------------------------------------------------------------------------

@@ -25,12 +25,19 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import collections
+
 import numpy as np
 
 from madtp_tpu.models import med as M
 from madtp_tpu.models.blip import BlipConfig, blip_itm_score
 from madtp_tpu.prune.dtp import TokenState
 
+
+# max in-flight dispatches in the eval pipelines: deep enough to hide the
+# per-readback round trip of a remote/tunneled device, small enough that
+# in-flight input/output buffers stay bounded at real corpus scale
+PIPELINE_DEPTH = 4
 
 _STEP_CACHE: dict = {}
 
@@ -102,28 +109,42 @@ def encode_corpus(
     img_step, txt_step = _corpus_steps(cfg, prune_active, capacities_v,
                                        capacities_t)
 
-    # dispatch-all-then-read-back: premature np.asarray would sync the host
-    # per batch (a full round trip each on a remote/tunneled device)
+    # bounded dispatch-ahead pipeline: premature np.asarray would sync the
+    # host per batch (a full round trip each on a remote/tunneled device),
+    # but UNBOUNDED queueing would keep every batch's input + output buffers
+    # live on a 16G chip at real corpus scale — keep at most PIPELINE_DEPTH
+    # batches in flight and read back the oldest as new ones enqueue
     t = jnp.float32(temperature)
-    pending_img = []
+    img_feats, xs, alives, txt_feats = [], [], [], []
+    pending = collections.deque()
+
+    def drain_one():
+        kind, n, out = pending.popleft()
+        if kind == "img":
+            f, s = out
+            img_feats.append(np.asarray(f)[:n])
+            xs.append(np.asarray(s.x)[:n])
+            alives.append(np.asarray(s.alive)[:n])
+        else:
+            txt_feats.append(np.asarray(out)[:n])
+
     for images in image_batches:
         images, n = shard_batch_padded(mesh, images)
-        pending_img.append((n, img_step(params, images, t)))
-    pending_txt = []
+        pending.append(("img", n, img_step(params, images, t)))
+        if len(pending) > PIPELINE_DEPTH:
+            drain_one()
     for i in range(0, len(text_ids), text_batch):
         ids_d, mask_d, n = shard_batch_padded(
             mesh, text_ids[i : i + text_batch], text_mask[i : i + text_batch])
-        pending_txt.append((n, txt_step(params, ids_d, mask_d, t)))
+        pending.append(("txt", n, txt_step(params, ids_d, mask_d, t)))
+        if len(pending) > PIPELINE_DEPTH:
+            drain_one()
+    while pending:
+        drain_one()
 
-    img_feats = np.concatenate(
-        [np.asarray(f)[:n] for n, (f, _) in pending_img])
-    img_states = TokenState(
-        np.concatenate([np.asarray(s.x)[:n] for n, (_, s) in pending_img]),
-        np.concatenate([np.asarray(s.alive)[:n] for n, (_, s) in pending_img]),
-        None,
-    )
-    txt_feats = np.concatenate(
-        [np.asarray(f)[:n] for n, f in pending_txt])
+    img_feats = np.concatenate(img_feats)
+    img_states = TokenState(np.concatenate(xs), np.concatenate(alives), None)
+    txt_feats = np.concatenate(txt_feats)
     return img_feats, img_states, txt_feats
 
 
@@ -195,10 +216,17 @@ def rerank_scores(
     itm_rows = _STEP_CACHE[key]
 
     def run_rows(lo, hi, make_row, write):
-        # two-phase: dispatch every batch first (device queue stays full,
-        # no per-dispatch host sync — on a remote/tunneled device each
-        # premature readback costs a full round trip), then read back
-        pending = []
+        # bounded dispatch-ahead pipeline (see encode_corpus): no
+        # per-dispatch host sync, but at most PIPELINE_DEPTH row-batches'
+        # input buffers (each ~rows_per_call x k_test x S x D) live at once
+        pending = collections.deque()
+
+        def drain_one():
+            rows, nr, dev = pending.popleft()
+            itm = np.asarray(dev)[:nr]
+            for r, scores in zip(rows, itm):
+                write(r, scores)
+
         for base in range(lo, hi, rows_per_call):
             rows = list(range(base, min(base + rows_per_call, hi)))
             ids_l, mask_l, sx_l, sa_l = zip(*(make_row(r) for r in rows))
@@ -207,10 +235,10 @@ def rerank_scores(
                 np.stack(sx_l), np.stack(sa_l))
             pending.append(
                 (rows, nr, itm_rows(params, ids_d, mask_d, sx_d, sa_d, t)))
-        for rows, nr, dev in pending:
-            itm = np.asarray(dev)[:nr]
-            for r, scores in zip(rows, itm):
-                write(r, scores)
+            if len(pending) > PIPELINE_DEPTH:
+                drain_one()
+        while pending:
+            drain_one()
 
     i_lo, i_hi = (0, ni) if row_slice is None else row_slice
     topk_i = np.argsort(-sims, axis=1)[:, :k_test]

@@ -131,7 +131,7 @@ def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                 temperature):
         B = q_ids.shape[0]
         K = max_answers_per_q
-        out, sd_img_ft = blip_vqa_encode(
+        out, sd_img_ft, _ = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=temperature, prune_active=prune_active,
             capacities_v=capacities_v, capacities_t=capacities_t,

@@ -55,7 +55,7 @@ def main(batch=16, n_answers=256, k=128, reps=3, pipeline=4):
 
     def make_step(prune, cv, ct):
         def step(params, images, q_ids, q_mask, t):
-            out, _ = blip_vqa_encode(
+            out, _, _ = blip_vqa_encode(
                 params, images, q_ids, q_mask, cfg,
                 temperature=t, prune_active=prune,
                 capacities_v=cv, capacities_t=ct)
@@ -83,15 +83,10 @@ def main(batch=16, n_answers=256, k=128, reps=3, pipeline=4):
 
     # bisect the temperature to 50% of the VQA analytic GFLOPs (the same
     # target the driver's controller chases), then calibrate capacities
-    import madtp_tpu.models.vit as V
 
     @jax.jit
     def kept_probe(params, images, q_ids, q_mask, t):
-        _, _, vk = V.vit_forward(
-            params["visual_encoder"], images, cfg=cfg.vit,
-            space_dict=params["space_dict"], temperature=t,
-            prune_active=True)
-        out, _ = blip_vqa_encode(
+        out, _, vk = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=t, prune_active=True)
         return vk, out.kept_counts
