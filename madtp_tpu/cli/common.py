@@ -139,6 +139,27 @@ def make_tokenizer(args, config):
     return BertWordPieceTokenizer.toy(words)
 
 
+def fast_capacity_schedule(vk, tk, cap_mode: str, *, margin_v: int = 16,
+                           margin_t: int = 4):
+    """Shared --fast_train/--fast_eval calibration: vision capacities at the
+    fused kernel's granularity (nearest-128, or lossless ceil-64), text at
+    ceil-8.  One bucketing policy for every driver — the per-driver copies
+    drifted independently before this helper existed.  ``tk=None`` skips the
+    text schedule (caption/CLIP: decoder or causal text tower unpruned)."""
+    from madtp_tpu.prune.calibrate import calibrate_capacities
+
+    vk = np.asarray(vk)
+    cv = calibrate_capacities(
+        vk if vk.ndim == 2 else vk[None, :], margin=margin_v,
+        multiple=128 if cap_mode == "nearest" else 64, mode=cap_mode)
+    if tk is None:
+        return cv, None
+    tk = np.asarray(tk)
+    ct = calibrate_capacities(tk if tk.ndim == 2 else tk[None, :],
+                              margin=margin_t, multiple=8)
+    return cv, ct
+
+
 def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
     """Shared BLIP model-config builder: reference presets base/large
     (models/blip.py:228-247) plus a 'tiny' preset for fixture/CI runs

@@ -127,7 +127,7 @@ def main():
         nonlocal caps_v
         import madtp_tpu.models.vit as V
 
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         vks = []
         for probe in probe_batches:
@@ -136,10 +136,7 @@ def main():
                 space_dict=params["space_dict"],
                 temperature=jnp.float32(temperature), prune_active=True)
             vks.append(np.asarray(vk))
-        caps_v = calibrate_capacities(
-            np.stack(vks), margin=16,
-            multiple=128 if args.cap_mode == 'nearest' else 64,
-            mode=args.cap_mode)
+        caps_v, _ = fast_capacity_schedule(np.stack(vks), None, args.cap_mode)
         print("fast_eval vision capacities:", caps_v)
 
     if args.fast_eval and temperature > 0 and args.synthetic:
@@ -273,14 +270,11 @@ def main():
         temperature (reusing the pre-search probe); gather-mode training
         step (see compress_nlvr.fast_train_step).  The decoder runs unpruned
         (reference behavior) so only the vision schedule applies."""
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         vk = np.asarray(probe(params, jnp.asarray(probe_imgs),
                               jnp.float32(temperature)))
-        cv = calibrate_capacities(
-            vk[None, :], margin=16,
-            multiple=128 if args.cap_mode == "nearest" else 64,
-            mode=args.cap_mode)
+        cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_caption_train_step(cfg, tx,
                                                      capacities_v=cv)

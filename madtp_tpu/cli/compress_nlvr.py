@@ -163,8 +163,6 @@ def main():
         # (one-batch schedules risk under-covering unlucky batches; the max
         # over a probe set plus margin absorbs cross-batch variance —
         # measured in tests/test_calibration_drift.py)
-        from madtp_tpu.prune.calibrate import calibrate_capacities
-
         import itertools
 
         step = task.make_eval_step(cfg, True)
@@ -179,10 +177,10 @@ def main():
                              jnp.float32(temperature))
             vks.append(np.asarray(vk))
             tks.append(np.asarray(tk))
-        caps_v = calibrate_capacities(np.stack(vks), margin=16,
-                                      multiple=128 if args.cap_mode == 'nearest' else 64,
-                                      mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.stack(tks), margin=4, multiple=8)
+        from madtp_tpu.cli.common import fast_capacity_schedule
+
+        caps_v, caps_t = fast_capacity_schedule(np.stack(vks), np.stack(tks),
+                                                args.cap_mode)
         print("fast_eval capacities:", caps_v, caps_t)
 
     if args.evaluate:
@@ -215,7 +213,7 @@ def main():
         one mask-mode probe batch at this epoch's temperature and return a
         gather-mode train step.  Distinct schedules compile once (bounded by
         the 64/8-multiple bucketing); repeats hit ``step_cache``."""
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         image0, image1, sentences, _ = next(
             iter(get_loader("train", True, epoch)()))
@@ -228,12 +226,7 @@ def main():
                           jnp.asarray(np.concatenate([image0, image1])),
                           jnp.asarray(ids0), jnp.asarray(mask0),
                           jnp.float32(temperature))
-        caps_v = calibrate_capacities(
-            np.asarray(vk)[None, :], margin=16,
-            multiple=128 if args.cap_mode == "nearest" else 64,
-            mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.asarray(tk)[None, :], margin=4,
-                                      multiple=8)
+        caps_v, caps_t = fast_capacity_schedule(vk, tk, args.cap_mode)
         key = (caps_v, caps_t)
         if key not in step_cache:
             step_cache[key] = make_nlvr_train_step(

@@ -109,8 +109,6 @@ def main():
         # keep-count variance, tests/test_calibration_drift.py)
         import itertools
 
-        from madtp_tpu.prune.calibrate import calibrate_capacities
-
         import madtp_tpu.models.vit as V
         from madtp_tpu.models import med as MM
 
@@ -131,10 +129,10 @@ def main():
                 space_dict=params["space_dict"],
                 temperature=jnp.float32(temperature), prune_active=True)
             tks.append(np.asarray(tout.kept_counts))
-        caps_v = calibrate_capacities(np.stack(vks), margin=16,
-                                      multiple=128 if args.cap_mode == 'nearest' else 64,
-                                      mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.stack(tks), margin=4, multiple=8)
+        from madtp_tpu.cli.common import fast_capacity_schedule
+
+        caps_v, caps_t = fast_capacity_schedule(np.stack(vks), np.stack(tks),
+                                                args.cap_mode)
         print("fast_eval capacities:", caps_v, caps_t)
 
     img_feats, img_states, txt_feats = encode_corpus(
@@ -258,7 +256,7 @@ def main():
         margin=8 plus the max over text/multimodal probes covers it, and any
         residual overflow folds into the merge token (the bounded-drift
         behavior measured in tests/test_calibration_drift.py)."""
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         images, captions, _ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
@@ -267,12 +265,7 @@ def main():
         vk, tk = ft_probe(
             state.params, jnp.asarray(images), jnp.asarray(tok["input_ids"]),
             jnp.asarray(tok["attention_mask"]), jnp.float32(temperature))
-        cv = calibrate_capacities(
-            np.asarray(vk)[None, :], margin=16,
-            multiple=128 if args.cap_mode == "nearest" else 64,
-            mode=args.cap_mode)
-        ct = calibrate_capacities(np.asarray(tk)[None, :],
-                                  margin=8, multiple=8)
+        cv, ct = fast_capacity_schedule(vk, tk, args.cap_mode, margin_t=8)
         key = (cv, ct)
         if key not in step_cache:
             step_cache[key] = make_retrieval_train_step(

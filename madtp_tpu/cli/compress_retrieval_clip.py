@@ -146,7 +146,7 @@ def main():
         # calibrate a static vision-capacity schedule from mask-mode probe
         # batches, then run the gather fast path (the text tower stays
         # mask-mode: causal + 77 tokens, see models/clip.py:_tower_gather)
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         probe = jax.jit(lambda p, im, s, t: clip_encode_image(
             p, im, cfg, space_dict=s, temperature=t, prune_active=True)[2])
@@ -155,10 +155,7 @@ def main():
             im_d, _ = _shard(mesh, images[i : i + 16])
             vks.append(np.asarray(probe(params, im_d, space_dict,
                                         jnp.float32(temperature))))
-        caps_v = calibrate_capacities(
-            np.stack(vks), margin=16,
-            multiple=128 if args.cap_mode == "nearest" else 64,
-            mode=args.cap_mode)
+        caps_v, _ = fast_capacity_schedule(np.stack(vks), None, args.cap_mode)
         print("fast_eval vision capacities:", caps_v)
 
     @jax.jit
@@ -258,17 +255,14 @@ def main():
         """Calibrate vision capacities from one mask-mode probe batch at
         this epoch's temperature; gather-mode CLIP train step (the causal
         text tower stays mask-mode)."""
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         images_p, _, _ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
             epoch=epoch, drop_last=True)))
         vk = ft_probe(state.params, state.space_dict,
                       jnp.asarray(images_p), jnp.float32(temperature))
-        cv = calibrate_capacities(
-            np.asarray(vk)[None, :], margin=16,
-            multiple=128 if args.cap_mode == "nearest" else 64,
-            mode=args.cap_mode)
+        cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_clip_train_step(
                 cfg, tx, alpha=config.get("alpha", 0.4), capacities_v=cv)

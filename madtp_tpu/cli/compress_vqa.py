@@ -141,8 +141,6 @@ def main():
         nonlocal caps_v, caps_t
         import itertools
 
-        from madtp_tpu.prune.calibrate import calibrate_capacities
-
         vks, tks = [], []
         for images, questions, _ in itertools.islice(loader(), 4):
             q = tokenizer(list(questions), padding="longest")
@@ -152,10 +150,10 @@ def main():
                 jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
             vks.append(np.asarray(vk))
             tks.append(np.asarray(tk))
-        caps_v = calibrate_capacities(np.stack(vks), margin=16,
-                                      multiple=128 if args.cap_mode == 'nearest' else 64,
-                                      mode=args.cap_mode)
-        caps_t = calibrate_capacities(np.stack(tks), margin=4, multiple=8)
+        from madtp_tpu.cli.common import fast_capacity_schedule
+
+        caps_v, caps_t = fast_capacity_schedule(np.stack(vks), np.stack(tks),
+                                                args.cap_mode)
         print("fast_eval capacities:", caps_v, caps_t)
 
     def run_eval(loader):
@@ -290,7 +288,7 @@ def main():
         """Calibrate ceil/nearest capacities from one mask-mode train batch
         at this epoch's temperature; gather-mode training step (see
         compress_nlvr.fast_train_step)."""
-        from madtp_tpu.prune.calibrate import calibrate_capacities
+        from madtp_tpu.cli.common import fast_capacity_schedule
 
         images, questions, *_ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
@@ -300,12 +298,7 @@ def main():
         vk, tk = kept_probe(
             params, jnp.asarray(images), jnp.asarray(qi),
             jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
-        cv = calibrate_capacities(
-            np.asarray(vk)[None, :], margin=16,
-            multiple=128 if args.cap_mode == "nearest" else 64,
-            mode=args.cap_mode)
-        ct = calibrate_capacities(np.asarray(tk)[None, :],
-                                  margin=4, multiple=8)
+        cv, ct = fast_capacity_schedule(vk, tk, args.cap_mode)
         key = (cv, ct)
         if key not in step_cache:
             step_cache[key] = make_vqa_train_step(
