@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import collections
+import functools
 
 import numpy as np
 
@@ -181,93 +182,102 @@ def rerank_scores(
         params = replicate(mesh, params)
         rows_per_call = max(rows_per_call, mesh.shape["data"])
 
+    # the corpus goes to the DEVICE once (replicated under a mesh); every
+    # dispatch then ships only [rows, k] int32 indices and gathers the
+    # candidate texts/image-states on device — the previous path np.stack'ed
+    # ~rows x k_test x S x D candidate states on the host per dispatch
+    # (~100 MB of host memcpy each at base scale)
+    def rep(a):
+        a = jnp.asarray(a)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            a = jax.device_put(a, NamedSharding(mesh, P()))
+        return a
+
+    ids_all, mask_all = rep(text_ids), rep(text_mask)
+    sx_all, sa_all = rep(img_states.x), rep(img_states.alive)
+
     key = _cfg_key(cfg, "itm_rows", prune_active, capacities_t)
     if key not in _STEP_CACHE:
 
-        @jax.jit
-        def itm_rows(params, ids, mask, state_x, state_alive, t):
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def itm_rows(params, ids_all, mask_all, sx_all, sa_all, rows, cands,
+                     t, mode):
             """Per-row ITM batches, vmapped over the row axis: every DTP
             reduction (batch-max keep count, merge weights) stays inside its
             own row, so any rows_per_call reproduces the reference's
             one-row-per-step loop (compress_retrieval_dtp.py:166-178)
-            exactly.
+            exactly.  The side shared within a row (the image state for
+            i2t, the text for t2i) is broadcast on device; the candidate
+            side is gathered on device from the resident corpus."""
 
-            The side shared within a row (the image state for i2t, the text
-            for t2i) arrives WITHOUT the k_test dim and is broadcast on
-            device — the host never materializes k_test copies."""
+            def one(r, cand):
+                k = cand.shape[0]
 
-            def one(ids_r, mask_r, sx_r, sa_r):
-                k = ids_r.shape[0] if ids_r.ndim == 2 else sx_r.shape[0]
+                def bc(a):
+                    return jnp.broadcast_to(a[r][None], (k,) + a.shape[1:])
 
-                def bc(a, nd):
-                    return a if a.ndim == nd else jnp.broadcast_to(
-                        a[None], (k,) + a.shape)
-
+                if mode == "i2t":
+                    ids, mask = ids_all[cand], mask_all[cand]
+                    sx, sa = bc(sx_all), bc(sa_all)
+                else:
+                    ids, mask = bc(ids_all), bc(mask_all)
+                    sx, sa = sx_all[cand], sa_all[cand]
                 return blip_itm_score(
-                    params, bc(ids_r, 2), bc(mask_r, 2),
-                    TokenState(bc(sx_r, 3), bc(sa_r, 2), None), cfg,
+                    params, ids, mask, TokenState(sx, sa, None), cfg,
                     temperature=t, prune_active=prune_active,
                     capacities=capacities_t,
                 )
 
-            return jax.vmap(one)(ids, mask, state_x, state_alive)
+            return jax.vmap(one)(rows, cands)
 
         _STEP_CACHE[key] = itm_rows
     itm_rows = _STEP_CACHE[key]
 
-    def run_rows(lo, hi, make_row, write):
-        # bounded dispatch-ahead pipeline (see encode_corpus): no
-        # per-dispatch host sync, but at most PIPELINE_DEPTH row-batches'
-        # input buffers (each ~rows_per_call x k_test x S x D) live at once
+    def run_rows(lo, hi, topk, mode, write):
+        # bounded dispatch-ahead pipeline (see encode_corpus); the last
+        # batch is padded with repeats so every dispatch shares one shape
         pending = collections.deque()
 
         def drain_one():
-            rows, nr, dev = pending.popleft()
-            itm = np.asarray(dev)[:nr]
+            rows, dev = pending.popleft()
+            itm = np.asarray(dev)[: len(rows)]
             for r, scores in zip(rows, itm):
                 write(r, scores)
 
         for base in range(lo, hi, rows_per_call):
             rows = list(range(base, min(base + rows_per_call, hi)))
-            ids_l, mask_l, sx_l, sa_l = zip(*(make_row(r) for r in rows))
-            ids_d, mask_d, sx_d, sa_d, nr = shard_batch_padded(
-                mesh, np.stack(ids_l), np.stack(mask_l),
-                np.stack(sx_l), np.stack(sa_l))
+            rows_p = np.asarray(
+                rows + [rows[-1]] * (rows_per_call - len(rows)), np.int32)
+            rows_d, cands_d, _ = shard_batch_padded(
+                mesh, rows_p, topk[rows_p])
             pending.append(
-                (rows, nr, itm_rows(params, ids_d, mask_d, sx_d, sa_d, t)))
+                (rows, itm_rows(params, ids_all, mask_all, sx_all, sa_all,
+                                rows_d, cands_d, t, mode)))
             if len(pending) > PIPELINE_DEPTH:
                 drain_one()
         while pending:
             drain_one()
 
     i_lo, i_hi = (0, ni) if row_slice is None else row_slice
-    topk_i = np.argsort(-sims, axis=1)[:, :k_test]
-
-    def make_i2t(i):
-        topk = topk_i[i]
-        # image state shared across the row's k_test texts: device-broadcast
-        return text_ids[topk], text_mask[topk], img_states.x[i], img_states.alive[i]
+    topk_i = np.argsort(-sims, axis=1)[:, :k_test].astype(np.int32)
 
     def write_i2t(i, itm):
         score_i2t[i, topk_i[i]] = itm + sims[i, topk_i[i]]
 
-    run_rows(i_lo, i_hi, make_i2t, write_i2t)
+    run_rows(i_lo, i_hi, topk_i, "i2t", write_i2t)
 
     t_lo, t_hi = (0, nt) if row_slice is None else (
         row_slice[0] * nt // ni, row_slice[1] * nt // ni
     )
     sims_t = sims.T  # [nt, ni]
-    topk_t = np.argsort(-sims_t, axis=1)[:, :k_test]
-
-    def make_t2i(j):
-        topk = topk_t[j]
-        # text shared across the row's k_test images: device-broadcast
-        return text_ids[j], text_mask[j], img_states.x[topk], img_states.alive[topk]
+    topk_t = np.argsort(-sims_t, axis=1)[:, :k_test].astype(np.int32)
 
     def write_t2i(j, itm):
         score_t2i[j, topk_t[j]] = itm + sims_t[j, topk_t[j]]
 
-    run_rows(t_lo, t_hi, make_t2i, write_t2i)
+    run_rows(t_lo, t_hi, topk_t, "t2i", write_t2i)
     return score_i2t, score_t2i
 
 
