@@ -44,12 +44,15 @@ PROMPT = "a picture of "
 
 def generate_captions(params, cfg, tokenizer, images, temperature, *,
                       num_beams=3, max_length=20, min_length=5,
-                      capacities=None, mesh=None):
+                      capacities=None, mesh=None, defer=False):
     """Pruned image encode + beam decode (reference models/blip.py:161-202).
 
     ``mesh``: GSPMD data-parallel decode — the batch is padded (repeating the
     last image, neutral for DTP batch-max coupling) and sharded over 'data';
-    the padded captions are dropped, so results match single-device exactly."""
+    the padded captions are dropped, so results match single-device exactly.
+
+    ``defer=True`` returns the DEVICE arrays (out, v_kept, B) without
+    syncing — pair with :func:`finish_captions` to pipeline an eval loop."""
     from madtp_tpu.parallel.mesh import shard_batch_padded
 
     prune = temperature > 0
@@ -69,10 +72,18 @@ def generate_captions(params, cfg, tokenizer, images, temperature, *,
         num_beams=num_beams, max_length=max_length, min_length=min_length,
         eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
     )
+    if defer:
+        return out, v_kept, B
+    caps = finish_captions(tokenizer, out, B)
+    return caps, np.asarray(v_kept)
+
+
+def finish_captions(tokenizer, out, B):
+    """Host half of :func:`generate_captions` (the only device sync)."""
     caps = [tokenizer.decode(row)[len(PROMPT):].strip()
             if tokenizer.decode(row).startswith(PROMPT)
             else tokenizer.decode(row) for row in np.asarray(out)[:B]]
-    return caps, np.asarray(v_kept)
+    return caps
 
 
 def main():
@@ -148,14 +159,27 @@ def main():
         logger = MetricLogger()
         results = []
         g_sum, n = 0.0, 0
-        for images, img_ids in logger.log_every(loader(), 10, "Caption eval:"):
-            caps, v_kept = generate_captions(params, cfg, tokenizer,
-                                             images, temperature,
-                                             capacities=caps_v, mesh=mesh)
-            for c, i in zip(caps, img_ids):
+
+        def consume(pend):
+            nonlocal g_sum, n
+            out, v_kept, B, img_ids = pend
+            for c, i in zip(finish_captions(tokenizer, out, B), img_ids):
                 results.append({"image_id": int(i), "caption": c})
-            g_sum += caption_gflops(cfg.vit, cfg.med, v_kept, 14)
+            g_sum += caption_gflops(cfg.vit, cfg.med, np.asarray(v_kept), 14)
             n += 1
+
+        # one-deep pipeline: dispatch batch i+1's encode+decode before
+        # reading batch i's captions back
+        pending = None
+        for images, img_ids in logger.log_every(loader(), 10, "Caption eval:"):
+            out, v_kept, B = generate_captions(
+                params, cfg, tokenizer, images, temperature,
+                capacities=caps_v, mesh=mesh, defer=True)
+            if pending is not None:
+                consume(pending)
+            pending = (out, v_kept, B, img_ids)
+        if pending is not None:
+            consume(pending)
         return results, g_sum / max(n, 1)
 
     if args.synthetic:

@@ -172,20 +172,42 @@ def main():
             prune_active=prune)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
 
-    t = jnp.float32(temperature)
     bt = 32
-    img_feats, txt_feats = [], []
-    v_kept = t_kept = None
-    for i in range(0, len(images), bt):
-        im_d, n = _shard(mesh, images[i : i + bt])
-        f, v_kept = img_step(params, im_d, space_dict, t)
-        img_feats.append(np.asarray(f)[:n])
-    for i in range(0, len(text), bt):
-        tx_d, n = _shard(mesh, text[i : i + bt])
-        f, t_kept = txt_step(params, tx_d, space_dict, t)
-        txt_feats.append(np.asarray(f)[:n])
-    img_feats = np.concatenate(img_feats)
-    txt_feats = np.concatenate(txt_feats)
+
+    def encode_towers(params, space_dict, images_arr, text_arr, t):
+        """Both towers over the corpus with a bounded dispatch-ahead
+        pipeline (cf. tasks/retrieval.encode_corpus): no per-batch host
+        sync.  Returns (img_feats, txt_feats, v_kept, t_kept)."""
+        import collections
+
+        pending = collections.deque()
+        img_l, txt_l = [], []
+        kept = {"v": None, "t": None}
+
+        def drain():
+            kind, n, out = pending.popleft()
+            f, k = out
+            (img_l if kind == "img" else txt_l).append(np.asarray(f)[:n])
+            kept["v" if kind == "img" else "t"] = k
+
+        for i in range(0, len(images_arr), bt):
+            im_d, n = _shard(mesh, images_arr[i : i + bt])
+            pending.append(("img", n, img_step(params, im_d, space_dict, t)))
+            if len(pending) > 4:
+                drain()
+        for i in range(0, len(text_arr), bt):
+            tx_d, n = _shard(mesh, text_arr[i : i + bt])
+            pending.append(("txt", n, txt_step(params, tx_d, space_dict, t)))
+            if len(pending) > 4:
+                drain()
+        while pending:
+            drain()
+        return (np.concatenate(img_l), np.concatenate(txt_l),
+                kept["v"], kept["t"])
+
+    t = jnp.float32(temperature)
+    img_feats, txt_feats, v_kept, t_kept = encode_towers(
+        params, space_dict, images, text, t)
 
     sims = img_feats @ txt_feats.T
     stats = itm_eval(sims, sims.T, txt2img, img2txt)
@@ -292,18 +314,9 @@ def main():
             logger.update(**{k: float(v) for k, v in metrics.items()})
         params, space_dict = state.params, state.space_dict
         # eval epoch (ITC-only like the reference CLIP driver)
-        img_feats, txt_feats = [], []
-        for i in range(0, len(images_all), bt):
-            im_d, n = _shard(mesh, images_all[i:i+bt])
-            f, v_kept = img_step(params, im_d, space_dict,
-                                 jnp.float32(temperature))
-            img_feats.append(np.asarray(f)[:n])
-        for i in range(0, len(text), bt):
-            tx_d, n = _shard(mesh, text[i:i+bt])
-            f, t_kept = txt_step(params, tx_d, space_dict,
-                                 jnp.float32(temperature))
-            txt_feats.append(np.asarray(f)[:n])
-        sims = np.concatenate(img_feats) @ np.concatenate(txt_feats).T
+        img_feats, txt_feats, v_kept, t_kept = encode_towers(
+            params, space_dict, images_all, text, jnp.float32(temperature))
+        sims = img_feats @ txt_feats.T
         stats = itm_eval(sims, sims.T, txt2img, img2txt)
         cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
