@@ -317,6 +317,7 @@ def main():
             step_fn, sched = fast_train_step(temperature)
             print("fast_train capacities:", sched)
         logger = MetricLogger()
+        pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, captions, img_ids in logger.log_every(
             batched_loader(ds, config.get("batch_size", 32), shuffle=True,
                            epoch=epoch), 50, f"Train [{epoch}]"):
@@ -330,7 +331,11 @@ def main():
             params, opt_state, metrics = step_fn(
                 params, opt_state, images_d, ids_d, mask_d, labels_d,
                 jnp.float32(temperature))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if pending_m is not None:
+                logger.update(**{k: float(v) for k, v in pending_m.items()})
+            pending_m = metrics
+        if pending_m is not None:
+            logger.update(**{k: float(v) for k, v in pending_m.items()})
         results, cur_g = eval_epoch(temperature, make_loader("val"))
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                "train_loss": f"{logger.meters['loss'].global_avg:.4f}"}

@@ -290,6 +290,7 @@ def main():
             step_fn, sched = fast_train_step(state, temperature, epoch)
             print("fast_train capacities:", sched)
         logger = MetricLogger()
+        pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, drop_last=True),
@@ -300,7 +301,11 @@ def main():
                                 tok["attention_mask"], np.asarray(img_idx))
             state, metrics = step_fn(
                 state, sub, *batch_d, jnp.float32(temperature))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if pending_m is not None:
+                logger.update(**{k: float(v) for k, v in pending_m.items()})
+            pending_m = metrics
+        if pending_m is not None:
+            logger.update(**{k: float(v) for k, v in pending_m.items()})
         # eval epoch: re-embed + rerank with current weights
         params = state.params
         img_feats, img_states, txt_feats = encode_corpus(

@@ -303,6 +303,7 @@ def main():
             step_fn, sched = fast_train_step(state, temperature, epoch)
             print("fast_train capacities:", sched)
         logger = MetricLogger()
+        pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, drop_last=True),
@@ -311,7 +312,11 @@ def main():
             batch_d = put_train(images, txt, np.asarray(img_idx))
             state, metrics = step_fn(
                 state, *batch_d, jnp.float32(temperature))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if pending_m is not None:
+                logger.update(**{k: float(v) for k, v in pending_m.items()})
+            pending_m = metrics
+        if pending_m is not None:
+            logger.update(**{k: float(v) for k, v in pending_m.items()})
         params, space_dict = state.params, state.space_dict
         # eval epoch (ITC-only like the reference CLIP driver)
         img_feats, txt_feats, v_kept, t_kept = encode_towers(

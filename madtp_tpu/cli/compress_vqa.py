@@ -319,6 +319,7 @@ def main():
             step_fn, sched = fast_train_step(temperature, epoch)
             print("fast_train capacities:", sched)
         logger = MetricLogger()
+        pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, questions, answers, weights, n in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, collate=vqa_collate),
@@ -344,7 +345,11 @@ def main():
                                 ans_ids, ans_msk, w)
             params, opt_state, metrics = step_fn(
                 params, opt_state, *batch_d, jnp.float32(temperature))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if pending_m is not None:
+                logger.update(**{k: float(v) for k, v in pending_m.items()})
+            pending_m = metrics
+        if pending_m is not None:
+            logger.update(**{k: float(v) for k, v in pending_m.items()})
         results, cur_g = run_eval(
             lambda: batched_loader(ds, config.get("batch_size_test", 16)))
         save_result(results, args.output_dir, f"vqa_result_epoch{epoch}")

@@ -163,6 +163,7 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
 
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
+    pending = None
     for image0, image1, sentences, targets in logger.log_every(
         loader_fn(), print_freq, "Train:"
     ):
@@ -177,7 +178,14 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
         params, opt_state, metrics = train_step(
             params, opt_state, put(images), put(ids), put(mask), put(targets), t,
         )
+        # one-deep metric lag: reading this step's metrics would sync the
+        # host to the device every step; log the PREVIOUS step's instead
+        if pending is not None:
+            logger.update(temperature=float(temperature), lr=lr,
+                          **{k: float(v) for k, v in pending.items()})
+        pending = metrics
+    if pending is not None:
         logger.update(temperature=float(temperature), lr=lr,
-                      **{k: float(v) for k, v in metrics.items()})
+                      **{k: float(v) for k, v in pending.items()})
     stats = {k: f"{m.global_avg:.4f}" for k, m in logger.meters.items()}
     return params, opt_state, stats
