@@ -176,32 +176,28 @@ def main():
 
     def encode_towers(params, space_dict, images_arr, text_arr, t):
         """Both towers over the corpus with a bounded dispatch-ahead
-        pipeline (cf. tasks/retrieval.encode_corpus): no per-batch host
-        sync.  Returns (img_feats, txt_feats, v_kept, t_kept)."""
-        import collections
+        pipeline (madtp_tpu.utils.pipeline): no per-batch host sync.
+        Returns (img_feats, txt_feats, v_kept, t_kept)."""
+        from madtp_tpu.utils.pipeline import pipelined
 
-        pending = collections.deque()
         img_l, txt_l = [], []
         kept = {"v": None, "t": None}
 
-        def drain():
-            kind, n, out = pending.popleft()
+        def dispatches():
+            for i in range(0, len(images_arr), bt):
+                im_d, n = _shard(mesh, images_arr[i : i + bt])
+                yield ("img", n, img_step(params, im_d, space_dict, t))
+            for i in range(0, len(text_arr), bt):
+                tx_d, n = _shard(mesh, text_arr[i : i + bt])
+                yield ("txt", n, txt_step(params, tx_d, space_dict, t))
+
+        def consume(item):
+            kind, n, out = item
             f, k = out
             (img_l if kind == "img" else txt_l).append(np.asarray(f)[:n])
             kept["v" if kind == "img" else "t"] = k
 
-        for i in range(0, len(images_arr), bt):
-            im_d, n = _shard(mesh, images_arr[i : i + bt])
-            pending.append(("img", n, img_step(params, im_d, space_dict, t)))
-            if len(pending) > 4:
-                drain()
-        for i in range(0, len(text_arr), bt):
-            tx_d, n = _shard(mesh, text_arr[i : i + bt])
-            pending.append(("txt", n, txt_step(params, tx_d, space_dict, t)))
-            if len(pending) > 4:
-                drain()
-        while pending:
-            drain()
+        pipelined(dispatches(), consume)
         return (np.concatenate(img_l), np.concatenate(txt_l),
                 kept["v"], kept["t"])
 

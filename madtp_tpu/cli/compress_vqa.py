@@ -143,7 +143,10 @@ def main():
 
         vks, tks = [], []
         for images, questions, _ in itertools.islice(loader(), 4):
-            q = tokenizer(list(questions), padding="longest")
+            # fixed-length padding: "longest" would give every probe batch
+            # its own shape and retrace/compile the jitted probe each time
+            q = tokenizer(list(questions), padding="max_length",
+                          max_length=35)
             qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
             vk, tk = kept_probe(
                 params, jnp.asarray(images), jnp.asarray(qi),
@@ -293,7 +296,8 @@ def main():
         images, questions, *_ = next(iter(batched_loader(
             train_ds, config.get("batch_size_train", 16), shuffle=True,
             epoch=epoch, collate=vqa_collate)))
-        q = tokenizer(list(questions), padding="longest")
+        # fixed-length padding: one compiled probe shape across epochs
+        q = tokenizer(list(questions), padding="max_length", max_length=35)
         qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
         vk, tk = kept_probe(
             params, jnp.asarray(images), jnp.asarray(qi),

@@ -25,7 +25,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import collections
 import functools
 
 import numpy as np
@@ -33,12 +32,7 @@ import numpy as np
 from madtp_tpu.models import med as M
 from madtp_tpu.models.blip import BlipConfig, blip_itm_score
 from madtp_tpu.prune.dtp import TokenState
-
-
-# max in-flight dispatches in the eval pipelines: deep enough to hide the
-# per-readback round trip of a remote/tunneled device, small enough that
-# in-flight input/output buffers stay bounded at real corpus scale
-PIPELINE_DEPTH = 4
+from madtp_tpu.utils.pipeline import PIPELINE_DEPTH, pipelined  # noqa: F401
 
 _STEP_CACHE: dict = {}
 
@@ -110,17 +104,22 @@ def encode_corpus(
     img_step, txt_step = _corpus_steps(cfg, prune_active, capacities_v,
                                        capacities_t)
 
-    # bounded dispatch-ahead pipeline: premature np.asarray would sync the
-    # host per batch (a full round trip each on a remote/tunneled device),
-    # but UNBOUNDED queueing would keep every batch's input + output buffers
-    # live on a 16G chip at real corpus scale — keep at most PIPELINE_DEPTH
-    # batches in flight and read back the oldest as new ones enqueue
+    # bounded dispatch-ahead pipeline (utils/pipeline.py)
     t = jnp.float32(temperature)
     img_feats, xs, alives, txt_feats = [], [], [], []
-    pending = collections.deque()
 
-    def drain_one():
-        kind, n, out = pending.popleft()
+    def dispatches():
+        for images in image_batches:
+            images, n = shard_batch_padded(mesh, images)
+            yield ("img", n, img_step(params, images, t))
+        for i in range(0, len(text_ids), text_batch):
+            ids_d, mask_d, n = shard_batch_padded(
+                mesh, text_ids[i : i + text_batch],
+                text_mask[i : i + text_batch])
+            yield ("txt", n, txt_step(params, ids_d, mask_d, t))
+
+    def consume(item):
+        kind, n, out = item
         if kind == "img":
             f, s = out
             img_feats.append(np.asarray(f)[:n])
@@ -129,19 +128,7 @@ def encode_corpus(
         else:
             txt_feats.append(np.asarray(out)[:n])
 
-    for images in image_batches:
-        images, n = shard_batch_padded(mesh, images)
-        pending.append(("img", n, img_step(params, images, t)))
-        if len(pending) > PIPELINE_DEPTH:
-            drain_one()
-    for i in range(0, len(text_ids), text_batch):
-        ids_d, mask_d, n = shard_batch_padded(
-            mesh, text_ids[i : i + text_batch], text_mask[i : i + text_batch])
-        pending.append(("txt", n, txt_step(params, ids_d, mask_d, t)))
-        if len(pending) > PIPELINE_DEPTH:
-            drain_one()
-    while pending:
-        drain_one()
+    pipelined(dispatches(), consume)
 
     img_feats = np.concatenate(img_feats)
     img_states = TokenState(np.concatenate(xs), np.concatenate(alives), None)
@@ -182,21 +169,30 @@ def rerank_scores(
         params = replicate(mesh, params)
         rows_per_call = max(rows_per_call, mesh.shape["data"])
 
-    # the corpus goes to the DEVICE once (replicated under a mesh); every
-    # dispatch then ships only [rows, k] int32 indices and gathers the
-    # candidate texts/image-states on device — the previous path np.stack'ed
-    # ~rows x k_test x S x D candidate states on the host per dispatch
-    # (~100 MB of host memcpy each at base scale)
-    def rep(a):
-        a = jnp.asarray(a)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+    # the corpus goes to the DEVICE once (replicated under a mesh, one
+    # transfer); every dispatch then ships only [rows, k] int32 indices and
+    # gathers the candidate texts/image-states on device — the previous
+    # path np.stack'ed ~rows x k_test x S x D candidate states on the host
+    # per dispatch (~100 MB of host memcpy each at base scale)
+    def rep(a, dtype=None):
+        a = np.asarray(a)
+        if dtype is not None:
+            a = a.astype(dtype)
+        if mesh is None:
+            return jnp.asarray(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            a = jax.device_put(a, NamedSharding(mesh, P()))
-        return a
+        return jax.device_put(a, NamedSharding(mesh, P()))
 
+    # store the resident states in the model's compute dtype: med_encoder
+    # casts the cross-attn memory to the embedding dtype anyway, and at
+    # real corpus scale (COCO: 5k x ~584 x 768) the fp32 tensor is ~9 GB —
+    # bf16 params halve that
+    state_dtype = next(l.dtype for l in jax.tree_util.tree_leaves(params)
+                       if jnp.issubdtype(l.dtype, jnp.floating))
     ids_all, mask_all = rep(text_ids), rep(text_mask)
-    sx_all, sa_all = rep(img_states.x), rep(img_states.alive)
+    sx_all = rep(img_states.x, dtype=state_dtype)
+    sa_all = rep(img_states.alive)
 
     key = _cfg_key(cfg, "itm_rows", prune_active, capacities_t)
     if key not in _STEP_CACHE:
@@ -236,29 +232,25 @@ def rerank_scores(
     itm_rows = _STEP_CACHE[key]
 
     def run_rows(lo, hi, topk, mode, write):
-        # bounded dispatch-ahead pipeline (see encode_corpus); the last
+        # bounded dispatch-ahead pipeline (utils/pipeline.py); the last
         # batch is padded with repeats so every dispatch shares one shape
-        pending = collections.deque()
+        def dispatches():
+            for base in range(lo, hi, rows_per_call):
+                rows = list(range(base, min(base + rows_per_call, hi)))
+                rows_p = np.asarray(
+                    rows + [rows[-1]] * (rows_per_call - len(rows)), np.int32)
+                rows_d, cands_d, _ = shard_batch_padded(
+                    mesh, rows_p, topk[rows_p])
+                yield (rows, itm_rows(params, ids_all, mask_all, sx_all,
+                                      sa_all, rows_d, cands_d, t, mode))
 
-        def drain_one():
-            rows, dev = pending.popleft()
+        def consume(item):
+            rows, dev = item
             itm = np.asarray(dev)[: len(rows)]
             for r, scores in zip(rows, itm):
                 write(r, scores)
 
-        for base in range(lo, hi, rows_per_call):
-            rows = list(range(base, min(base + rows_per_call, hi)))
-            rows_p = np.asarray(
-                rows + [rows[-1]] * (rows_per_call - len(rows)), np.int32)
-            rows_d, cands_d, _ = shard_batch_padded(
-                mesh, rows_p, topk[rows_p])
-            pending.append(
-                (rows, itm_rows(params, ids_all, mask_all, sx_all, sa_all,
-                                rows_d, cands_d, t, mode)))
-            if len(pending) > PIPELINE_DEPTH:
-                drain_one()
-        while pending:
-            drain_one()
+        pipelined(dispatches(), consume)
 
     i_lo, i_hi = (0, ni) if row_slice is None else row_slice
     topk_i = np.argsort(-sims, axis=1)[:, :k_test].astype(np.int32)
