@@ -53,7 +53,33 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                    help="override config batch_size_train (0 = config default)")
     p.add_argument("--batch_size_test", default=0, type=int,
                    help="override config batch_size_test (0 = config default)")
+    p.add_argument("--num_processes", default=0, type=int,
+                   help="multi-process (multi-host) bring-up: total process "
+                        "count (torchrun --nproc_per_node parity; 0/1 = "
+                        "single process).  Env fallback MADTP_NUM_PROCESSES")
+    p.add_argument("--process_id", default=-1, type=int,
+                   help="this process's rank (env fallback MADTP_PROCESS_ID)")
+    p.add_argument("--coordinator", default="",
+                   help="coordinator host:port for jax.distributed "
+                        "(env fallback MADTP_COORDINATOR, default "
+                        "127.0.0.1:29500)")
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
+                   help="force a JAX platform (the env var JAX_PLATFORMS is "
+                        "read before driver code under sitecustomize; this "
+                        "flag applies jax.config.update early instead)")
     return p
+
+
+def setup_runtime(args) -> None:
+    """Platform override + multi-process bring-up.  MUST run before the
+    first device query (driver_mesh / any jit)."""
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from madtp_tpu.parallel.dist import init_from_args
+
+    init_from_args(args)
 
 
 def driver_mesh(args):
@@ -137,6 +163,25 @@ def make_tokenizer(args, config):
     words = [f"w{i}" for i in range(64)] + [
         "the", "a", "left", "right", "is", "on", "object", "picture", "of"]
     return BertWordPieceTokenizer.toy(words)
+
+
+def cached_probe_batches(cache: list, loader_factory, n: int = 2):
+    """Pull ``n`` probe batches ONCE and memoize them in ``cache`` (a
+    one-element ``[None]`` list owned by the caller).
+
+    Multi-batch probes absorb cross-batch keep-count variance — the same
+    policy the ``--fast_eval`` calibrators use — and reusing one cached set
+    across epochs avoids churning a fresh loader (and abandoning its
+    prefetch iterator/workers) every epoch just to read one batch."""
+    if cache[0] is None:
+        import itertools
+
+        it = loader_factory()
+        cache[0] = list(itertools.islice(it, n))
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()
+    return cache[0]
 
 
 def fast_capacity_schedule(vk, tk, cap_mode: str, *, margin_v: int = 16,

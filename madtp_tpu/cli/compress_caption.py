@@ -88,6 +88,9 @@ def finish_captions(tokenizer, out, B):
 
 def main():
     args = base_parser("configs/caption_coco.yaml").parse_args()
+    from madtp_tpu.cli.common import setup_runtime
+
+    setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)
     enable_compile_cache()
@@ -96,6 +99,11 @@ def main():
     image_size = config.get("image_size", 64 if args.synthetic else 384)
     tokenizer = make_tokenizer(args, config)
     mesh = driver_mesh(args)
+    # multi-process: all splits shard across processes (reference
+    # create_sampler, compress_caption_dtp.py:181); per-rank caption JSON
+    # merges through save_result (data/utils.py:47-86 parity)
+    from madtp_tpu.parallel import dist
+    n_procs, proc_id = dist.process_count(), dist.process_index()
 
     if args.synthetic:
         from madtp_tpu.models.med import init_med_params
@@ -205,7 +213,14 @@ def main():
         ds = CaptionEvalDataset(
             lambda im: eval_transform(im, image_size),
             config["image_root"], config["ann_root"], split)
-        return lambda: batched_loader(ds, config.get("batch_size_test", 32))
+        return lambda: batched_loader(ds, config.get("batch_size_test", 32),
+                                      num_shards=n_procs, shard_id=proc_id)
+
+    def sync_gflops(cur_g):
+        """Average the analytic GFLOPs over all processes' eval shards."""
+        if n_procs > 1:
+            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
+        return cur_g
 
     if args.evaluate:
         from madtp_tpu.data.text_utils import save_result
@@ -217,9 +232,12 @@ def main():
                 im for im, _ in itertools.islice(make_loader("test")(), 4))
         results, cur_g = eval_epoch(temperature, make_loader("test"))
         save_result(results, args.output_dir, "test_epoch_eval",
-                    remove_duplicate="image_id")
-        dump_log(args.output_dir, "evaluate.txt",
-                 {"Cur_Gflops": round(cur_g, 2)}, append=False)
+                    remove_duplicate="image_id", rank=proc_id,
+                    world_size=n_procs, barrier=dist.barrier)
+        cur_g = sync_gflops(cur_g)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "evaluate.txt",
+                     {"Cur_Gflops": round(cur_g, 2)}, append=False)
         return
 
     # ---- compression training ----
@@ -252,9 +270,16 @@ def main():
     prompt_length = len(tokenizer.encode(config.get("prompt", PROMPT))) - 1
 
     # temperature pre-search before epoch 0 (reference :106-158): probe the
-    # image tower in mask mode and bisect against the analytic FLOPs model
-    probe_imgs, _, _ = next(iter(batched_loader(
-        ds, min(8, config.get("batch_size", 32)), num_workers=0)))
+    # image tower in mask mode and bisect against the analytic FLOPs model.
+    # 3 shuffled probe batches, cached once (multi-batch probes absorb
+    # cross-batch keep-count variance — the --fast_eval calibration policy)
+    from madtp_tpu.cli.common import cached_probe_batches
+
+    probe_cache = [None]
+    probe_imgs_list = [b[0] for b in cached_probe_batches(
+        probe_cache, lambda: batched_loader(
+            ds, min(8, config.get("batch_size", 32)), shuffle=True,
+            num_workers=0, drop_last=True), n=3)]
 
     @jax.jit
     def probe(params, images, t):
@@ -263,7 +288,7 @@ def main():
         return kept
 
     def measure(t):
-        kept = np.asarray(probe(params, jnp.asarray(probe_imgs),
+        kept = np.asarray(probe(params, jnp.asarray(probe_imgs_list[0]),
                                 jnp.float32(t)))
         return caption_gflops(cfg.vit, cfg.med, kept, 14)
 
@@ -273,31 +298,46 @@ def main():
 
     from madtp_tpu.parallel.mesh import replicate as _replicate
 
+    # multi-process: train over the GLOBAL mesh (XLA inserts the gradient
+    # psum — the reference's DDP allreduce); each process feeds its own
+    # loader shard
+    tmesh = mesh
+    if n_procs > 1:
+        from madtp_tpu.parallel.mesh import global_data_mesh
+
+        tmesh = global_data_mesh()
+
     def put_batch(*arrays):
         from madtp_tpu.parallel.mesh import shard_batch_padded
 
-        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+        local_d = (len(tmesh.local_mesh.devices.flat)
+                   if tmesh is not None else 1)
+        if arrays[0].shape[0] % local_d:
             raise ValueError(
-                f"train batch {arrays[0].shape[0]} not divisible by data axis"
-                f" {mesh.shape['data']}; set --batch_size_train accordingly")
-        out = shard_batch_padded(mesh, *arrays)
+                f"train batch {arrays[0].shape[0]} not divisible by local "
+                f"data axis {local_d}; set --batch_size_train accordingly")
+        out = shard_batch_padded(tmesh, *arrays)
         return out[:-1]
 
-    if mesh is not None:
-        params = _replicate(mesh, params)
-        opt_state = _replicate(mesh, opt_state)
+    if tmesh is not None:
+        params = _replicate(tmesh, params)
+        opt_state = _replicate(tmesh, opt_state)
 
-    step_cache = {}  # --fast_train: capacity schedule -> compiled step
+    from madtp_tpu.utils.cache import BoundedCache
+
+    step_cache = BoundedCache()  # --fast_train: capacity schedule -> step
 
     def fast_train_step(temperature):
-        """Calibrate ViT capacities from the mask-mode probe at this epoch's
-        temperature (reusing the pre-search probe); gather-mode training
-        step (see compress_nlvr.fast_train_step).  The decoder runs unpruned
+        """Calibrate ViT capacities from the cached mask-mode probe batches
+        at this epoch's temperature (max over batches + margin — same policy
+        as --fast_eval); gather-mode training step (see
+        compress_nlvr.fast_train_step).  The decoder runs unpruned
         (reference behavior) so only the vision schedule applies."""
         from madtp_tpu.cli.common import fast_capacity_schedule
 
-        vk = np.asarray(probe(params, jnp.asarray(probe_imgs),
-                              jnp.float32(temperature)))
+        vk = np.stack([np.asarray(probe(params, jnp.asarray(im),
+                                        jnp.float32(temperature)))
+                       for im in probe_imgs_list])
         cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_caption_train_step(cfg, tx,
@@ -311,7 +351,7 @@ def main():
         temperature = controller.temperature
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        opt_state.hyperparams["learning_rate"] = np.float32(lr)
         step_fn = train_step
         if args.fast_train and temperature > 0:
             step_fn, sched = fast_train_step(temperature)
@@ -320,8 +360,13 @@ def main():
         pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, captions, img_ids in logger.log_every(
             batched_loader(ds, config.get("batch_size", 32), shuffle=True,
-                           epoch=epoch), 50, f"Train [{epoch}]"):
-            tok = tokenizer(list(captions), padding="longest", max_length=40)
+                           epoch=epoch, num_shards=n_procs,
+                           shard_id=proc_id,
+                           drop_last=n_procs > 1), 50, f"Train [{epoch}]"):
+            # multi-process: fixed-length padding — per-shard 'longest'
+            # shapes would diverge across processes under the global mesh
+            pad_mode = "max_length" if n_procs > 1 else "longest"
+            tok = tokenizer(list(captions), padding=pad_mode, max_length=40)
             ids, mask = tok["input_ids"], tok["attention_mask"]
             ids[:, 0] = tokenizer.bos_token_id  # reference models/blip.py:118
             labels = np.where(ids == tokenizer.pad_token_id, -100, ids)
@@ -336,7 +381,23 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
+        if n_procs > 1:
+            # host copies: eval/decode runs per-process on the LOCAL mesh
+            params = jax.tree.map(np.asarray, params)
         results, cur_g = eval_epoch(temperature, make_loader("val"))
+        if n_procs > 1:
+            # merge the per-process val shards so rank 0 scores the FULL
+            # split (reference save_result + coco_caption_eval)
+            from madtp_tpu.data.text_utils import save_result
+            import json as _json
+
+            merged_file = save_result(
+                results, args.output_dir, f"val_epoch{epoch}",
+                remove_duplicate="image_id", rank=proc_id,
+                world_size=n_procs, barrier=dist.barrier)
+            if dist.is_main_process():
+                results = _json.load(open(merged_file))
+        cur_g = sync_gflops(cur_g)
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                "train_loss": f"{logger.meters['loss'].global_avg:.4f}"}
         # Best-checkpoint gate: CIDEr ALONE (the reference gates on
@@ -347,7 +408,7 @@ def main():
         gt_path = os.path.join(gt_root, "gt.json")
         if not os.path.exists(gt_path):
             gt_path = os.path.join(gt_root, "caption_gt.json")  # fixture name
-        if os.path.exists(gt_path):
+        if os.path.exists(gt_path) and dist.is_main_process():
             import json as _json
 
             from madtp_tpu.eval.caption_metrics import coco_caption_scores
@@ -358,7 +419,8 @@ def main():
             log["ckpt_gate"] = "CIDEr (reference uses CIDEr+SPICE)"
         else:
             metric = 0.0
-        if metric >= best and cur_g - target < 5.0:
+        if (metric >= best and cur_g - target < 5.0
+                and dist.is_main_process()):
             sd = {}
             sd.update(export_vit(jax.tree.map(np.asarray,
                                               params["visual_encoder"]),
@@ -371,7 +433,8 @@ def main():
                 os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
                 epoch=epoch, temperature=temperature)
             best = metric
-        dump_log(args.output_dir, "log.txt", log)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
 
 

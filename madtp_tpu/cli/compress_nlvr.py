@@ -53,7 +53,8 @@ def synthetic_loader(n_batches, batch, image_size, seed=0):
     return lambda: iter(data)
 
 
-def real_loader(config, split, tokenizer, *, train, batch, epoch=0):
+def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
+                num_shards=1, shard_id=0):
     from madtp_tpu.data.datasets import NLVRDataset
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.data.transforms import eval_transform, train_transform
@@ -69,7 +70,9 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0):
 
     def it():
         for batch_data in batched_loader(ds, batch, shuffle=train, epoch=epoch,
-                                         drop_last=train):
+                                         drop_last=train,
+                                         num_shards=num_shards,
+                                         shard_id=shard_id):
             yield batch_data
 
     return it
@@ -78,6 +81,9 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0):
 def main():
     args = base_parser("configs/nlvr.yaml",
                        "pretrained/model_base_nlvr.pth").parse_args()
+    from madtp_tpu.cli.common import setup_runtime
+
+    setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)
     enable_compile_cache()
@@ -89,8 +95,17 @@ def main():
     cfg = build_cfg(config, image_size)
     tokenizer = make_tokenizer(args, config)
 
+    from madtp_tpu.parallel import dist
+
     def tokenize(sentences):
-        out = tokenizer(sentences, padding="longest")
+        # multi-process: fixed-length padding — 'longest' would give each
+        # process's shard its own shape, and under the global train mesh
+        # every process must trace the SAME program or the collectives
+        # mismatch
+        if dist.process_count() > 1:
+            out = tokenizer(sentences, padding="max_length", max_length=40)
+        else:
+            out = tokenizer(sentences, padding="longest")
         return out["input_ids"], out["attention_mask"]
 
     # ---- model ----
@@ -149,13 +164,23 @@ def main():
         if args.synthetic:  # synthetic loader feeds training too
             batch_test += (-batch_test) % d
 
-    def get_loader(split, train=False, epoch=0):
+    # multi-process: every split shards across processes (the reference's
+    # create_sampler over [train,val,test], compress_nlvr_dtp.py:131); eval
+    # metrics all-reduce in tasks/nlvr.evaluate
+    n_procs, proc_id = dist.process_count(), dist.process_index()
+
+    def get_loader(split, train=False, epoch=0, sharded=True):
+        # ``sharded=False``: identical batches on every process — required
+        # for --fast_train calibration probes, whose derived capacity
+        # schedule must match across processes (divergent schedules would
+        # trace different global-mesh programs and deadlock the collectives)
         if args.synthetic:
             return synthetic_loader(args.synthetic_batches, batch_test,
                                     image_size)
+        ns, si = (n_procs, proc_id) if sharded else (1, 0)
         return real_loader(config, split, tokenizer, train=train,
                            batch=batch_train if train else batch_test,
-                           epoch=epoch)
+                           epoch=epoch, num_shards=ns, shard_id=si)
 
     caps_v = caps_t = None
     if args.evaluate and args.fast_eval and temperature > 0:
@@ -202,31 +227,48 @@ def main():
         return
 
     # ---- compression training ----
+    # multi-process: the train step jits over the GLOBAL mesh (XLA inserts
+    # the cross-process gradient psum — the reference's DDP allreduce);
+    # eval keeps the per-process local mesh + host metric sync
+    tmesh = mesh
+    if n_procs > 1:
+        from madtp_tpu.parallel.mesh import global_data_mesh
+
+        tmesh = global_data_mesh()
     tx = make_adamw_injectable(config.get("weight_decay", 0.05))
     opt_state = tx.init(params)
     train_step = make_nlvr_train_step(cfg, tx)
-    step_cache = {}  # capacity schedule -> compiled gather-mode train step
+    from madtp_tpu.utils.cache import BoundedCache
+
+    step_cache = BoundedCache()  # capacity schedule -> compiled train step
     ft_probe = [None]  # lazily-built mask-mode probe, jitted ONCE
+    probe_cache = [None]  # cached probe batches (cli/common.cached_probe_batches)
 
     def fast_train_step(params, temperature, epoch):
         """--fast_train: calibrate ceil (lossless + margin) capacities from
-        one mask-mode probe batch at this epoch's temperature and return a
-        gather-mode train step.  Distinct schedules compile once (bounded by
+        cached mask-mode probe batches at this epoch's temperature and return
+        a gather-mode train step.  Distinct schedules compile once (bounded by
         the 64/8-multiple bucketing); repeats hit ``step_cache``."""
-        from madtp_tpu.cli.common import fast_capacity_schedule
+        from madtp_tpu.cli.common import (
+            cached_probe_batches, fast_capacity_schedule,
+        )
 
-        image0, image1, sentences, _ = next(
-            iter(get_loader("train", True, epoch)()))
-        ids0, mask0 = tokenize(sentences)
-        ids0[:, 0] = tokenizer.enc_token_id
         if ft_probe[0] is None:  # don't re-trace the full forward per epoch
             ft_probe[0] = task.make_eval_step(cfg, True)
         probe = ft_probe[0]
-        _, vk, tk = probe(params,
-                          jnp.asarray(np.concatenate([image0, image1])),
-                          jnp.asarray(ids0), jnp.asarray(mask0),
-                          jnp.float32(temperature))
-        caps_v, caps_t = fast_capacity_schedule(vk, tk, args.cap_mode)
+        vks, tks = [], []
+        for image0, image1, sentences, _ in cached_probe_batches(
+                probe_cache, get_loader("train", True, 0, sharded=False)):
+            ids0, mask0 = tokenize(sentences)
+            ids0[:, 0] = tokenizer.enc_token_id
+            _, vk, tk = probe(params,
+                              jnp.asarray(np.concatenate([image0, image1])),
+                              jnp.asarray(ids0), jnp.asarray(mask0),
+                              jnp.float32(temperature))
+            vks.append(np.asarray(vk))
+            tks.append(np.asarray(tk))
+        caps_v, caps_t = fast_capacity_schedule(
+            np.stack(vks), np.stack(tks), args.cap_mode)
         key = (caps_v, caps_t)
         if key not in step_cache:
             step_cache[key] = make_nlvr_train_step(
@@ -241,17 +283,31 @@ def main():
     cur_g = ORI_GFLOPS
     start_epoch = 0
     if args.resume:
-        import orbax.checkpoint as ocp
+        if args.resume.endswith(".npz"):
+            # native npz resume (the multi-process format, see the save
+            # below): plain numpy, no cross-process coordination.  The
+            # optax state is a namedtuple pytree, so it round-trips as an
+            # ordered leaf list against the freshly-initialized template.
+            from madtp_tpu.ckpt.export import load_native
 
-        with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(
-                os.path.abspath(args.resume),
-                item={"params": params, "opt_state": opt_state,
-                      "meta": {"epoch": 0, "temperature": 0.0,
-                               "cur_gflops": 0.0, "best": 0.0}},
-            )
-        params, opt_state = restored["params"], restored["opt_state"]
-        meta = restored["meta"]
+            tree, meta = load_native(args.resume)
+            params = tree["params"]
+            leaves = [tree["opt_leaves"][f"{i:03d}"]
+                      for i in range(len(tree["opt_leaves"]))]
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state), leaves)
+        else:
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(
+                    os.path.abspath(args.resume),
+                    item={"params": params, "opt_state": opt_state,
+                          "meta": {"epoch": 0, "temperature": 0.0,
+                                   "cur_gflops": 0.0, "best": 0.0}},
+                )
+            params, opt_state = restored["params"], restored["opt_state"]
+            meta = restored["meta"]
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
@@ -265,15 +321,19 @@ def main():
 
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 3e-6), config.get("min_lr", 0.0))
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        opt_state.hyperparams["learning_rate"] = np.float32(lr)
         step_fn = train_step
         if args.fast_train and temperature > 0:
             step_fn, sched = fast_train_step(params, temperature, epoch)
             print("fast_train capacities:", sched)
         params, opt_state, train_stats = task.train_epoch(
             params, opt_state, step_fn, get_loader("train", True, epoch),
-            tokenize, tokenizer.enc_token_id, temperature, lr=lr, mesh=mesh,
+            tokenize, tokenizer.enc_token_id, temperature, lr=lr, mesh=tmesh,
         )
+        if n_procs > 1:
+            # host copies: eval runs per-process on the LOCAL mesh and the
+            # global-mesh arrays can't be re-placed locally directly
+            params = jax.tree.map(np.asarray, params)
         val_stats, cur_g = task.evaluate(
             params, get_loader("val"), tokenize, cfg, temperature,
             prune_active=True, enc_token_id=tokenizer.enc_token_id, mesh=mesh,
@@ -287,7 +347,8 @@ def main():
                **{f"test_{k}": v for k, v in test_stats.items()},
                "epoch": epoch, "Cur_Gflops": round(cur_g, 2)}
         acc = float(test_stats["acc"])
-        if acc > best and cur_g - controller.target_gflops < 5.0:
+        if (acc > best and cur_g - controller.target_gflops < 5.0
+                and dist.is_main_process()):
             from madtp_tpu.ckpt.export import (
                 export_med, export_vit, save_torch_checkpoint,
             )
@@ -309,21 +370,36 @@ def main():
                 epoch=epoch, temperature=temperature,
             )
             best, best_epoch = acc, epoch
-        dump_log(args.output_dir, "log.txt", log)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
 
         # mid-run resume checkpoint (params + optimizer + controller)
-        import orbax.checkpoint as ocp
+        meta = {"epoch": epoch, "temperature": float(temperature),
+                "cur_gflops": float(cur_g), "best": float(best)}
+        if n_procs > 1:
+            # orbax coordinates its save across ALL processes (collective
+            # barriers) — a rank-0-only call deadlocks; write the native
+            # npz format from rank 0 instead, no coordination needed
+            if dist.is_main_process():
+                from madtp_tpu.ckpt.export import save_native
 
-        rdir = os.path.abspath(os.path.join(args.output_dir, "resume_ckpt"))
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(
-                rdir,
-                {"params": params, "opt_state": opt_state,
-                 "meta": {"epoch": epoch, "temperature": float(temperature),
-                          "cur_gflops": float(cur_g), "best": float(best)}},
-                force=True,
-            )
+                opt_leaves = {f"{i:03d}": np.asarray(l) for i, l in
+                              enumerate(jax.tree_util.tree_leaves(opt_state))}
+                save_native(
+                    os.path.join(args.output_dir, "resume_ckpt.npz"),
+                    {"params": jax.tree.map(np.asarray, params),
+                     "opt_leaves": opt_leaves},
+                    extras=meta)
+        else:
+            import orbax.checkpoint as ocp
+
+            rdir = os.path.abspath(os.path.join(args.output_dir,
+                                                "resume_ckpt"))
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(rdir,
+                           {"params": params, "opt_state": opt_state,
+                            "meta": meta}, force=True)
     print(f"LOG: best epoch: {best_epoch}")
 
 

@@ -17,11 +17,12 @@ import numpy as np
 
 from madtp_tpu.cli.common import (
     base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
-    make_tokenizer, set_seed,
+    make_tokenizer, set_seed, setup_runtime,
 )
 from madtp_tpu.core.config import MedConfig, ViTConfig
 from madtp_tpu.eval.metrics import itm_eval
 from madtp_tpu.models.blip import BlipConfig, load_blip_retrieval
+from madtp_tpu.parallel import dist
 from madtp_tpu.tasks.retrieval import encode_corpus, rerank_scores
 
 ORI_GFLOPS = 153.2  # reference compress_retrieval_dtp.py:383
@@ -29,6 +30,7 @@ ORI_GFLOPS = 153.2  # reference compress_retrieval_dtp.py:383
 
 def main():
     args = base_parser("configs/retrieval_coco.yaml").parse_args()
+    setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)
     enable_compile_cache()
@@ -135,22 +137,42 @@ def main():
                                                 args.cap_mode)
         print("fast_eval capacities:", caps_v, caps_t)
 
-    img_feats, img_states, txt_feats = encode_corpus(
-        params, cfg, iter(image_batches), text_ids, text_mask,
-        temperature=temperature, prune_active=prune,
-        capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
-    )
+    # every process encodes the FULL corpus (reference parity: the test
+    # loader is unsharded, compress_retrieval_dtp.py:338-346); only the
+    # rerank rows are sharded across processes, then the -100-initialized
+    # score matrices merge (reference dist.all_reduce(SUM) :202-205)
+    shard = ((dist.process_count(), dist.process_index())
+             if dist.process_count() > 1 else None)
+
+    def full_scores(params, temperature, prune, caps_v, caps_t,
+                    image_batches):
+        img_feats, img_states, txt_feats = encode_corpus(
+            params, cfg, image_batches, text_ids, text_mask,
+            temperature=temperature, prune_active=prune,
+            capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
+        )
+        s_i2t, s_t2i = rerank_scores(
+            params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
+            k_test=min(k_test, len(texts)), temperature=temperature,
+            prune_active=prune, capacities_t=caps_t, mesh=mesh, shard=shard,
+        )
+        if shard is not None:
+            dist.barrier("retrieval_scores")
+            s_i2t, s_t2i = dist.host_max(s_i2t), dist.host_max(s_t2i)
+        return s_i2t, s_t2i
+
     # ITM rerank uses [ENC]-token text (reference compress_retrieval_dtp:168)
     enc_ids = text_ids.copy()
     enc_ids[:, 0] = tokenizer.enc_token_id
-    s_i2t, s_t2i = rerank_scores(
-        params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
-        k_test=min(k_test, len(texts)), temperature=temperature,
-        prune_active=prune, capacities_t=caps_t, mesh=mesh,
-    )
+    s_i2t, s_t2i = full_scores(params, temperature, prune, caps_v, caps_t,
+                               iter(image_batches))
+    if os.environ.get("MADTP_DUMP_SCORES"):
+        np.savez(os.path.join(args.output_dir, "scores.npz"),
+                 i2t=s_i2t, t2i=s_t2i)
     stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
     log = {k: round(v, 3) for k, v in stats.items()}
-    dump_log(args.output_dir, "evaluate.txt", log, append=False)
+    if dist.is_main_process():
+        dump_log(args.output_dir, "evaluate.txt", log, append=False)
     print("LOG:", log)
 
     if args.evaluate or args.synthetic:
@@ -180,11 +202,22 @@ def main():
 
     target = ORI_GFLOPS * (1.0 - config["p"])
     tx = make_adamw_injectable(config.get("weight_decay", 0.05))
+
+    # training rides the GLOBAL mesh under multi-process execution: jit over
+    # all processes' devices and XLA inserts the cross-process gradient psum
+    # (the reference's DDP allreduce boundary); each process feeds its own
+    # loader shard (DistributedSampler parity, data/loader.shard_indices)
+    tmesh = mesh
+    n_procs, proc_id = dist.process_count(), dist.process_index()
+    if n_procs > 1:
+        from madtp_tpu.parallel.mesh import global_data_mesh
+
+        tmesh = global_data_mesh()
     train_step = make_retrieval_train_step(
         cfg, tx, alpha=config.get("alpha", 0.4),
         enc_token_id=tokenizer.enc_token_id,
         negative_all_rank=config.get("negative_all_rank", False),
-        data_shards=mesh.shape["data"] if mesh is not None else 1)
+        data_shards=tmesh.shape["data"] if tmesh is not None else 1)
     state = RetrievalTrainState(
         params=params,
         params_m={k: params[k] for k in MOMENTUM_KEYS},
@@ -198,15 +231,17 @@ def main():
     from madtp_tpu.parallel.mesh import replicate as _replicate, \
         shard_batch_padded as _shard
 
-    if mesh is not None:
-        state = _replicate(mesh, state)
+    if tmesh is not None:
+        state = _replicate(tmesh, state)
 
     def put_train(*arrays):
-        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+        local_d = (len(tmesh.local_mesh.devices.flat)
+                   if tmesh is not None else 1)
+        if arrays[0].shape[0] % local_d:
             raise ValueError(
-                f"train batch {arrays[0].shape[0]} not divisible by data axis"
-                f" {mesh.shape['data']}; set --batch_size_train accordingly")
-        return _shard(mesh, *arrays)[:-1]
+                f"train batch {arrays[0].shape[0]} not divisible by local "
+                f"data axis {local_d}; set --batch_size_train accordingly")
+        return _shard(tmesh, *arrays)[:-1]
 
     _trng = _random.Random(args.seed)
     train_ds = CaptionTrainDataset(
@@ -214,7 +249,10 @@ def main():
         config["image_root"], config["ann_root"],
         dataset=config.get("dataset", "coco"))
 
-    step_cache = {}  # --fast_train: capacity schedule -> compiled step
+    from madtp_tpu.utils.cache import BoundedCache
+
+    step_cache = BoundedCache()  # --fast_train: capacity schedule -> step
+    probe_cache = [None]  # cached probe batches (cli/common.cached_probe_batches)
 
     def _make_ft_probe():
         import madtp_tpu.models.vit as V
@@ -248,31 +286,40 @@ def main():
     ft_probe = _make_ft_probe()  # jitted ONCE (probing is epoch-independent)
 
     def fast_train_step(state, temperature, epoch):
-        """Calibrate tower capacities from one mask-mode probe batch at this
-        epoch's temperature; gather-mode retrieval train step (see
+        """Calibrate tower capacities from cached mask-mode probe batches at
+        this epoch's temperature; gather-mode retrieval train step (see
         compress_nlvr.fast_train_step).  Both online and momentum towers and
         the ITM pass run compacted.  The ITM pass batches 3B rows (pos + 2
         hard negatives), so its batch-max keep can exceed the B-row probe's;
         margin=8 plus the max over text/multimodal probes covers it, and any
         residual overflow folds into the merge token (the bounded-drift
         behavior measured in tests/test_calibration_drift.py)."""
-        from madtp_tpu.cli.common import fast_capacity_schedule
+        from madtp_tpu.cli.common import (
+            cached_probe_batches, fast_capacity_schedule,
+        )
 
-        images, captions, _ = next(iter(batched_loader(
-            train_ds, config.get("batch_size_train", 16), shuffle=True,
-            epoch=epoch, drop_last=True)))
-        tok = tokenizer(list(captions), padding="max_length", max_length=35)
-        vk, tk = ft_probe(
-            state.params, jnp.asarray(images), jnp.asarray(tok["input_ids"]),
-            jnp.asarray(tok["attention_mask"]), jnp.float32(temperature))
-        cv, ct = fast_capacity_schedule(vk, tk, args.cap_mode, margin_t=8)
+        vks, tks = [], []
+        for images, captions, _ in cached_probe_batches(
+                probe_cache, lambda: batched_loader(
+                    train_ds, config.get("batch_size_train", 16),
+                    shuffle=True, epoch=0, drop_last=True)):
+            tok = tokenizer(list(captions), padding="max_length",
+                            max_length=35)
+            vk, tk = ft_probe(
+                state.params, jnp.asarray(images),
+                jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"]), jnp.float32(temperature))
+            vks.append(np.asarray(vk))
+            tks.append(np.asarray(tk))
+        cv, ct = fast_capacity_schedule(np.stack(vks), np.stack(tks),
+                                        args.cap_mode, margin_t=8)
         key = (cv, ct)
         if key not in step_cache:
             step_cache[key] = make_retrieval_train_step(
                 cfg, tx, alpha=config.get("alpha", 0.4),
                 enc_token_id=tokenizer.enc_token_id,
                 negative_all_rank=config.get("negative_all_rank", False),
-                data_shards=mesh.shape["data"] if mesh is not None else 1,
+                data_shards=tmesh.shape["data"] if tmesh is not None else 1,
                 capacities_v=cv, capacities_t=ct)
         return step_cache[key], key
 
@@ -284,7 +331,7 @@ def main():
         temperature = controller.temperature
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        state.opt_state.hyperparams["learning_rate"] = np.float32(lr)
         step_fn = train_step
         if args.fast_train and temperature > 0:
             step_fn, sched = fast_train_step(state, temperature, epoch)
@@ -293,7 +340,8 @@ def main():
         pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
-                           shuffle=True, epoch=epoch, drop_last=True),
+                           shuffle=True, epoch=epoch, drop_last=True,
+                           num_shards=n_procs, shard_id=proc_id),
             50, f"Train [{epoch}]"):
             tok = tokenizer(list(captions), padding="max_length", max_length=35)
             rng_key, sub = jrandom.split(rng_key)
@@ -306,15 +354,12 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
-        # eval epoch: re-embed + rerank with current weights
-        params = state.params
-        img_feats, img_states, txt_feats = encode_corpus(
-            params, cfg, iter(image_batches_fn()), text_ids, text_mask,
-            temperature=temperature, prune_active=True, mesh=mesh)
-        s_i2t, s_t2i = rerank_scores(
-            params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
-            k_test=min(k_test, len(texts)), temperature=temperature,
-            prune_active=True, mesh=mesh)
+        # eval epoch: re-embed + rerank with current weights (host copies —
+        # the eval path runs per-process on the LOCAL mesh)
+        params = (jax.tree.map(np.asarray, state.params)
+                  if n_procs > 1 else state.params)
+        s_i2t, s_t2i = full_scores(params, temperature, True, None, None,
+                                   iter(image_batches_fn()))
         stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
         # analytic GFLOPs from a mask-mode probe
         from madtp_tpu.models.blip import blip_retrieval_image_features
@@ -329,7 +374,8 @@ def main():
             text_ids.shape[1])
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                **{k: round(v, 3) for k, v in stats.items()}}
-        if stats["r_mean"] > best and cur_g - target < 10.0:
+        if (stats["r_mean"] > best and cur_g - target < 10.0
+                and dist.is_main_process()):
             sd = {}
             sd.update(export_vit(jax.tree.map(np.asarray,
                                               params["visual_encoder"]),
@@ -345,7 +391,8 @@ def main():
                 os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
                 epoch=epoch, temperature=temperature)
             best = stats["r_mean"]
-        dump_log(args.output_dir, "log.txt", log)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
 
 

@@ -74,10 +74,18 @@ def infer_clip_config(sd, sd_dim=768) -> CLIPConfig:
 
 def main():
     args = base_parser("configs/retrieval_flickr_clip.yaml").parse_args()
+    from madtp_tpu.cli.common import setup_runtime
+
+    setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)
     enable_compile_cache()
     os.makedirs(args.output_dir, exist_ok=True)
+    # multi-process: only TRAIN shards across processes (reference
+    # create_sampler([train])+[None,None], compress_retrieval_clip_dtp.py:252
+    # — eval is ITC-only and runs identically on every rank)
+    from madtp_tpu.parallel import dist
+    n_procs, proc_id = dist.process_count(), dist.process_index()
 
     if args.synthetic:
         from madtp_tpu.models.clip import init_clip_params
@@ -213,7 +221,8 @@ def main():
             [cfg.context_length - 1] * cfg.transformer_layers)
     log = {**{k: round(v, 3) for k, v in stats.items()},
            "Cur_Gflops": round(cur_g, 3)}
-    dump_log(args.output_dir, "evaluate.txt", log, append=False)
+    if dist.is_main_process():
+        dump_log(args.output_dir, "evaluate.txt", log, append=False)
     print("LOG:", log)
 
     if args.evaluate or args.synthetic:
@@ -246,15 +255,24 @@ def main():
         space_dict=space_dict,
     )
     controller = TemperatureController(target_gflops=target)
-    if mesh is not None:
-        state = _replicate(mesh, state)
+    # multi-process: train over the GLOBAL mesh (XLA inserts the gradient
+    # psum — the reference's DDP allreduce)
+    tmesh = mesh
+    if n_procs > 1:
+        from madtp_tpu.parallel.mesh import global_data_mesh
+
+        tmesh = global_data_mesh()
+    if tmesh is not None:
+        state = _replicate(tmesh, state)
 
     def put_train(*arrays):
-        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+        local_d = (len(tmesh.local_mesh.devices.flat)
+                   if tmesh is not None else 1)
+        if arrays[0].shape[0] % local_d:
             raise ValueError(
-                f"train batch {arrays[0].shape[0]} not divisible by data axis"
-                f" {mesh.shape['data']}; set --batch_size_train accordingly")
-        return _shard(mesh, *arrays)[:-1]
+                f"train batch {arrays[0].shape[0]} not divisible by local "
+                f"data axis {local_d}; set --batch_size_train accordingly")
+        return _shard(tmesh, *arrays)[:-1]
 
     _trng = _random.Random(args.seed)
     train_ds = CaptionTrainDataset(
@@ -262,7 +280,10 @@ def main():
         config["image_root"], config["ann_root"],
         dataset=config.get("dataset", "flickr"))
 
-    step_cache = {}  # --fast_train: vision capacity schedule -> step
+    from madtp_tpu.utils.cache import BoundedCache
+
+    step_cache = BoundedCache()  # --fast_train: vision capacity sched -> step
+    probe_cache = [None]  # cached probe batches (cli/common.cached_probe_batches)
 
     @jax.jit
     def ft_probe(params, space_dict, images, t):
@@ -270,16 +291,20 @@ def main():
                                  temperature=t, prune_active=True)[2]
 
     def fast_train_step(state, temperature, epoch):
-        """Calibrate vision capacities from one mask-mode probe batch at
+        """Calibrate vision capacities from cached mask-mode probe batches at
         this epoch's temperature; gather-mode CLIP train step (the causal
         text tower stays mask-mode)."""
-        from madtp_tpu.cli.common import fast_capacity_schedule
+        from madtp_tpu.cli.common import (
+            cached_probe_batches, fast_capacity_schedule,
+        )
 
-        images_p, _, _ = next(iter(batched_loader(
-            train_ds, config.get("batch_size_train", 16), shuffle=True,
-            epoch=epoch, drop_last=True)))
-        vk = ft_probe(state.params, state.space_dict,
-                      jnp.asarray(images_p), jnp.float32(temperature))
+        vk = np.stack([
+            np.asarray(ft_probe(state.params, state.space_dict,
+                                jnp.asarray(images_p), jnp.float32(temperature)))
+            for images_p, _, _ in cached_probe_batches(
+                probe_cache, lambda: batched_loader(
+                    train_ds, config.get("batch_size_train", 16),
+                    shuffle=True, epoch=0, drop_last=True))])
         cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_clip_train_step(
@@ -293,7 +318,7 @@ def main():
         temperature = controller.temperature
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 1e-5), config.get("min_lr", 0.0))
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        state.opt_state.hyperparams["learning_rate"] = np.float32(lr)
         step_fn = train_step
         if args.fast_train and temperature > 0 and not cfg.is_resnet:
             step_fn, sched = fast_train_step(state, temperature, epoch)
@@ -302,7 +327,8 @@ def main():
         pending_m = None  # one-deep metric lag (no per-step device sync)
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
-                           shuffle=True, epoch=epoch, drop_last=True),
+                           shuffle=True, epoch=epoch, drop_last=True,
+                           num_shards=n_procs, shard_id=proc_id),
             50, f"Train [{epoch}]"):
             txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
             batch_d = put_train(images, txt, np.asarray(img_idx))
@@ -314,6 +340,11 @@ def main():
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
         params, space_dict = state.params, state.space_dict
+        if n_procs > 1:
+            # host copies: eval runs per-process on the LOCAL mesh
+            params = jax.tree.map(np.asarray, params)
+            space_dict = (np.asarray(space_dict)
+                          if space_dict is not None else None)
         # eval epoch (ITC-only like the reference CLIP driver)
         img_feats, txt_feats, v_kept, t_kept = encode_towers(
             params, space_dict, images_all, text, jnp.float32(temperature))
@@ -322,7 +353,8 @@ def main():
         cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                **{k: round(v, 3) for k, v in stats.items()}}
-        if stats["r_mean"] > best and cur_g - target < 5.0:
+        if (stats["r_mean"] > best and cur_g - target < 5.0
+                and dist.is_main_process()):
             from madtp_tpu.ckpt.export import save_native
 
             save_native(os.path.join(args.output_dir, "checkpoint_best.npz"),
@@ -330,7 +362,8 @@ def main():
                         extras={"temperature": float(temperature),
                                 "epoch": epoch})
             best = stats["r_mean"]
-        dump_log(args.output_dir, "log.txt", log)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
 
 

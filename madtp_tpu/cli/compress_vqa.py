@@ -39,6 +39,9 @@ def tokenize_answers(tokenizer, answers, bos_id):
 
 def main():
     args = base_parser("configs/vqa.yaml").parse_args()
+    from madtp_tpu.cli.common import setup_runtime
+
+    setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)
     enable_compile_cache()
@@ -48,6 +51,11 @@ def main():
     tokenizer = make_tokenizer(args, config)
     mesh = driver_mesh(args)
     k_test = config.get("k_test", 8 if args.synthetic else 128)
+    # multi-process: train + test shard across processes (reference
+    # create_sampler over [train, test], compress_vqa_dtp.py:193); per-rank
+    # answer JSON merges through save_result
+    from madtp_tpu.parallel import dist
+    n_procs, proc_id = dist.process_count(), dist.process_index()
 
     if args.synthetic:
         from madtp_tpu.models.med import init_med_params
@@ -231,15 +239,26 @@ def main():
                     config["ann_root"], config["vqa_root"],
                     config.get("vg_root", ""), split="test")
 
+    def test_loader():
+        return batched_loader(ds, config.get("batch_size_test", 16),
+                              num_shards=n_procs, shard_id=proc_id)
+
+    def sync_gflops(cur_g):
+        """Average the analytic GFLOPs over all processes' eval shards."""
+        if n_procs > 1:
+            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
+        return cur_g
+
     if args.evaluate:
         if args.fast_eval:
-            calibrate_fast_eval(
-                lambda: batched_loader(ds, config.get("batch_size_test", 16)))
-        results, cur_g = run_eval(
-            lambda: batched_loader(ds, config.get("batch_size_test", 16)))
-        save_result(results, args.output_dir, "vqa_result")
-        dump_log(args.output_dir, "evaluate.txt",
-                 {"Cur_Gflops": round(cur_g, 2)}, append=False)
+            calibrate_fast_eval(test_loader)
+        results, cur_g = run_eval(test_loader)
+        save_result(results, args.output_dir, "vqa_result", rank=proc_id,
+                    world_size=n_procs, barrier=dist.barrier)
+        cur_g = sync_gflops(cur_g)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "evaluate.txt",
+                     {"Cur_Gflops": round(cur_g, 2)}, append=False)
         return
 
     # ---- compression training ----
@@ -270,39 +289,60 @@ def main():
         split="train", train_files=tuple(config.get(
             "train_files", ("vqa_train", "vqa_val", "vg_qa"))))
 
-    if mesh is not None:
+    # multi-process: train over the GLOBAL mesh (XLA inserts the gradient
+    # psum — the reference's DDP allreduce); each process feeds its own
+    # loader shard
+    tmesh = mesh
+    if n_procs > 1:
+        from madtp_tpu.parallel.mesh import global_data_mesh
+
+        tmesh = global_data_mesh()
+
+    if tmesh is not None:
         from madtp_tpu.parallel.mesh import replicate as _replicate
 
-        params = _replicate(mesh, params)
-        opt_state = _replicate(mesh, opt_state)
+        params = _replicate(tmesh, params)
+        opt_state = _replicate(tmesh, opt_state)
 
     def put_train(*arrays):
         from madtp_tpu.parallel.mesh import shard_batch_padded
 
-        if mesh is not None and arrays[0].shape[0] % mesh.shape["data"]:
+        local_d = (len(tmesh.local_mesh.devices.flat)
+                   if tmesh is not None else 1)
+        if arrays[0].shape[0] % local_d:
             raise ValueError(
-                f"train batch {arrays[0].shape[0]} not divisible by data axis"
-                f" {mesh.shape['data']}; set --batch_size_train accordingly")
-        return shard_batch_padded(mesh, *arrays)[:-1]
+                f"train batch {arrays[0].shape[0]} not divisible by local "
+                f"data axis {local_d}; set --batch_size_train accordingly")
+        return shard_batch_padded(tmesh, *arrays)[:-1]
 
-    step_cache = {}  # --fast_train: capacity schedule -> compiled step
+    from madtp_tpu.utils.cache import BoundedCache
+
+    step_cache = BoundedCache()  # --fast_train: capacity schedule -> step
+    probe_cache = [None]  # cached probe batches (cli/common.cached_probe_batches)
 
     def fast_train_step(temperature, epoch):
-        """Calibrate ceil/nearest capacities from one mask-mode train batch
-        at this epoch's temperature; gather-mode training step (see
+        """Calibrate ceil/nearest capacities from cached mask-mode train
+        batches at this epoch's temperature; gather-mode training step (see
         compress_nlvr.fast_train_step)."""
-        from madtp_tpu.cli.common import fast_capacity_schedule
+        from madtp_tpu.cli.common import (
+            cached_probe_batches, fast_capacity_schedule,
+        )
 
-        images, questions, *_ = next(iter(batched_loader(
-            train_ds, config.get("batch_size_train", 16), shuffle=True,
-            epoch=epoch, collate=vqa_collate)))
-        # fixed-length padding: one compiled probe shape across epochs
-        q = tokenizer(list(questions), padding="max_length", max_length=35)
-        qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
-        vk, tk = kept_probe(
-            params, jnp.asarray(images), jnp.asarray(qi),
-            jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
-        cv, ct = fast_capacity_schedule(vk, tk, args.cap_mode)
+        vks, tks = [], []
+        for images, questions, *_ in cached_probe_batches(
+                probe_cache, lambda: batched_loader(
+                    train_ds, config.get("batch_size_train", 16),
+                    shuffle=True, epoch=0, collate=vqa_collate)):
+            # fixed-length padding: one compiled probe shape across epochs
+            q = tokenizer(list(questions), padding="max_length", max_length=35)
+            qi = q["input_ids"]; qi[:, 0] = tokenizer.enc_token_id
+            vk, tk = kept_probe(
+                params, jnp.asarray(images), jnp.asarray(qi),
+                jnp.asarray(q["attention_mask"]), jnp.float32(temperature))
+            vks.append(np.asarray(vk))
+            tks.append(np.asarray(tk))
+        cv, ct = fast_capacity_schedule(np.stack(vks), np.stack(tks),
+                                        args.cap_mode)
         key = (cv, ct)
         if key not in step_cache:
             step_cache[key] = make_vqa_train_step(
@@ -317,22 +357,28 @@ def main():
         temperature = controller.temperature
         lr = cosine_lr(epoch, config["max_epoch"],
                        config.get("init_lr", 2e-5), config.get("min_lr", 0.0))
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        opt_state.hyperparams["learning_rate"] = np.float32(lr)
         step_fn = train_step
         if args.fast_train and temperature > 0:
             step_fn, sched = fast_train_step(temperature, epoch)
             print("fast_train capacities:", sched)
         logger = MetricLogger()
         pending_m = None  # one-deep metric lag (no per-step device sync)
+        # multi-process: fixed-length padding — per-shard 'longest' shapes
+        # would diverge across processes under the global mesh
+        pad_q = dict(padding="max_length") if n_procs > 1 else \
+            dict(padding="longest")
         for images, questions, answers, weights, n in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
-                           shuffle=True, epoch=epoch, collate=vqa_collate),
+                           shuffle=True, epoch=epoch, collate=vqa_collate,
+                           num_shards=n_procs, shard_id=proc_id,
+                           drop_last=n_procs > 1),
             50, f"Train [{epoch}]"):
             B = images.shape[0]
-            q = tokenizer(list(questions), padding="longest", max_length=35)
+            q = tokenizer(list(questions), max_length=35, **pad_q)
             q_ids = q["input_ids"]; q_ids[:, 0] = tokenizer.enc_token_id
             # pad the ragged flattened answers to [B, MAX_A, La]
-            a = tokenizer(list(answers), padding="longest")
+            a = tokenizer(list(answers), max_length=24, **pad_q)
             La = a["input_ids"].shape[1]
             ans_ids = np.zeros((B, MAX_A, La), np.int32)
             ans_msk = np.zeros((B, MAX_A, La), np.int32)
@@ -354,23 +400,32 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
-        results, cur_g = run_eval(
-            lambda: batched_loader(ds, config.get("batch_size_test", 16)))
-        save_result(results, args.output_dir, f"vqa_result_epoch{epoch}")
-        sd = {}
-        sd.update(export_vit(jax.tree.map(np.asarray, params["visual_encoder"]),
-                             patch_size=cfg.vit.patch_size))
-        sd.update(export_med(jax.tree.map(np.asarray, params["text_encoder"]),
-                             "text_encoder."))
-        sd.update(export_med(jax.tree.map(np.asarray, params["text_decoder"]),
-                             "text_decoder.", has_lm_head=True))
-        sd["space_dict"] = np.asarray(params["space_dict"])
-        save_torch_checkpoint(
-            os.path.join(args.output_dir, f"checkpoint_{epoch:02d}.pth"), sd,
-            epoch=epoch, temperature=temperature)
-        dump_log(args.output_dir, "log.txt",
-                 {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
-                  "train_loss": f"{logger.meters['loss'].global_avg:.4f}"})
+        if n_procs > 1:
+            # host copies: eval runs per-process on the LOCAL mesh
+            params = jax.tree.map(np.asarray, params)
+        results, cur_g = run_eval(test_loader)
+        save_result(results, args.output_dir, f"vqa_result_epoch{epoch}",
+                    rank=proc_id, world_size=n_procs, barrier=dist.barrier)
+        cur_g = sync_gflops(cur_g)
+        if dist.is_main_process():
+            sd = {}
+            sd.update(export_vit(
+                jax.tree.map(np.asarray, params["visual_encoder"]),
+                patch_size=cfg.vit.patch_size))
+            sd.update(export_med(
+                jax.tree.map(np.asarray, params["text_encoder"]),
+                "text_encoder."))
+            sd.update(export_med(
+                jax.tree.map(np.asarray, params["text_decoder"]),
+                "text_decoder.", has_lm_head=True))
+            sd["space_dict"] = np.asarray(params["space_dict"])
+            save_torch_checkpoint(
+                os.path.join(args.output_dir, f"checkpoint_{epoch:02d}.pth"),
+                sd, epoch=epoch, temperature=temperature)
+            dump_log(args.output_dir, "log.txt",
+                     {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
+                      "train_loss":
+                          f"{logger.meters['loss'].global_avg:.4f}"})
 
 
 if __name__ == "__main__":

@@ -339,7 +339,12 @@ def coco_caption_scores(results: List[dict], gt: Dict[str, List[str]]):
         "Bleu_2": b[1],
         "Bleu_3": b[2],
         "Bleu_4": b[3],
-        "METEOR": meteor(cands, refs, ids),
+        # distinguishing key: this is the offline clean-room METEOR (exact +
+        # Porter-stem matchers, no WordNet/paraphrase stage — see module
+        # docstring), NOT the meteor-1.5 jar pycocoevalcap reports as
+        # 'METEOR'; absolute values are not comparable to published COCO
+        # numbers, so the key says so
+        "METEOR_offline": meteor(cands, refs, ids),
         "ROUGE_L": rouge_l(cands, refs, ids),
         "CIDEr": cider_d(cands, refs, ids),
     }

@@ -360,6 +360,81 @@ def med_decoder_forward(
     return x
 
 
+def med_rank_forward(
+    params,
+    cand_ids: jnp.ndarray,  # [B, k, La] candidate answers per question
+    cand_mask: jnp.ndarray,  # [B, k, La]
+    cfg: MedConfig,
+    *,
+    encoder_state: TokenState,  # ONE memory per question [B, S, D]
+) -> jnp.ndarray:
+    """Decoder forward over k candidate answers per question that SHARE one
+    cross-attention memory — the VQA ranking hot path
+    (reference models/blip_vqa.py:186-195 tiles question_states x k and
+    re-projects the cross K/V for every candidate; here the memory is
+    projected ONCE per layer and consumed by a broadcast einsum, saving
+    k-fold K/V projection FLOPs and the materialized tile with *identical*
+    math — the shared operand batches onto the MXU).
+
+    Returns hidden states [B*k, La, D] (candidate-major like the tiled
+    formulation, so lm_loss reshapes to [B, k] unchanged)."""
+    B, k, La = cand_ids.shape
+    H = cfg.num_attention_heads
+    Dh = cfg.hidden_size // H
+
+    emb = bert_embeddings(params["embeddings"], cand_ids.reshape(B * k, La),
+                          cfg)
+    enc_x = encoder_state.x.astype(emb.dtype)
+    alive = encoder_state.alive
+    enc_key_bias = encoder_state.bias  # [B, S] additive or None
+    bias = causal_bias(cand_mask.reshape(B * k, La))
+    scale = Dh ** -0.5
+
+    def cross_kv(p):
+        ca = p["crossattention"]["self"]
+        kb = _heads(linear(ca["key"], enc_x), H)  # [B,H,S,Dh]
+        vb = _heads(linear(ca["value"], enc_x), H)
+        return kb, vb
+
+    def body(x, p):
+        h, _, _ = _self_attn(
+            p["attention"], x, cfg,
+            attn_bias=bias, key_alive=None, query_alive=None,
+            need_scores=False,
+        )
+        ca = p["crossattention"]
+        kb, vb = cross_kv(p)
+        q = linear(ca["self"]["query"], h)  # [B*k, La, D]
+        q = q.reshape(B, k, La, H, Dh).transpose(0, 1, 3, 2, 4)  # [B,k,H,La,Dh]
+        # same masked-softmax numerics as ops.attention.attention_core
+        # (fp32 logits, -inf dead keys, finite-guarded max-subtract) so the
+        # shared-KV path is bit-equivalent to the tiled one (tested)
+        logits = jnp.einsum("bkhld,bhsd->bkhls", q, kb,
+                            preferred_element_type=jnp.float32) * scale
+        if enc_key_bias is not None:
+            logits = logits + enc_key_bias[:, None, None, None, :].astype(
+                logits.dtype)
+        if alive is not None:
+            logits = jnp.where(alive[:, None, None, None, :], logits,
+                               float("-inf"))
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        out = jnp.einsum("bkhls,bhsd->bkhld", probs.astype(vb.dtype), vb,
+                         preferred_element_type=jnp.float32).astype(vb.dtype)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B * k, La, H * Dh)
+        h = layer_norm(
+            ca["output"]["LayerNorm"],
+            linear(ca["output"]["dense"], out) + h,
+            cfg.layer_norm_eps,
+        )
+        return _ffn(p, h, cfg), None
+
+    x, _ = jax.lax.scan(body, emb, params["layers"])
+    return x
+
+
 class DecodeCache(NamedTuple):
     k: jnp.ndarray  # [L, B, H, max_len, Dh]
     v: jnp.ndarray

@@ -33,18 +33,43 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
 
 
 def data_mesh(enable: bool = True) -> Optional[Mesh]:
-    """Default driver-level data-parallel mesh: 1-D 'data' axis over all
-    visible devices, or ``None`` when single-device / disabled.
+    """Default driver-level data-parallel mesh: 1-D 'data' axis over this
+    process's LOCAL devices, or ``None`` when single-device / disabled.
 
     The reference runs every task driver 8-way DDP by default
     (``compress_nlvr_dtp.py:148``, ``utils.py:254-276``); this is the GSPMD
-    equivalent every ``cli/compress_*`` driver builds at startup."""
+    equivalent every ``cli/compress_*`` driver builds at startup.  Local
+    devices only: under multi-process execution each process computes its own
+    data shard independently (the reference's per-rank model replica) and
+    syncs at the torchrun-parity points — train-step gradients ride the
+    GLOBAL mesh (:func:`global_data_mesh`), eval results merge on host
+    (parallel/dist.host_sum / host_max / save_result)."""
+    if not enable:
+        return None
+    devices = jax.local_devices()
+    if len(devices) < 2:
+        return None
+    return Mesh(np.array(devices), ("data",))
+
+
+def global_data_mesh(enable: bool = True) -> Optional[Mesh]:
+    """Data-parallel mesh over ALL devices of ALL processes — the DDP
+    gradient-sync replacement for multi-process training: jit over this mesh
+    and XLA inserts the cross-process psum for gradients (the reference's
+    DDP allreduce boundary, compress_nlvr_dtp.py:49-59).  Feed batches with
+    :func:`shard_batch_padded`, which converts per-process host shards to a
+    global array.  Single-process: identical to :func:`data_mesh`."""
     if not enable:
         return None
     devices = jax.devices()
     if len(devices) < 2:
         return None
     return Mesh(np.array(devices), ("data",))
+
+
+def mesh_spans_processes(mesh: Optional[Mesh]) -> bool:
+    return mesh is not None and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat)
 
 
 def shard_batch_padded(mesh: Optional[Mesh], *arrays):
@@ -58,13 +83,22 @@ def shard_batch_padded(mesh: Optional[Mesh], *arrays):
     every original row's pruning decision — is unchanged.  Sharded eval is
     therefore bit-identical to the unsharded run (tests/test_spmd.py).
 
-    ``mesh=None``: plain ``jnp.asarray`` passthrough (single-device)."""
+    ``mesh=None``: plain ``jnp.asarray`` passthrough (single-device).
+
+    Process-spanning mesh (:func:`global_data_mesh` under multi-process):
+    ``arrays`` are this process's LOCAL batch shard (from
+    ``data/loader.shard_indices(num_shards=process_count())``); they are
+    padded to a multiple of the local device count and assembled into a
+    global array whose per-process slices are the local data — the JAX
+    equivalent of DistributedSampler + DDP feeding.  ``n_valid`` is then the
+    LOCAL valid count."""
     import jax.numpy as jnp
 
     n = int(arrays[0].shape[0])
     if mesh is None:
         return (*(jnp.asarray(a) for a in arrays), n)
-    d = mesh.shape["data"]
+    spans = mesh_spans_processes(mesh)
+    d = (mesh.local_mesh.shape["data"] if spans else mesh.shape["data"])
     pad = (-n) % d
     s = NamedSharding(mesh, P("data"))
     placed = []
@@ -72,7 +106,10 @@ def shard_batch_padded(mesh: Optional[Mesh], *arrays):
         a = np.asarray(a)
         if pad:
             a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-        placed.append(jax.device_put(a, s))
+        if spans:
+            placed.append(jax.make_array_from_process_local_data(s, a))
+        else:
+            placed.append(jax.device_put(a, s))
     return (*placed, n)
 
 
@@ -84,6 +121,12 @@ def shard_batch(mesh: Mesh, tree):
 
 def replicate(mesh: Mesh, tree):
     s = NamedSharding(mesh, P())
+    if mesh_spans_processes(mesh):
+        # every process holds the same full value (params/opt state); build
+        # the fully-replicated global array from the local copy
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 

@@ -132,6 +132,19 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
         pending = (logits, vk, tk, targets, B, ids.shape[1])
     if pending is not None:
         consume(pending)
+    # cross-process metric sync (reference
+    # MetricLogger.synchronize_between_processes, utils.py:48-59,128-130):
+    # each process evaluated its own loader shard; all-reduce the weighted
+    # counts so every process reports the global accuracy, and average the
+    # analytic GFLOPs over all shards' batches
+    from madtp_tpu.parallel import dist as D
+
+    if D.process_count() > 1:
+        logger.synchronize_between_processes(
+            lambda v: [float(x) for x in D.host_sum(
+                np.asarray(v, np.float64))])
+        g = D.host_sum(np.asarray([gflops_sum, n_batches], np.float64))
+        gflops_sum, n_batches = float(g[0]), float(g[1])
     cur_gflops = gflops_sum / max(n_batches, 1)
     print_fn(f"Current Temperature: {temperature}")
     print_fn(f"Averaged GFLOPS: {cur_gflops}")
@@ -146,20 +159,35 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
     batches sharded over 'data' (XLA inserts the gradient all-reduce; the
     reference's DDP, compress_nlvr_dtp.py:148).  Train batches must divide
     the 'data' axis (use drop_last + a per-device-multiple batch size, like
-    the reference's per-GPU batch)."""
+    the reference's per-GPU batch).
+
+    Process-spanning mesh (multi-process training over the global mesh):
+    each process feeds its own loader shard; the 2B image concat
+    (reference compress_nlvr_dtp.py:43) must order ALL img0s before ALL
+    img1s *globally* or the pair split inside the model mispairs, so the
+    two halves are assembled into global arrays first and concatenated on
+    device."""
     dsh = None
+    spans = False
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from madtp_tpu.parallel.mesh import replicate
+        from madtp_tpu.parallel.mesh import mesh_spans_processes, replicate
 
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
         dsh = NamedSharding(mesh, P("data"))
+        spans = mesh_spans_processes(mesh)
 
     def put(a):
         a = np.asarray(a)
         return jnp.asarray(a) if dsh is None else jax.device_put(a, dsh)
+
+    if spans:
+        from madtp_tpu.parallel.mesh import shard_batch_padded
+
+        concat_g = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=0),
+                           out_shardings=dsh)
 
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
@@ -169,14 +197,22 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
     ):
         ids, mask = tokenize(sentences)
         ids[:, 0] = enc_token_id
-        if mesh is not None and len(targets) % mesh.shape["data"]:
+        local_d = (len(mesh.local_mesh.devices.flat) if spans
+                   else (mesh.shape["data"] if mesh is not None else 1))
+        if len(targets) % local_d:
             raise ValueError(
-                f"train batch {len(targets)} not divisible by data axis "
-                f"{mesh.shape['data']}; set batch_size_train to a multiple "
+                f"train batch {len(targets)} not divisible by local data "
+                f"axis {local_d}; set batch_size_train to a multiple "
                 f"(drop_last pads the epoch, reference DistributedSampler)")
-        images = np.concatenate([image0, image1], axis=0)
+        if spans:
+            i0_d, i1_d, ids_d, mask_d, tgt_d, _ = shard_batch_padded(
+                mesh, image0, image1, ids, mask, np.asarray(targets))
+            images_d = concat_g(i0_d, i1_d)
+        else:
+            images_d = put(np.concatenate([image0, image1], axis=0))
+            ids_d, mask_d, tgt_d = put(ids), put(mask), put(targets)
         params, opt_state, metrics = train_step(
-            params, opt_state, put(images), put(ids), put(mask), put(targets), t,
+            params, opt_state, images_d, ids_d, mask_d, tgt_d, t,
         )
         # one-deep metric lag: reading this step's metrics would sync the
         # host to the device every step; log the PREVIOUS step's instead

@@ -32,9 +32,10 @@ import numpy as np
 from madtp_tpu.models import med as M
 from madtp_tpu.models.blip import BlipConfig, blip_itm_score
 from madtp_tpu.prune.dtp import TokenState
+from madtp_tpu.utils.cache import BoundedCache
 from madtp_tpu.utils.pipeline import PIPELINE_DEPTH, pipelined  # noqa: F401
 
-_STEP_CACHE: dict = {}
+_STEP_CACHE: BoundedCache = BoundedCache(maxsize=8)
 
 
 def _cfg_key(cfg, *extra):
@@ -148,14 +149,18 @@ def rerank_scores(
     k_test: int = 128,
     temperature=0.0,
     prune_active: bool = False,
-    row_slice: Optional[Tuple[int, int]] = None,
+    shard: Optional[Tuple[int, int]] = None,
     rows_per_call: int = 1,
     capacities_t=None,
     mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stage 2 (reference :157-205): sims matrix, then ITM logits over each
-    row's top-k_test candidates.  ``row_slice`` shards rows across processes;
-    un-scored entries stay at -100 for the cross-process SUM.  ``mesh``
+    row's top-k_test candidates.  ``shard=(num_shards, shard_id)`` splits the
+    rows of EACH direction across processes with the reference's arithmetic
+    (``step = n//num + 1``, computed independently for i2t over images and
+    t2i over texts — compress_retrieval_dtp.py:160-164,184-188); un-scored
+    entries stay at -100 for the cross-process merge
+    (:func:`merge_score_matrices` / parallel.dist.host_max).  ``mesh``
     shards the row axis of each dispatch over 'data' (rows are independent)."""
     from madtp_tpu.parallel.mesh import replicate, shard_batch_padded
 
@@ -252,7 +257,14 @@ def rerank_scores(
 
         pipelined(dispatches(), consume)
 
-    i_lo, i_hi = (0, ni) if row_slice is None else row_slice
+    def shard_rows(n):
+        if shard is None:
+            return 0, n
+        num, idx = shard
+        step = n // num + 1  # reference compress_retrieval_dtp.py:162
+        return idx * step, min(n, (idx + 1) * step)
+
+    i_lo, i_hi = shard_rows(ni)
     topk_i = np.argsort(-sims, axis=1)[:, :k_test].astype(np.int32)
 
     def write_i2t(i, itm):
@@ -260,9 +272,7 @@ def rerank_scores(
 
     run_rows(i_lo, i_hi, topk_i, "i2t", write_i2t)
 
-    t_lo, t_hi = (0, nt) if row_slice is None else (
-        row_slice[0] * nt // ni, row_slice[1] * nt // ni
-    )
+    t_lo, t_hi = shard_rows(nt)
     sims_t = sims.T  # [nt, ni]
     topk_t = np.argsort(-sims_t, axis=1)[:, :k_test].astype(np.int32)
 

@@ -51,23 +51,18 @@ def rank_answers(
     prob_first = prob[:, first_tokens]  # [B, nA]
     topk_probs, topk_ids = jax.lax.top_k(prob_first, k)  # [B, k]
 
-    # step 2: full LM scoring of the k candidates (reference :174-195)
+    # step 2: full LM scoring of the k candidates (reference :174-195) —
+    # all k candidates of a question SHARE its cross-attn memory, so the
+    # memory K/V are projected once per layer instead of the reference's
+    # k-fold tile (med_rank_forward; identical math, tested vs the tiled
+    # formulation and golden vs the reference's own rank_answer)
     cand_ids = answer_ids[topk_ids]  # [B, k, La]
     cand_mask = answer_mask[topk_ids]
-    cand_ids = cand_ids.reshape(B * k, La)
-    cand_mask = cand_mask.reshape(B * k, La)
-    targets = jnp.where(cand_ids == pad_token_id, -100, cand_ids)
+    targets = jnp.where(cand_ids.reshape(B * k, La) == pad_token_id, -100,
+                        cand_ids.reshape(B * k, La))
 
-    def tile_state(a):
-        return jnp.repeat(a, k, axis=0)
-
-    tiled = TokenState(
-        tile_state(q_state.x),
-        tile_state(q_state.alive),
-        None if q_state.bias is None else tile_state(q_state.bias),
-    )
-    hidden = M.med_decoder_forward(
-        params, cand_ids, cand_mask, cfg.med, encoder_state=tiled
+    hidden = M.med_rank_forward(
+        params, cand_ids, cand_mask, cfg.med, encoder_state=q_state
     )
     logits = M.lm_head(params, hidden, cfg.med)
     loss = M.lm_loss(logits, targets, reduction="none")  # [B*k] summed/sample

@@ -109,7 +109,7 @@ def test_coco_caption_scores_full_suite_keys():
     refs = {"1": ["a cat sits on the mat"]}
     out = coco_caption_scores([{"image_id": 1, "caption": "a cat on a mat"}],
                               refs)
-    for k in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
+    for k in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR_offline", "ROUGE_L",
               "CIDEr"):
         assert k in out
 

@@ -189,3 +189,34 @@ def test_nucleus_generate_shapes_and_determinism():
         if len(eos_pos):
             assert np.all(out1[b, eos_pos[0] + 1:] == PAD)
     assert not np.array_equal(out1, out3) or True  # different seed may differ
+
+
+def test_rank_forward_shared_kv_equals_tiled():
+    """med_rank_forward (shared cross-KV, one projection per layer) is
+    numerically equivalent to the tiled formulation the reference uses
+    (models/blip_vqa.py:186-195: question_states repeated x k) — including
+    pruned memories (dead slots) and a per-key additive bias."""
+    rng = np.random.RandomState(4)
+    params = jax.tree.map(jnp.asarray, M.init_med_params(MED, rng))
+    B, k, La, S = 2, 3, 5, 6
+    cand_ids = jnp.asarray(rng.randint(1, 40, size=(B, k, La)))
+    cand_mask = jnp.asarray((rng.rand(B, k, La) > 0.2).astype(np.int32)
+                            | np.eye(1, La, dtype=np.int32))
+    alive = np.ones((B, S), bool)
+    alive[1, -2:] = False
+    bias = (rng.randn(B, S) * 0.5).astype(np.float32)
+    enc = TokenState(
+        jnp.asarray(rng.randn(B, S, 32).astype(np.float32)),
+        jnp.asarray(alive), jnp.asarray(bias))
+
+    shared = M.med_rank_forward(params, cand_ids, cand_mask, MED,
+                                encoder_state=enc)
+
+    tiled = TokenState(
+        jnp.repeat(enc.x, k, axis=0), jnp.repeat(enc.alive, k, axis=0),
+        jnp.repeat(enc.bias, k, axis=0))
+    ref = M.med_decoder_forward(
+        params, cand_ids.reshape(B * k, La), cand_mask.reshape(B * k, La),
+        MED, encoder_state=tiled)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
