@@ -156,8 +156,44 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
     dt_dense32, _ = time_fn(
         lambda im: fwd_dense(params, im, ids, mask), images_list)
 
+    # host-transfer saturation probe (VERDICT r2 #7): ship the images as
+    # uint8 (the natural camera format; cast+scale on device) — if the
+    # batch-32 saturation is transfer-bound, quartering the host->device
+    # bytes moves throughput
+    @jax.jit
+    def fwd_gather_u8(params, images_u8, ids, mask, t):
+        im = images_u8.astype(jnp.bfloat16) * (1.0 / 127.5) - 1.0
+        return fwd_gather(params, im, ids, mask, t)
+
+    images_u8 = [
+        np.clip((np.asarray(im, np.float32) + 1) * 127.5, 0, 255)
+        .astype(np.uint8) for im in images_list
+    ]
+
+    def time_host(f, ims):
+        """Includes the host->device transfer each iter (device_put inside
+        the loop) — the end-to-end feeding cost an eval loop actually pays."""
+        float(jnp.sum(f(jnp.asarray(ims[0]))))
+        t0 = time.perf_counter()
+        outs = [f(jnp.asarray(im)) for im in ims]
+        float(jnp.sum(outs[-1]))
+        return (time.perf_counter() - t0) / len(ims)
+
+    dt_host_f32 = time_host(
+        lambda im: fwd_gather(params16, im.astype(jnp.bfloat16), ids, mask,
+                              tj),
+        [np.asarray(im, np.float32) for im in images_list])
+    dt_host_u8 = time_host(
+        lambda im: fwd_gather_u8(params16, im, ids, mask, tj), images_u8)
+
     sps = batch / dt_pruned
     sps_dense = batch / dt_dense
+    # MFU (MAC convention x2): analytic model FLOPs at the measured
+    # throughput over the chip's bf16 peak (v5e-class ~197 TFLOP/s;
+    # override with MADTP_PEAK_TFLOPS for other chips)
+    peak_tflops = float(os.environ.get("MADTP_PEAK_TFLOPS", 197.0))
+    mfu = (sps * g_star * 2.0 / 1000.0) / peak_tflops
+    mfu_dense = (sps_dense * ori * 2.0 / 1000.0) / peak_tflops
     result = {
         "metric": f"nlvr2_eval_samples_per_sec_per_chip@p={p_target}",
         "value": round(sps, 2),
@@ -175,6 +211,13 @@ def main(p_target: float = 0.5, batch: int = 32, iters: int = 20,
             "batch": batch,
             "latency_ms_pruned": round(lat_pruned * 1000, 1),
             "latency_ms_dense": round(lat_dense * 1000, 1),
+            "mfu": round(mfu, 3),
+            "mfu_dense": round(mfu_dense, 3),
+            "peak_tflops_assumed": peak_tflops,
+            "samples_per_sec_with_host_transfer_f32": round(
+                batch / dt_host_f32, 2),
+            "samples_per_sec_with_host_transfer_u8": round(
+                batch / dt_host_u8, 2),
             "compute_dtype": "bfloat16 (both; matched baseline)",
             "backend": jax.default_backend(),
         },

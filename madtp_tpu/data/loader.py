@@ -66,7 +66,25 @@ def batched_loader(
     prefetch: int = 4,
 ) -> Iterator:
     """Yields collated batches; image decode runs on a thread pool with
-    ``prefetch`` batches in flight."""
+    ``prefetch`` batches in flight.
+
+    ``MADTP_MP_LOADER=1`` delegates to the PROCESS-worker loader
+    (:mod:`madtp_tpu.data.mp_loader`) — same schedule, same batch order
+    (tested).  PIL's codecs release the GIL, so threads parallelize plain
+    decode; processes win when python-level transform work dominates AND
+    cores are available (this build env has one core, so the threaded
+    loader stays the default — see COVERAGE.md)."""
+    import os
+
+    if os.environ.get("MADTP_MP_LOADER") and num_workers > 0:
+        from madtp_tpu.data.mp_loader import mp_batched_loader
+
+        yield from mp_batched_loader(
+            dataset, batch_size, shuffle=shuffle, seed=seed, epoch=epoch,
+            num_shards=num_shards, shard_id=shard_id, drop_last=drop_last,
+            num_workers=min(num_workers, os.cpu_count() or 1),
+            prefetch=prefetch, collate=collate)
+        return
     idx = shard_indices(
         len(dataset), shuffle=shuffle, seed=seed, epoch=epoch,
         num_shards=num_shards, shard_id=shard_id, drop_last=drop_last,

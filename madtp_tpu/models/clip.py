@@ -185,10 +185,13 @@ def _tower_gather(params_blocks, state, *, num_layers, num_heads, temperature,
 
 def clip_encode_image(
     params, images, cfg: CLIPConfig, *, space_dict=None, temperature=0.0,
-    prune_active=False, capacities=None,
+    prune_active=False, capacities=None, return_state=False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Vision tower (reference clip/model.py:275-313).
-    Returns (features [B,E], sd_img_ft_all, kept_counts).
+    Returns (features [B,E], sd_img_ft_all, kept_counts);
+    ``return_state=True`` appends the final TokenState (full token
+    sequence + alive mask — the golden tests compare its surviving rows
+    against the reference transformer's output multiset).
 
     ``capacities`` (static tuple, one per layer): gather fast path —
     physically compacted eval/training (--fast_eval/--fast_train)."""
@@ -241,6 +244,8 @@ def clip_encode_image(
     )
     feats = layer_norm(v["ln_post"], state.x[:, 0, :], LN_EPS)
     feats = jnp.dot(feats, v["proj"], preferred_element_type=jnp.float32)
+    if return_state:
+        return feats.astype(x.dtype), sd_all, kept, state
     return feats.astype(x.dtype), sd_all, kept
 
 

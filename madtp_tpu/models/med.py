@@ -360,6 +360,38 @@ def med_decoder_forward(
     return x
 
 
+def med_bos_step(
+    params,
+    bos_ids: jnp.ndarray,  # [B, 1]
+    cfg: MedConfig,
+    *,
+    encoder_state: TokenState,
+):
+    """Single BOS decoder step that also exports each layer's self-attn K/V
+    of the BOS position.  Every rank candidate shares this prefix (same BOS,
+    same memory), so :func:`med_rank_forward` can start from position 1 and
+    skip recomputing it k times (reference models/blip_vqa.py:161-166 runs
+    this step, then its full pass recomputes position 0 per candidate).
+
+    Returns (hidden [B,1,D], bos_k [L,B,H,1,Dh], bos_v [L,B,H,1,Dh])."""
+    emb = bert_embeddings(params["embeddings"], bos_ids, cfg)
+    enc = TokenState(encoder_state.x.astype(emb.dtype), encoder_state.alive,
+                     encoder_state.bias)
+    enc_bias = None if enc.bias is None else enc.bias[:, None, None, :]
+    H = cfg.num_attention_heads
+
+    def body(x, p):
+        k = _heads(linear(p["attention"]["self"]["key"], x), H)
+        v = _heads(linear(p["attention"]["self"]["value"], x), H)
+        h, _, _ = _self_attn(p["attention"], x, cfg)
+        h = _cross_attn(p["crossattention"], h, enc.x, cfg,
+                        enc_bias=enc_bias, enc_alive=enc.alive)
+        return _ffn(p, h, cfg), (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, emb, params["layers"])
+    return x, ks, vs
+
+
 def med_rank_forward(
     params,
     cand_ids: jnp.ndarray,  # [B, k, La] candidate answers per question
@@ -367,6 +399,7 @@ def med_rank_forward(
     cfg: MedConfig,
     *,
     encoder_state: TokenState,  # ONE memory per question [B, S, D]
+    prefix_kv=None,  # (bos_k, bos_v) from med_bos_step: decode from pos 1
 ) -> jnp.ndarray:
     """Decoder forward over k candidate answers per question that SHARE one
     cross-attention memory — the VQA ranking hot path
@@ -376,18 +409,40 @@ def med_rank_forward(
     k-fold K/V projection FLOPs and the materialized tile with *identical*
     math — the shared operand batches onto the MXU).
 
+    ``prefix_kv``: the (bos_k, bos_v) pair from :func:`med_bos_step`.  The
+    BOS position's hidden state is candidate-independent, so with the
+    prefix the forward runs over positions ``1..La-1`` only (causal keys =
+    shared BOS K/V + the candidate's own tokens) — one decoder position and
+    one LM-head row per candidate saved, exactly (tested vs the full pass).
+
     Returns hidden states [B*k, La, D] (candidate-major like the tiled
-    formulation, so lm_loss reshapes to [B, k] unchanged)."""
+    formulation, so lm_loss reshapes to [B, k] unchanged) — or
+    [B*k, La-1, D] for positions ``1..La-1`` when ``prefix_kv`` is given."""
     B, k, La = cand_ids.shape
     H = cfg.num_attention_heads
     Dh = cfg.hidden_size // H
 
-    emb = bert_embeddings(params["embeddings"], cand_ids.reshape(B * k, La),
-                          cfg)
+    if prefix_kv is None:
+        Lq = La
+        emb = bert_embeddings(params["embeddings"],
+                              cand_ids.reshape(B * k, La), cfg)
+        bias = causal_bias(cand_mask.reshape(B * k, La))
+    else:
+        Lq = La - 1
+        emb = bert_embeddings(params["embeddings"],
+                              cand_ids[:, :, 1:].reshape(B * k, Lq), cfg,
+                              position_offset=1)
+        # queries = positions 1..La-1; keys = [BOS] + positions 1..La-1
+        m = cand_mask.reshape(B * k, La).astype(jnp.float32)
+        causal = (jnp.arange(Lq)[None, :]
+                  <= jnp.arange(Lq)[:, None]).astype(jnp.float32)
+        allow = jnp.concatenate(
+            [jnp.ones((Lq, 1), jnp.float32), causal], axis=1)  # [Lq, 1+Lq]
+        mfull = allow[None] * m[:, None, :]  # [B*k, Lq, 1+Lq]
+        bias = ((1.0 - mfull) * PAD_BIAS)[:, None, :, :]
     enc_x = encoder_state.x.astype(emb.dtype)
     alive = encoder_state.alive
     enc_key_bias = encoder_state.bias  # [B, S] additive or None
-    bias = causal_bias(cand_mask.reshape(B * k, La))
     scale = Dh ** -0.5
 
     def cross_kv(p):
@@ -396,16 +451,37 @@ def med_rank_forward(
         vb = _heads(linear(ca["value"], enc_x), H)
         return kb, vb
 
-    def body(x, p):
-        h, _, _ = _self_attn(
-            p["attention"], x, cfg,
-            attn_bias=bias, key_alive=None, query_alive=None,
-            need_scores=False,
+    def self_attn_prefix(p, x, pk, pv):
+        """Self-attention with the shared BOS K/V prepended (broadcast over
+        the k candidates)."""
+        q = _heads(linear(p["self"]["query"], x), H)
+        kk = _heads(linear(p["self"]["key"], x), H)
+        vv = _heads(linear(p["self"]["value"], x), H)
+        pk_b = jnp.repeat(pk.astype(kk.dtype), k, axis=0)  # [B*k,H,1,Dh]
+        pv_b = jnp.repeat(pv.astype(vv.dtype), k, axis=0)
+        kk = jnp.concatenate([pk_b, kk], axis=2)
+        vv = jnp.concatenate([pv_b, vv], axis=2)
+        out, _ = attention_core(q, kk, vv, attn_bias=bias)
+        return layer_norm(
+            p["output"]["LayerNorm"], linear(p["output"]["dense"], out) + x,
+            cfg.layer_norm_eps,
         )
+
+    def body(x, layer):
+        if prefix_kv is None:
+            p = layer
+            h, _, _ = _self_attn(
+                p["attention"], x, cfg,
+                attn_bias=bias, key_alive=None, query_alive=None,
+                need_scores=False,
+            )
+        else:
+            p, pk, pv = layer
+            h = self_attn_prefix(p["attention"], x, pk, pv)
         ca = p["crossattention"]
         kb, vb = cross_kv(p)
-        q = linear(ca["self"]["query"], h)  # [B*k, La, D]
-        q = q.reshape(B, k, La, H, Dh).transpose(0, 1, 3, 2, 4)  # [B,k,H,La,Dh]
+        q = linear(ca["self"]["query"], h)  # [B*k, Lq, D]
+        q = q.reshape(B, k, Lq, H, Dh).transpose(0, 1, 3, 2, 4)  # [B,k,H,Lq,Dh]
         # same masked-softmax numerics as ops.attention.attention_core
         # (fp32 logits, -inf dead keys, finite-guarded max-subtract) so the
         # shared-KV path is bit-equivalent to the tiled one (tested)
@@ -423,7 +499,7 @@ def med_rank_forward(
         probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         out = jnp.einsum("bkhls,bhsd->bkhld", probs.astype(vb.dtype), vb,
                          preferred_element_type=jnp.float32).astype(vb.dtype)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B * k, La, H * Dh)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B * k, Lq, H * Dh)
         h = layer_norm(
             ca["output"]["LayerNorm"],
             linear(ca["output"]["dense"], out) + h,
@@ -431,7 +507,9 @@ def med_rank_forward(
         )
         return _ffn(p, h, cfg), None
 
-    x, _ = jax.lax.scan(body, emb, params["layers"])
+    xs = (params["layers"] if prefix_kv is None
+          else (params["layers"], prefix_kv[0], prefix_kv[1]))
+    x, _ = jax.lax.scan(body, emb, xs)
     return x
 
 

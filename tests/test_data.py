@@ -227,3 +227,54 @@ def test_device_prefetch_preserves_order_and_content():
     for i, (arr, txt) in enumerate(out):
         assert float(np.asarray(arr)[0, 0]) == i
         assert txt == [f"s{i}"]
+
+
+def test_mp_loader_matches_threaded_loader():
+    """Process-worker loader (data/mp_loader.py): same shard schedule, same
+    batch order, same contents as the threaded loader — including shuffle,
+    sharding, shared-memory transport, and mixed array/string columns."""
+    import numpy as np
+
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.mp_loader import mp_batched_loader
+
+    class DS:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return (np.full((3, 48, 48), i, np.float32), f"cap {i}", i)
+
+    ds = DS()
+    for kw in (dict(), dict(shuffle=True, epoch=2),
+               dict(num_shards=2, shard_id=1, drop_last=True)):
+        ref = list(batched_loader(ds, 4, num_workers=2, **kw))
+        got = list(mp_batched_loader(ds, 4, num_workers=2, **kw))
+        assert len(ref) == len(got)
+        for a, b in zip(ref, got):
+            assert np.array_equal(a[0], b[0])
+            assert list(a[1]) == list(b[1])
+            assert np.array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_mp_loader_env_switch(monkeypatch):
+    """MADTP_MP_LOADER=1 routes batched_loader through the process loader
+    with identical results."""
+    import numpy as np
+
+    from madtp_tpu.data.loader import batched_loader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return (np.full((4, 4), i, np.float32), i)
+
+    ds = DS()
+    ref = list(batched_loader(ds, 3, num_workers=2))
+    monkeypatch.setenv("MADTP_MP_LOADER", "1")
+    got = list(batched_loader(ds, 3, num_workers=2))
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a[0], b[0])
