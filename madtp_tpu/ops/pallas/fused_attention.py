@@ -122,6 +122,254 @@ def _kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
     cls_ref[0, 0, :] = cls
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
+                do_ref, dcol_ref, dcls_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref,
+                qkvh, stage_out, colmax, ties, rn, clsrows,
+                sems, osem,
+                *, num_heads: int, scale: float):
+    """Backward of :func:`_kernel` — all [N,N] intermediates stay in VMEM.
+
+    Two head passes: A recomputes every head's probabilities to accumulate
+    the cross-head reductions the cotangents need (colmax + tie counts for
+    the col_mass max, row norms + CLS rows for the head-importance
+    weighting); B recomputes per-head probabilities once more and emits
+    dq/dk/dv/dbias.  Recompute-in-VMEM trades ~2 extra matmuls per head for
+    never materializing [B,H,N,N] in HBM (the XLA-VJP fallback's cost)."""
+    b = pl.program_id(0)
+
+    alive = alive_ref[0, 0, :]  # [N] 1/0
+    bias = bias_ref[0, 0, :]
+    qmask = qmask_ref[0, 0, :]  # alive queries excluding row 0
+    dcol = dcol_ref[0, 0, :]
+    dcls = dcls_ref[0, 0, :]
+
+    def start_fetch(h, slot, with_do):
+        pltpu.make_async_copy(q_ref.at[b, h], qkvh.at[slot, 0], sems.at[slot]).start()
+        pltpu.make_async_copy(k_ref.at[b, h], qkvh.at[slot, 1], sems.at[slot]).start()
+        pltpu.make_async_copy(v_ref.at[b, h], qkvh.at[slot, 2], sems.at[slot]).start()
+        if with_do:
+            pltpu.make_async_copy(do_ref.at[b, h], qkvh.at[slot, 3], sems.at[slot]).start()
+
+    def wait_fetch(h, slot, with_do):
+        pltpu.make_async_copy(q_ref.at[b, h], qkvh.at[slot, 0], sems.at[slot]).wait()
+        pltpu.make_async_copy(k_ref.at[b, h], qkvh.at[slot, 1], sems.at[slot]).wait()
+        pltpu.make_async_copy(v_ref.at[b, h], qkvh.at[slot, 2], sems.at[slot]).wait()
+        if with_do:
+            pltpu.make_async_copy(do_ref.at[b, h], qkvh.at[slot, 3], sems.at[slot]).wait()
+
+    def probs(qh, kh):
+        logits = jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits = logits + bias[None, :]
+        logits = jnp.where(alive[None, :] > 0, logits, NEG)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+
+    # ---- pass A: cross-head reductions ----
+    colmax[:, :] = jnp.zeros_like(colmax)
+    start_fetch(0, 0, False)
+
+    def pass_a(h, _):
+        slot = jax.lax.rem(h, 2)
+
+        @pl.when(h + 1 < num_heads)
+        def _():
+            start_fetch(h + 1, jax.lax.rem(h + 1, 2), False)
+
+        wait_fetch(h, slot, False)
+        p = probs(qkvh[slot, 0], qkvh[slot, 1])
+        o = jax.lax.dot_general(
+            qkvh[slot, 2], p.astype(qkvh.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Dh, N]
+        colmax[:, :] = jnp.maximum(colmax[:, :], p)
+        clsrows[h, :] = p[0, :]
+        rn[h, :] = jnp.sqrt(jnp.sum(o * o, axis=0))
+        return 0
+
+    jax.lax.fori_loop(0, num_heads, pass_a, 0, unroll=False)
+
+    # tie counts for the col max (XLA's reduce_max grad splits ties evenly)
+    ties[:, :] = jnp.zeros_like(ties)
+    start_fetch(0, 0, False)
+
+    def pass_t(h, _):
+        slot = jax.lax.rem(h, 2)
+
+        @pl.when(h + 1 < num_heads)
+        def _():
+            start_fetch(h + 1, jax.lax.rem(h + 1, 2), False)
+
+        wait_fetch(h, slot, False)
+        p = probs(qkvh[slot, 0], qkvh[slot, 1])
+        ties[:, :] = ties[:, :] + (p >= colmax[:, :]).astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads, pass_t, 0, unroll=False)
+
+    # head-importance pieces (S = sum_h rn, C = sum_h clsrow*rn)
+    S = jnp.sum(rn[:, :], axis=0) + 1e-8  # [N]
+    C = jnp.sum(clsrows[:, :] * rn[:, :], axis=0)  # [N]
+
+    dbias_acc = jnp.zeros_like(bias)
+
+    # ---- pass B: per-head gradients ----
+    start_fetch(0, 0, True)
+
+    def pass_b(h, dbias_acc):
+        slot = jax.lax.rem(h, 2)
+
+        @pl.when(h + 1 < num_heads)
+        def _():
+            start_fetch(h + 1, jax.lax.rem(h + 1, 2), True)
+
+        wait_fetch(h, slot, True)
+        qh = qkvh[slot, 0]
+        kh = qkvh[slot, 1]
+        vh = qkvh[slot, 2]
+        doh = qkvh[slot, 3].astype(jnp.float32)  # [Dh, N]
+
+        p = probs(qh, kh)
+        o = jax.lax.dot_general(
+            vh, p.astype(vh.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Dh, N]
+
+        # d rn from the cls head-importance weighting:
+        # imp_h'[j] = rn_h'[j]/S[j]; cls[j] = sum_h' clsrow_h'[j] imp_h'[j]
+        # => d rn_h[j] = dcls[j] * (clsrow_h[j]*S[j] - C[j]) / S[j]^2
+        rnh = rn[h, :]
+        drn = dcls * (clsrows[h, :] * S - C) / (S * S)
+        do2 = o * (drn / jnp.maximum(rnh, 1e-30))[None, :]
+        do_eff = doh + do2  # [Dh, N]
+
+        # dv[d,j] = sum_i do_eff[d,i] p[i,j]
+        dv = jax.lax.dot_general(
+            do_eff, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Dh, N]
+        # dp[i,j] = sum_d v[d,j] do_eff[d,i]
+        dp = jax.lax.dot_general(
+            do_eff, vh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N_i, N_j]
+        # col_mass cotangent through the head max (ties split evenly)
+        is_max = (p >= colmax[:, :]).astype(jnp.float32)
+        dp = dp + (qmask[:, None] * dcol[None, :]) * is_max / ties[:, :]
+        # cls row cotangent: dp[0,:] += dcls * imp_h
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) == 0)
+        dp = dp + jnp.where(row0, (dcls * rnh / S)[None, :], 0.0)
+
+        # softmax backward (masked p already zero at dead keys)
+        dlog = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+
+        # dq[d,i] = scale * sum_j k[d,j] dlog[i,j]
+        dq = jax.lax.dot_general(
+            kh.astype(jnp.float32), dlog, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # dk[d,j] = scale * sum_i q[d,i] dlog[i,j]
+        dk = jax.lax.dot_general(
+            qh.astype(jnp.float32), dlog, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        @pl.when(h > 0)
+        def _():
+            pltpu.make_async_copy(stage_out.at[0], dq_ref.at[b, h - 1], osem).wait()
+            pltpu.make_async_copy(stage_out.at[1], dk_ref.at[b, h - 1], osem).wait()
+            pltpu.make_async_copy(stage_out.at[2], dv_ref.at[b, h - 1], osem).wait()
+
+        stage_out[0, :, :] = dq.astype(stage_out.dtype)
+        stage_out[1, :, :] = dk.astype(stage_out.dtype)
+        stage_out[2, :, :] = dv.astype(stage_out.dtype)
+        pltpu.make_async_copy(stage_out.at[0], dq_ref.at[b, h], osem).start()
+        pltpu.make_async_copy(stage_out.at[1], dk_ref.at[b, h], osem).start()
+        pltpu.make_async_copy(stage_out.at[2], dv_ref.at[b, h], osem).start()
+
+        return dbias_acc + jnp.sum(dlog, axis=0)
+
+    dbias_acc = jax.lax.fori_loop(0, num_heads, pass_b, dbias_acc,
+                                  unroll=False)
+    pltpu.make_async_copy(stage_out.at[0], dq_ref.at[b, num_heads - 1], osem).wait()
+    pltpu.make_async_copy(stage_out.at[1], dk_ref.at[b, num_heads - 1], osem).wait()
+    pltpu.make_async_copy(stage_out.at[2], dv_ref.at[b, num_heads - 1], osem).wait()
+    dbias_ref[0, 0, :] = dbias_acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def fused_attention_scores_bwd(
+    q: jnp.ndarray,  # [B, H, Dh, N]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    alive: jnp.ndarray,  # [B, N] bool
+    bias: Optional[jnp.ndarray],  # [B, N] or None
+    do: jnp.ndarray,  # [B, H, Dh, N] cotangent of out
+    dcol: jnp.ndarray,  # [B, N]
+    dcls: jnp.ndarray,  # [B, N]
+    *,
+    num_heads: int,
+    scale: float,
+    interpret: bool = False,
+):
+    """Returns (dq, dk, dv [B,H,Dh,N] fp32, dbias [B,N] fp32)."""
+    B, H, Dh, N = q.shape
+    assert H == num_heads
+    af = alive.astype(jnp.float32)
+    bf = jnp.zeros_like(af) if bias is None else bias.astype(jnp.float32)
+    qm = af.at[:, 0].set(0.0)
+    af, bf, qm, dcolp, dclsp = (
+        x[:, None, :] for x in (af, bf, qm, dcol.astype(jnp.float32),
+                                dcls.astype(jnp.float32)))
+
+    vec_in = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=H, scale=scale),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec_in, vec_in, vec_in,
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec_in, vec_in,
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec_in,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Dh, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Dh, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Dh, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, Dh, N), q.dtype),  # qkv + do staging
+            pltpu.VMEM((3, Dh, N), jnp.float32),  # dq/dk/dv out staging
+            pltpu.VMEM((N, N), jnp.float32),  # colmax
+            pltpu.VMEM((N, N), jnp.float32),  # tie counts
+            pltpu.VMEM((num_heads, N), jnp.float32),  # row norms
+            pltpu.VMEM((num_heads, N), jnp.float32),  # cls rows
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+    )(q, k, v, af, bf, qm, do, dcolp, dclsp)
+    return dq, dk, dv, dbias[:, 0, :]
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret"))
 def fused_attention_scores(

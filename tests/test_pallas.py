@@ -40,3 +40,82 @@ def test_fused_matches_xla(with_bias):
                                np.asarray(aux.col_mass), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cls)[:, 1:],
                                np.asarray(aux.cls_attn), atol=1e-6)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_fused_backward_matches_xla_grads(with_bias):
+    """The fused backward kernel (recompute-in-VMEM, two head passes) vs
+    jax.grad through the XLA scoring attention — dq/dk/dv/dbias must agree
+    within 2e-4 through a scalar loss touching all three outputs (out,
+    cls_attn, col_mass)."""
+    from madtp_tpu.ops.attention import _xla_attention_scores
+    from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores_bwd
+
+    B, H, N, Dh = 2, 4, 128, 16
+    rng = np.random.RandomState(1)
+    q, k, v = (jnp.asarray(rng.randn(B, H, N, Dh).astype(np.float32))
+               for _ in range(3))
+    alive = np.ones((B, N), bool)
+    alive[0, 90:] = False
+    alive = jnp.asarray(alive)
+    bias = jnp.asarray((rng.rand(B, N) < 0.2).astype(np.float32) * -10000.0
+                       if with_bias else np.zeros((B, N), np.float32))
+    # random cotangents so every output term contributes
+    w_out = jnp.asarray(rng.randn(B, N, H * Dh).astype(np.float32))
+    w_cls = jnp.asarray(rng.randn(B, N - 1).astype(np.float32))
+    w_col = jnp.asarray(rng.randn(B, N - 1).astype(np.float32))
+
+    def loss(q_, k_, v_, b_):
+        out, cls, col = _xla_attention_scores(
+            q_, k_, v_, alive, b_, Dh ** -0.5)
+        return (jnp.sum(out * w_out) + jnp.sum(cls * w_cls)
+                + jnp.sum(col * w_col))
+
+    dq_r, dk_r, dv_r, db_r = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v,
+                                                                  bias)
+
+    qt, kt, vt = (x.transpose(0, 1, 3, 2) for x in (q, k, v))
+    # cotangents in kernel layout: do [B,H,Dh,N]; dcls/dcol [B,N] (slot 0 =
+    # the CLS/key-0 column, excluded from the sliced outputs -> zero)
+    do = jnp.transpose(w_out.reshape(B, N, H, Dh), (0, 2, 3, 1))
+    z = jnp.zeros((B, 1), jnp.float32)
+    dcls = jnp.concatenate([z, w_cls], axis=1)
+    dcol = jnp.concatenate([z, w_col], axis=1)
+    dq, dk, dv, db = fused_attention_scores_bwd(
+        qt, kt, vt, alive, bias, do, dcol, dcls,
+        num_heads=H, scale=Dh ** -0.5, interpret=True)
+
+    for ours, ref, name in ((dq, dq_r, "dq"), (dk, dk_r, "dk"),
+                            (dv, dv_r, "dv")):
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 1, 3, 2), np.asarray(ref),
+            atol=2e-4, rtol=1e-3, err_msg=name)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r), atol=2e-4,
+                               rtol=1e-3, err_msg="dbias")
+
+
+def test_fused_cross_attention_matches_xla():
+    """Cross-attention kernel (text queries over a long pruned memory) vs
+    attention_core's XLA path — including alive-masked keys and a padding
+    key bias; forward in interpret mode."""
+    from madtp_tpu.ops.pallas.cross_attention import fused_cross_attention
+
+    B, H, Nq, S, Dh = 2, 4, 16, 256, 16
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, H, Nq, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, S, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, S, Dh).astype(np.float32))
+    alive = np.ones((B, S), bool)
+    alive[0, 200:] = False
+    alive[1, 100:] = False
+    alive = jnp.asarray(alive)
+    bias = jnp.asarray((rng.rand(B, S) < 0.1).astype(np.float32) * -10000.0)
+
+    ref, _ = attention_core(q, k, v, key_bias=bias, key_alive=alive,
+                            scale=Dh ** -0.5, _no_fused=True)
+    out = fused_cross_attention(
+        q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2),
+        v.transpose(0, 1, 3, 2), alive, bias, scale=Dh ** -0.5,
+        interpret=True)
+    out_m = np.asarray(out).transpose(0, 3, 1, 2).reshape(B, Nq, H * Dh)
+    np.testing.assert_allclose(out_m, np.asarray(ref), atol=2e-6)

@@ -116,6 +116,21 @@ def main(batch=8, image_size=384, text_len=26, reps=3, pipeline=4):
         res["mask_step_ms"] / res["gather_step_ms"], 3)
     res["gather_speedup_vs_dense"] = round(
         res["dense_step_ms"] / res["gather_step_ms"], 3)
+
+    # A/B the fused Pallas BACKWARD vs the XLA-recompute VJP in the same
+    # process (r3; the env var gates the custom-vjp dispatch at TRACE time,
+    # and a fresh python function gets a fresh jit cache entry)
+    import os
+
+    os.environ["MADTP_NO_FUSED_BWD"] = "1"
+    res["mask_step_xla_bwd_ms"] = round(timed(make_step(True)), 1)
+    res["gather_step_xla_bwd_ms"] = round(
+        timed(make_step(True, caps_v, caps_t)), 1)
+    del os.environ["MADTP_NO_FUSED_BWD"]
+    res["fused_bwd_speedup_mask"] = round(
+        res["mask_step_xla_bwd_ms"] / res["mask_step_ms"], 3)
+    res["fused_bwd_speedup_gather"] = round(
+        res["gather_step_xla_bwd_ms"] / res["gather_step_ms"], 3)
     print(json.dumps(res, indent=1))
 
 
