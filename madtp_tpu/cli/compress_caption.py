@@ -105,6 +105,12 @@ def main():
     from madtp_tpu.parallel import dist
     n_procs, proc_id = dist.process_count(), dist.process_index()
 
+    def sync_gflops(cur_g):
+        """Average the analytic GFLOPs over all processes' eval shards."""
+        if n_procs > 1:
+            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
+        return cur_g
+
     if args.synthetic:
         from madtp_tpu.models.med import init_med_params
         from madtp_tpu.models.vit import init_vit_params
@@ -199,9 +205,19 @@ def main():
                        .astype(np.float32), np.arange(2) + 2 * i)
 
         results, cur_g = eval_epoch(temperature, loader)
+        # per-rank JSON + rank-0 merge, exactly like the real eval path
+        # (reference data/utils.py:47-86) — gives the 2-process tests an
+        # end-to-end surface for the merge
+        from madtp_tpu.data.text_utils import save_result
+
+        save_result(results, args.output_dir, "test_epoch_eval",
+                    remove_duplicate="image_id", rank=proc_id,
+                    world_size=n_procs, barrier=dist.barrier)
+        cur_g = sync_gflops(cur_g)
         log = {"n_captions": len(results), "Cur_Gflops": round(cur_g, 4),
                "sample": results[0]["caption"] if results else ""}
-        dump_log(args.output_dir, "evaluate.txt", log, append=False)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "evaluate.txt", log, append=False)
         print("LOG:", log)
         return
 
@@ -215,12 +231,6 @@ def main():
             config["image_root"], config["ann_root"], split)
         return lambda: batched_loader(ds, config.get("batch_size_test", 32),
                                       num_shards=n_procs, shard_id=proc_id)
-
-    def sync_gflops(cur_g):
-        """Average the analytic GFLOPs over all processes' eval shards."""
-        if n_procs > 1:
-            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
-        return cur_g
 
     if args.evaluate:
         from madtp_tpu.data.text_utils import save_result

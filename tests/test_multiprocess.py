@@ -128,3 +128,20 @@ def test_2proc_train_step_matches_single(tmp_path):
     out = p.stdout.decode() + p.stderr.decode()
     assert p.returncode == 0, out[-3000:]
     assert "torchrun-parity" in out, out[-2000:]
+
+
+def test_caption_driver_2proc_eval_merge(tmp_path):
+    """2-process caption eval: per-rank JSON + barrier + rank-0 merge/dedup
+    (reference data/utils.py:47-86 parity).  The output dir is SHARED like
+    a torchrun job's; the synthetic loader yields identical batches on both
+    ranks, so the deduped merge must equal one rank's results."""
+    shared = str(tmp_path / "cap")
+    _launch(["madtp_tpu.cli.compress_caption", "--synthetic"], 2,
+            [shared, shared])
+    merged = json.load(open(os.path.join(shared, "test_epoch_eval.json")))
+    rank0 = json.load(open(os.path.join(shared,
+                                        "test_epoch_eval_rank0.json")))
+    rank1 = json.load(open(os.path.join(shared,
+                                        "test_epoch_eval_rank1.json")))
+    assert rank0 and rank0 == rank1  # identical synthetic shards
+    assert merged == rank0  # dedup by image_id collapses the duplicates
