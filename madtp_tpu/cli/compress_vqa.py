@@ -224,9 +224,19 @@ def main():
         if args.fast_eval:
             calibrate_fast_eval(loader)
         results, cur_g = run_eval(loader)
+        # per-rank JSON + rank-0 merge like the real eval path (reference
+        # data/utils.py:47-86) — the 2-process tests' merge surface
+        from madtp_tpu.data.text_utils import save_result
+
+        save_result(results, args.output_dir, "vqa_result",
+                    remove_duplicate="question_id", rank=proc_id,
+                    world_size=n_procs, barrier=dist.barrier)
+        if n_procs > 1:
+            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
         log = {"n_answers": len(results), "Cur_Gflops": round(cur_g, 4),
                "sample": results[0]["answer"]}
-        dump_log(args.output_dir, "evaluate.txt", log, append=False)
+        if dist.is_main_process():
+            dump_log(args.output_dir, "evaluate.txt", log, append=False)
         print("LOG:", log)
         return
 

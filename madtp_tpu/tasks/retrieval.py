@@ -150,12 +150,16 @@ def rerank_scores(
     temperature=0.0,
     prune_active: bool = False,
     shard: Optional[Tuple[int, int]] = None,
-    rows_per_call: int = 1,
+    rows_per_call: int = 8,
     capacities_t=None,
     mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stage 2 (reference :157-205): sims matrix, then ITM logits over each
-    row's top-k_test candidates.  ``shard=(num_shards, shard_id)`` splits the
+    row's top-k_test candidates.  ``rows_per_call`` batches query rows per
+    jitted dispatch (default 8: row-exact by construction since the rows
+    are vmapped — tests/test_retrieval_task.py — and at one row per
+    dispatch a real 5k-row corpus pays 5k dispatch round trips).
+    ``shard=(num_shards, shard_id)`` splits the
     rows of EACH direction across processes with the reference's arithmetic
     (``step = n//num + 1``, computed independently for i2t over images and
     t2i over texts — compress_retrieval_dtp.py:160-164,184-188); un-scored
