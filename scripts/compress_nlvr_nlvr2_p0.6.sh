@@ -1,0 +1,8 @@
+#!/bin/bash
+# Compress BLIP-NLVR to 40% GFLOPs (reference scripts/compress_nlvr_nlvr2_p0.6.sh;
+# SPMD replaces torchrun — one process drives the whole TPU slice)
+python -m madtp_tpu.cli.compress_nlvr --fast_train \
+    --p 0.6 --epoch 15 \
+    --pretrained pretrained/model_base_nlvr.pth \
+    --config configs/nlvr.yaml \
+    --output_dir output/nlvr_nlvr2_compression_p0.6
