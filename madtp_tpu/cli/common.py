@@ -220,10 +220,23 @@ def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
     # presets because a BLIP-base training step does not fit 16G HBM without
     # remat (forward-only eval is unaffected by jax.checkpoint)
     remat = bool(config.get("vit_grad_ckpt", preset != "tiny"))
+
+    def make_med(**kw):
+        # optional custom BERT arch json — the reference's med_config
+        # parameter (models/blip_nlvr.py:21, configs/med_config.json);
+        # encoder_width is always overridden by the vision width like the
+        # reference does (models/blip_nlvr.py:53)
+        import os
+
+        path = config.get("med_config", "")
+        if path and os.path.exists(path):
+            return MedConfig.from_json(path, **kw)
+        return MedConfig(**kw)
+
     if preset == "large":
         vit = dataclasses.replace(ViTConfig.large(image_size),
                                   grad_checkpoint=remat)
-        med = MedConfig(twin_cross=twin_cross, encoder_width=vit.embed_dim)
+        med = make_med(twin_cross=twin_cross, encoder_width=vit.embed_dim)
         return BlipConfig(vit=vit, med=med,
                           sd_num=config.get("sd_num", 100),
                           sd_dim=config.get("sd_dim", 768))
@@ -231,14 +244,14 @@ def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
         vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
                         depth=2, num_heads=4, sd_dim=64,
                         grad_checkpoint=remat)
-        med = MedConfig(twin_cross=twin_cross, encoder_width=64,
-                        hidden_size=64, num_hidden_layers=2,
-                        num_attention_heads=4, intermediate_size=256,
-                        vocab_size=config.get("vocab_size", 30524), sd_dim=64)
+        med = make_med(twin_cross=twin_cross, encoder_width=64,
+                       hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=256,
+                       vocab_size=config.get("vocab_size", 30524), sd_dim=64)
         return BlipConfig(vit=vit, med=med,
                           sd_num=config.get("sd_num", 100), sd_dim=64)
     vit = ViTConfig(image_size=image_size, grad_checkpoint=remat)
-    med = MedConfig(twin_cross=twin_cross, encoder_width=vit.embed_dim)
+    med = make_med(twin_cross=twin_cross, encoder_width=vit.embed_dim)
     return BlipConfig(vit=vit, med=med,
                       sd_num=config.get("sd_num", 100),
                       sd_dim=config.get("sd_dim", 768))
