@@ -146,11 +146,24 @@ def main():
 
     def full_scores(params, temperature, prune, caps_v, caps_t,
                     image_batches):
-        img_feats, img_states, txt_feats = encode_corpus(
-            params, cfg, image_batches, text_ids, text_mask,
-            temperature=temperature, prune_active=prune,
-            capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
-        )
+        if shard is not None:
+            # EXCEEDS the reference: each process encodes a contiguous
+            # block of image batches, then the features/states all-gather
+            # (bit-exact vs the redundant full encode — see
+            # tasks/retrieval.encode_corpus_sharded)
+            from madtp_tpu.tasks.retrieval import encode_corpus_sharded
+
+            img_feats, img_states, txt_feats = encode_corpus_sharded(
+                params, cfg, list(image_batches), text_ids, text_mask,
+                temperature=temperature, prune_active=prune,
+                capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
+            )
+        else:
+            img_feats, img_states, txt_feats = encode_corpus(
+                params, cfg, image_batches, text_ids, text_mask,
+                temperature=temperature, prune_active=prune,
+                capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
+            )
         s_i2t, s_t2i = rerank_scores(
             params, cfg, img_feats, img_states, txt_feats, enc_ids, text_mask,
             k_test=min(k_test, len(texts)), temperature=temperature,

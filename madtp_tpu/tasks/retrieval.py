@@ -137,6 +137,78 @@ def encode_corpus(
     return img_feats, img_states, txt_feats
 
 
+def encode_corpus_sharded(
+    params,
+    cfg: BlipConfig,
+    image_batches,  # SEQUENCE of [b,3,H,W] numpy batches (indexable)
+    text_ids: np.ndarray,
+    text_mask: np.ndarray,
+    *,
+    temperature=0.0,
+    prune_active: bool = False,
+    capacities_v=None,
+    capacities_t=None,
+    text_batch: int = 256,
+    mesh=None,
+) -> Tuple[np.ndarray, TokenState, np.ndarray]:
+    """Multi-process corpus encode: each process encodes a CONTIGUOUS block
+    of the image batches, then the per-process features/states all-gather
+    back into corpus order.
+
+    EXCEEDS the reference, which encodes the full corpus on every rank
+    (compress_retrieval_dtp.py:115-125 iterates an unsharded test loader) —
+    P processes encode P-fold faster.  Contiguous BATCH blocks (not strided
+    samples) keep every batch's membership identical to the single-process
+    run, so DTP's batch-max coupling sees the same batches and the result
+    is BIT-exact (tests/test_multiprocess.py).  Texts stay replicated like
+    the reference (the text tower is a few percent of the encode cost)."""
+    from madtp_tpu.parallel import dist as D
+
+    batches = list(image_batches)
+    P, r = D.process_count(), D.process_index()
+    if P <= 1:
+        return encode_corpus(
+            params, cfg, iter(batches), text_ids, text_mask,
+            temperature=temperature, prune_active=prune_active,
+            capacities_v=capacities_v, capacities_t=capacities_t,
+            text_batch=text_batch, mesh=mesh)
+
+    # contiguous batch blocks per process (last processes may get fewer)
+    n_b = len(batches)
+    assert n_b >= P, (
+        f"sharded corpus encode needs >= one image batch per process "
+        f"({n_b} batches, {P} processes); shrink batch_size_test")
+    per = -(-n_b // P)
+    lo, hi = min(r * per, n_b), min((r + 1) * per, n_b)
+    feats, states, txt_feats = encode_corpus(
+        params, cfg, iter(batches[lo:hi]), text_ids, text_mask,
+        temperature=temperature, prune_active=prune_active,
+        capacities_v=capacities_v, capacities_t=capacities_t,
+        text_batch=text_batch, mesh=mesh)
+
+    # all-gather the ragged per-process image blocks (pad rows to the max
+    # block, track counts, reassemble in process order = corpus order)
+    n_local = feats.shape[0]
+    counts = D.host_allgather(np.asarray([n_local]))[:, 0]  # [P]
+    n_max = int(counts.max())
+
+    def pad_rows(a):
+        a = np.asarray(a)
+        if a.shape[0] == n_max:
+            return a
+        pad = np.zeros((n_max - a.shape[0],) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad])
+
+    def gather_cat(a):
+        g = D.host_allgather(pad_rows(a))  # [P, n_max, ...]
+        return np.concatenate([g[p, : counts[p]] for p in range(P)])
+
+    feats_all = gather_cat(feats)
+    sx_all = gather_cat(states.x)
+    sa_all = gather_cat(states.alive)
+    return feats_all, TokenState(sx_all, sa_all, None), txt_feats
+
+
 def rerank_scores(
     params,
     cfg: BlipConfig,
