@@ -220,3 +220,33 @@ def test_rank_forward_shared_kv_equals_tiled():
         MED, encoder_state=tiled)
     np.testing.assert_allclose(np.asarray(shared), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_rank_forward_prefix_equals_full_positions():
+    """med_rank_forward with the BOS prefix_kv (from med_bos_step) returns
+    exactly the full pass's hidden states at positions 1..La-1 — the
+    split-loss ranking (term0 from step-1 logits + stage-2 from position 1)
+    is then identical to scoring the whole candidate (reference
+    models/blip_vqa.py:186-195 semantics)."""
+    rng = np.random.RandomState(6)
+    params = jax.tree.map(jnp.asarray, M.init_med_params(MED, rng))
+    B, k, La, S = 2, 3, 5, 6
+    bos = 1
+    cand_ids = np.asarray(rng.randint(2, 40, size=(B, k, La)))
+    cand_ids[:, :, 0] = bos
+    cand_mask = np.ones((B, k, La), np.int32)
+    cand_mask[:, :, -1] = rng.randint(0, 2, size=(B, k))
+    enc = TokenState(
+        jnp.asarray(rng.randn(B, S, 32).astype(np.float32)),
+        jnp.ones((B, S), bool), None)
+
+    full = M.med_rank_forward(params, jnp.asarray(cand_ids),
+                              jnp.asarray(cand_mask), MED, encoder_state=enc)
+    _, bk, bv = M.med_bos_step(
+        params, jnp.full((B, 1), bos, jnp.int32), MED, encoder_state=enc)
+    pre = M.med_rank_forward(params, jnp.asarray(cand_ids),
+                             jnp.asarray(cand_mask), MED, encoder_state=enc,
+                             prefix_kv=(bk, bv))
+    np.testing.assert_allclose(np.asarray(pre),
+                               np.asarray(full)[:, 1:, :],
+                               atol=2e-5, rtol=1e-5)
