@@ -98,15 +98,21 @@ def main():
     from madtp_tpu.parallel import dist
 
     def tokenize(sentences):
-        # multi-process: fixed-length padding — 'longest' would give each
-        # process's shard its own shape, and under the global train mesh
-        # every process must trace the SAME program or the collectives
-        # mismatch
+        # eval + calibration: 'longest' like the reference — eval runs
+        # per-process on the LOCAL mesh, so cross-process shape divergence
+        # is fine and nothing gets truncated
+        out = tokenizer(sentences, padding="longest")
+        return out["input_ids"], out["attention_mask"]
+
+    def tokenize_train(sentences):
+        # TRAIN under the global multi-process mesh: fixed-length padding —
+        # per-shard 'longest' shapes would diverge across processes and the
+        # collectives mismatch.  Single-process keeps the reference's
+        # 'longest' (no truncation).
         if dist.process_count() > 1:
             out = tokenizer(sentences, padding="max_length", max_length=40)
-        else:
-            out = tokenizer(sentences, padding="longest")
-        return out["input_ids"], out["attention_mask"]
+            return out["input_ids"], out["attention_mask"]
+        return tokenize(sentences)
 
     # ---- model ----
     temperature = 1.0
@@ -328,7 +334,8 @@ def main():
             print("fast_train capacities:", sched)
         params, opt_state, train_stats = task.train_epoch(
             params, opt_state, step_fn, get_loader("train", True, epoch),
-            tokenize, tokenizer.enc_token_id, temperature, lr=lr, mesh=tmesh,
+            tokenize_train, tokenizer.enc_token_id, temperature, lr=lr,
+            mesh=tmesh,
         )
         if n_procs > 1:
             # host copies: eval runs per-process on the LOCAL mesh and the
@@ -347,8 +354,12 @@ def main():
                **{f"test_{k}": v for k, v in test_stats.items()},
                "epoch": epoch, "Cur_Gflops": round(cur_g, 2)}
         acc = float(test_stats["acc"])
-        if (acc > best and cur_g - controller.target_gflops < 5.0
-                and dist.is_main_process()):
+        # track `best` on EVERY rank (metrics are synced, so the decision
+        # is identical); only rank 0 writes the checkpoint
+        improved = acc > best and cur_g - controller.target_gflops < 5.0
+        if improved:
+            best, best_epoch = acc, epoch
+        if improved and dist.is_main_process():
             from madtp_tpu.ckpt.export import (
                 export_med, export_vit, save_torch_checkpoint,
             )
@@ -369,7 +380,6 @@ def main():
                 os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
                 epoch=epoch, temperature=temperature,
             )
-            best, best_epoch = acc, epoch
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)

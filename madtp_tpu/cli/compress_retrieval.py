@@ -137,24 +137,27 @@ def main():
                                                 args.cap_mode)
         print("fast_eval capacities:", caps_v, caps_t)
 
-    # every process encodes the FULL corpus (reference parity: the test
-    # loader is unsharded, compress_retrieval_dtp.py:338-346); only the
-    # rerank rows are sharded across processes, then the -100-initialized
-    # score matrices merge (reference dist.all_reduce(SUM) :202-205)
+    # single-process: encode the full corpus like the reference (the test
+    # loader is unsharded, compress_retrieval_dtp.py:338-346).
+    # multi-process: each process streams a contiguous BLOCK of batches
+    # (exceeds the reference's redundant full-corpus-per-rank encode,
+    # bit-exact — tasks/retrieval.encode_corpus_sharded); the rerank rows
+    # shard by the reference arithmetic and the -100-initialized score
+    # matrices merge (reference dist.all_reduce(SUM) :202-205)
     shard = ((dist.process_count(), dist.process_index())
              if dist.process_count() > 1 else None)
+    n_image_batches = (
+        2 if args.synthetic  # the synthetic corpus above
+        else -(-len(ds.image) // config.get("batch_size_test", 32)))
 
     def full_scores(params, temperature, prune, caps_v, caps_t,
                     image_batches):
         if shard is not None:
-            # EXCEEDS the reference: each process encodes a contiguous
-            # block of image batches, then the features/states all-gather
-            # (bit-exact vs the redundant full encode — see
-            # tasks/retrieval.encode_corpus_sharded)
             from madtp_tpu.tasks.retrieval import encode_corpus_sharded
 
             img_feats, img_states, txt_feats = encode_corpus_sharded(
-                params, cfg, list(image_batches), text_ids, text_mask,
+                params, cfg, image_batches, text_ids, text_mask,
+                n_batches=n_image_batches,
                 temperature=temperature, prune_active=prune,
                 capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
             )
@@ -171,7 +174,8 @@ def main():
         )
         if shard is not None:
             dist.barrier("retrieval_scores")
-            s_i2t, s_t2i = dist.host_max(s_i2t), dist.host_max(s_t2i)
+            s_i2t = dist.merge_scores(s_i2t)
+            s_t2i = dist.merge_scores(s_t2i)
         return s_i2t, s_t2i
 
     # ITM rerank uses [ENC]-token text (reference compress_retrieval_dtp:168)
@@ -387,8 +391,12 @@ def main():
             text_ids.shape[1])
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                **{k: round(v, 3) for k, v in stats.items()}}
-        if (stats["r_mean"] > best and cur_g - target < 10.0
-                and dist.is_main_process()):
+        # track `best` on EVERY rank (merged metrics are identical); only
+        # rank 0 writes the checkpoint
+        improved = stats["r_mean"] > best and cur_g - target < 10.0
+        if improved:
+            best = stats["r_mean"]
+        if improved and dist.is_main_process():
             sd = {}
             sd.update(export_vit(jax.tree.map(np.asarray,
                                               params["visual_encoder"]),
@@ -403,7 +411,6 @@ def main():
             save_torch_checkpoint(
                 os.path.join(args.output_dir, "checkpoint_best.pth"), sd,
                 epoch=epoch, temperature=temperature)
-            best = stats["r_mean"]
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)

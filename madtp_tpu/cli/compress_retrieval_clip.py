@@ -353,15 +353,17 @@ def main():
         cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                **{k: round(v, 3) for k, v in stats.items()}}
-        if (stats["r_mean"] > best and cur_g - target < 5.0
-                and dist.is_main_process()):
+        # track `best` on EVERY rank (eval is replicated); rank 0 writes
+        improved = stats["r_mean"] > best and cur_g - target < 5.0
+        if improved:
+            best = stats["r_mean"]
+        if improved and dist.is_main_process():
             from madtp_tpu.ckpt.export import save_native
 
             save_native(os.path.join(args.output_dir, "checkpoint_best.npz"),
                         {"params": params, "space_dict": space_dict},
                         extras={"temperature": float(temperature),
                                 "epoch": epoch})
-            best = stats["r_mean"]
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)

@@ -375,9 +375,17 @@ def main():
         logger = MetricLogger()
         pending_m = None  # one-deep metric lag (no per-step device sync)
         # multi-process: fixed-length padding — per-shard 'longest' shapes
-        # would diverge across processes under the global mesh
-        pad_q = dict(padding="max_length") if n_procs > 1 else \
-            dict(padding="longest")
+        # would diverge across processes under the global mesh.  The
+        # max_length caps (35 questions / 24 answers) apply ONLY there;
+        # single-process keeps the reference's untruncated 'longest'.
+        # questions truncate at 35 like the reference
+        # (models/blip_vqa.py tokenizes with truncation max_length=35);
+        # answers are untruncated in the reference, so the 24-cap applies
+        # only where fixed shapes are mandatory
+        pad_q = (dict(padding="max_length", max_length=35) if n_procs > 1
+                 else dict(padding="longest", max_length=35))
+        pad_a = (dict(padding="max_length", max_length=24) if n_procs > 1
+                 else dict(padding="longest"))
         for images, questions, answers, weights, n in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, collate=vqa_collate,
@@ -385,10 +393,10 @@ def main():
                            drop_last=n_procs > 1),
             50, f"Train [{epoch}]"):
             B = images.shape[0]
-            q = tokenizer(list(questions), max_length=35, **pad_q)
+            q = tokenizer(list(questions), **pad_q)
             q_ids = q["input_ids"]; q_ids[:, 0] = tokenizer.enc_token_id
             # pad the ragged flattened answers to [B, MAX_A, La]
-            a = tokenizer(list(answers), max_length=24, **pad_q)
+            a = tokenizer(list(answers), **pad_a)
             La = a["input_ids"].shape[1]
             ans_ids = np.zeros((B, MAX_A, La), np.int32)
             ans_msk = np.zeros((B, MAX_A, La), np.int32)

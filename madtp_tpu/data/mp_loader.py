@@ -42,7 +42,11 @@ _SHM_MIN_BYTES = 1 << 16
 
 class _SlotWriter:
     """Worker-side cache of slot segments (created on first use, reused;
-    recreated bigger if a later batch outgrows one)."""
+    recreated bigger if a later batch outgrows one).  Segment names embed
+    the WORKER pid, not just the slot: slots migrate between workers, and
+    a name shared across workers would let worker A hold a stale mapping
+    to a segment worker B unlinked and recreated larger — A would then
+    write into the orphan while the consumer reads B's replacement."""
 
     def __init__(self, tag: str):
         self.tag = tag
@@ -50,7 +54,7 @@ class _SlotWriter:
 
     def write(self, slot: int, col: int, arr: np.ndarray) -> tuple:
         key = (slot, col)
-        name = f"madtp{self.tag}_{slot}_{col}"
+        name = f"madtp{self.tag}_w{os.getpid()}_{slot}_{col}"
         seg = self.segs.get(key)
         if seg is not None and seg.size < arr.nbytes:
             seg.close()
@@ -86,7 +90,19 @@ class _SlotWriter:
             seg.close()
 
 
-def _worker(dataset, collate, task_q, result_q, tag):
+def _worker(dataset, collate, task_q, result_q, tag, worker_seed):
+    # Reseed the GLOBAL rngs per worker: fork copies the parent's RNG state
+    # into every worker, so without this all workers draw identical
+    # augmentations and every epoch's fresh fork replays the same stream
+    # (torch DataLoader reseeds workers for the same reason).  CAVEAT:
+    # dataset transforms that close over PRIVATE rng objects (e.g. a
+    # random.Random instance) are forked copies too and are NOT reachable
+    # from here — prefer module-level `random`/`np.random` in transforms
+    # used with process workers, or derive per-item seeds from the index.
+    import random as _random
+
+    _random.seed(worker_seed)
+    np.random.seed(worker_seed % (2 ** 32))
     writer = _SlotWriter(tag)
     try:
         while True:
@@ -176,9 +192,13 @@ def mp_batched_loader(
     tag = f"{os.getpid()}_{np.random.randint(1 << 30)}"
     procs = [
         ctx.Process(target=_worker,
-                    args=(dataset, collate, task_q, result_q, tag),
+                    args=(dataset, collate, task_q, result_q, tag,
+                          # stable per-(seed, epoch, worker) mix — python's
+                          # hash() is salted per process and would make
+                          # augmentation streams non-reproducible
+                          (seed * 1000003 + epoch * 9973 + w) & 0x7FFFFFFF),
                     daemon=True)
-        for _ in range(num_workers)
+        for w in range(num_workers)
     ]
     for p in procs:
         p.start()
@@ -195,7 +215,17 @@ def mp_batched_loader(
             submitted += 1
         while next_seq < len(batches):
             while next_seq not in done:
-                seq, slot, packed, err = result_q.get()
+                try:
+                    seq, slot, packed, err = result_q.get(timeout=60.0)
+                except queue_mod.Empty:
+                    # liveness check: a worker killed mid-task (OOM,
+                    # segfault in a codec) would otherwise hang the run
+                    # forever on this get()
+                    dead = [p.pid for p in procs if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker(s) died: pids {dead}")
+                    continue
                 if err is not None:
                     raise RuntimeError(f"loader worker failed: {err}")
                 done[seq] = (slot, packed)
@@ -226,16 +256,18 @@ def mp_batched_loader(
             except queue_mod.Empty:
                 continue
             pending -= 1
+        pids = [p.pid for p in procs]
         for p in procs:
             p.join(timeout=2.0)
             if p.is_alive():
                 p.terminate()
         reader.close_and_unlink()
         # unlink any segments the reader never attached
-        for slot in range(n_slots):
-            for col in range(16):
-                try:
-                    shared_memory.SharedMemory(
-                        name=f"madtp{tag}_{slot}_{col}").unlink()
-                except FileNotFoundError:
-                    pass
+        for pid in pids:
+            for slot in range(n_slots):
+                for col in range(16):
+                    try:
+                        shared_memory.SharedMemory(
+                            name=f"madtp{tag}_w{pid}_{slot}_{col}").unlink()
+                    except FileNotFoundError:
+                        pass

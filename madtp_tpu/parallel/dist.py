@@ -75,12 +75,15 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def reference_row_shard(n: int) -> tuple[int, int]:
+def reference_row_shard(n: int, num: int | None = None,
+                        rank: int | None = None) -> tuple[int, int]:
     """The reference's eval row-sharding arithmetic
     (compress_retrieval_dtp.py:160-164, computed independently per score
     direction): ``step = n // world + 1; start = rank*step;
-    end = min(n, start+step)``."""
-    num, rank = process_count(), process_index()
+    end = min(n, start+step)``.  Defaults to this process's rank/world;
+    callers with explicit shard tuples pass them (tasks/retrieval)."""
+    num = process_count() if num is None else num
+    rank = process_index() if rank is None else rank
     step = n // num + 1
     start = rank * step
     return start, min(n, start + step)
@@ -116,11 +119,19 @@ def host_sum(x) -> np.ndarray:
 
 
 def host_max(x) -> np.ndarray:
-    """Cross-process elementwise MAX — merges the -100-initialized
-    row-sharded score matrices (the reference's SUM over disjoint slices
-    offsets every entry by -(P-1)*100; max avoids the offset, see
-    tasks/retrieval.merge_score_matrices)."""
+    """Cross-process elementwise MAX of a host array."""
     return host_allgather(x).max(axis=0)
+
+
+def merge_scores(x) -> np.ndarray:
+    """Cross-process merge of -100-initialized row-sharded score matrices:
+    sentinel-aware select (each entry written by at most one process) —
+    preserves written values bit-exactly where the reference's SUM
+    (compress_retrieval_dtp.py:202-205) shifts them and a plain max would
+    clamp scores below -100 (see tasks/retrieval.merge_score_matrices)."""
+    from madtp_tpu.tasks.retrieval import merge_score_matrices
+
+    return merge_score_matrices(*host_allgather(x))
 
 
 def all_gather_with_grad(x, axis_name: str = "data"):

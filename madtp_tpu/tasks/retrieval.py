@@ -140,10 +140,12 @@ def encode_corpus(
 def encode_corpus_sharded(
     params,
     cfg: BlipConfig,
-    image_batches,  # SEQUENCE of [b,3,H,W] numpy batches (indexable)
+    image_batches,  # iterable of [b,3,H,W] numpy batches
     text_ids: np.ndarray,
     text_mask: np.ndarray,
     *,
+    n_batches: Optional[int] = None,  # required to STREAM the shard; a
+    # sequence input is len()'d and sliced without materializing the rest
     temperature=0.0,
     prune_active: bool = False,
     capacities_v=None,
@@ -162,26 +164,32 @@ def encode_corpus_sharded(
     run, so DTP's batch-max coupling sees the same batches and the result
     is BIT-exact (tests/test_multiprocess.py).  Texts stay replicated like
     the reference (the text tower is a few percent of the encode cost)."""
+    import itertools
+
     from madtp_tpu.parallel import dist as D
 
-    batches = list(image_batches)
     P, r = D.process_count(), D.process_index()
     if P <= 1:
         return encode_corpus(
-            params, cfg, iter(batches), text_ids, text_mask,
+            params, cfg, iter(image_batches), text_ids, text_mask,
             temperature=temperature, prune_active=prune_active,
             capacities_v=capacities_v, capacities_t=capacities_t,
             text_batch=text_batch, mesh=mesh)
 
-    # contiguous batch blocks per process (last processes may get fewer)
-    n_b = len(batches)
+    if n_batches is None:
+        n_batches = len(image_batches)  # sequence input
+    n_b = n_batches
     assert n_b >= P, (
         f"sharded corpus encode needs >= one image batch per process "
         f"({n_b} batches, {P} processes); shrink batch_size_test")
-    per = -(-n_b // P)
-    lo, hi = min(r * per, n_b), min((r + 1) * per, n_b)
+    # BALANCED contiguous blocks (i*n_b//P): every process gets >= 1 batch
+    # — ceil-division blocks can leave trailing processes EMPTY (e.g. 9
+    # batches on 4 processes -> [3,3,3,0]) and an empty encode crashes
+    # while the others deadlock in the all-gather
+    lo, hi = r * n_b // P, (r + 1) * n_b // P
+    block = itertools.islice(iter(image_batches), lo, hi)
     feats, states, txt_feats = encode_corpus(
-        params, cfg, iter(batches[lo:hi]), text_ids, text_mask,
+        params, cfg, block, text_ids, text_mask,
         temperature=temperature, prune_active=prune_active,
         capacities_v=capacities_v, capacities_t=capacities_t,
         text_batch=text_batch, mesh=mesh)
@@ -336,9 +344,9 @@ def rerank_scores(
     def shard_rows(n):
         if shard is None:
             return 0, n
-        num, idx = shard
-        step = n // num + 1  # reference compress_retrieval_dtp.py:162
-        return idx * step, min(n, (idx + 1) * step)
+        from madtp_tpu.parallel.dist import reference_row_shard
+
+        return reference_row_shard(n, shard[0], shard[1])
 
     i_lo, i_hi = shard_rows(ni)
     topk_i = np.argsort(-sims, axis=1)[:, :k_test].astype(np.int32)
@@ -368,7 +376,17 @@ def clip_retrieval_scores(img_feats: np.ndarray, txt_feats: np.ndarray):
 
 def merge_score_matrices(*parts: np.ndarray) -> np.ndarray:
     """Merge per-process row-sharded score matrices (initialized at -100):
-    elementwise max over shards — the reference all-reduces SUM over
-    disjoint -100-filled slices (compress_retrieval_dtp.py:202-205), which
-    max reproduces without the additive offset."""
-    return np.maximum.reduce(list(parts))
+    sentinel-aware select — each entry was written by AT MOST one shard
+    (rows are disjoint), so take the non-sentinel value.  The reference
+    all-reduces SUM over the -100-filled slices
+    (compress_retrieval_dtp.py:202-205), which offsets every written entry
+    by -(P-1)*100; a plain elementwise max would instead CLAMP legitimate
+    scores below -100 to the sentinel (ITM logits are unbounded), losing
+    their relative order.  Select preserves written values bit-exactly;
+    the measure-zero case of a real score equal to exactly -100.0 merges
+    to itself."""
+    out = parts[0].copy()
+    for p in parts[1:]:
+        written = p != -100.0
+        out[written] = p[written]
+    return out
