@@ -99,14 +99,19 @@ def test_retrieval_2proc_eval_scores_bitexact(tmp_path):
     assert log_m == log_s
 
 
-def test_nlvr_driver_2proc_trains(tmp_path):
+@pytest.mark.parametrize("local_devices", [1, 2])
+def test_nlvr_driver_2proc_trains(tmp_path, local_devices):
     """Full NLVR driver, 2 processes, one compression epoch: global-mesh
     training + sharded eval + synced metrics + rank-0 checkpoint/resume
     writes all complete, and both ranks report the SAME losses/metrics
-    (synthetic data is identical across ranks, so sync must be exact)."""
+    (synthetic data is identical across ranks, so sync must be exact).
+    ``local_devices=2`` runs the full (process, device) grid: a 2-device
+    LOCAL eval mesh per process and a 4-device GLOBAL train mesh."""
     dirs = [str(tmp_path / f"n{r}") for r in range(2)]
+    env = ({"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+           if local_devices == 2 else None)
     outs = _launch(["madtp_tpu.cli.compress_nlvr", "--synthetic",
-                    "--epoch", "1"], 2, dirs, timeout=460)
+                    "--epoch", "1"], 2, dirs, env=env, timeout=460)
     logs = []
     for out in outs:
         logs.append([l for l in out.splitlines() if l.startswith("LOG:")])
