@@ -1,0 +1,318 @@
+"""Golden TRAINING-loss parity vs the reference task heads.
+
+The per-module forwards are golden-tested in test_golden_reference.py; here
+the full TRAIN-step losses — the quantities the compression fine-tune
+actually optimizes — are compared against the UNMODIFIED reference heads'
+``forward(train=True)``:
+
+* NLVR: ``BLIP_NLVR.forward`` CE + cosine-embedding FDT over the averaged
+  twin image FDT features (reference models/blip_nlvr.py:63-97);
+* caption: ``BLIP_Decoder.forward`` label-smoothed LM loss with prompt
+  masking + the loss_fdt==loss_lm fallback (models/blip.py:111-159);
+* VQA: ``BLIP_VQA.forward`` weighted per-answer LM loss with ragged answer
+  replication + FDT (models/blip_vqa.py:60-115).
+
+Our side runs the REAL train steps (train/loops.make_*_train_step) with a
+zero-lr optimizer and reads the loss metrics — so the comparison covers
+the exact code path the drivers execute.  The reference heads tokenize
+INSIDE forward and their factories download a HF tokenizer (zero-egress
+env), so each is shell-constructed at tiny dims with a deterministic fake
+tokenizer whose ids feed both sides identically.
+"""
+
+from __future__ import annotations
+
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests import torch_shims
+
+torch_shims.install()
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from madtp_tpu.ckpt.remap import remap_med, remap_vit
+from madtp_tpu.core.config import MedConfig, ViTConfig
+from madtp_tpu.models.blip import BlipConfig
+from madtp_tpu.train import loops
+from tests.test_golden_reference import randomize_state_dict
+
+H, HEADS, FF, VOCAB = 64, 4, 256, 60
+PAD, BOS, SEP, ENC, CLS = 0, 1, 2, 3, 4
+
+
+class FakeTok:
+    """Deterministic word-level tokenizer with the HF call surface the
+    reference heads use inside forward()."""
+
+    pad_token_id, bos_token_id, sep_token_id, enc_token_id = PAD, BOS, SEP, ENC
+
+    def __init__(self):
+        self.vocab = {}
+
+    def _encode(self, text):
+        ids = [CLS]
+        for w in text.split():
+            if w not in self.vocab:
+                self.vocab[w] = 5 + len(self.vocab)
+            ids.append(self.vocab[w])
+        ids.append(SEP)
+        return ids
+
+    def __call__(self, texts, padding=None, truncation=False,
+                 max_length=None, return_tensors=None):
+        if isinstance(texts, str):
+            return types.SimpleNamespace(input_ids=self._encode(texts))
+        seqs = [self._encode(t) for t in texts]
+        if truncation and max_length:
+            seqs = [s[:max_length] for s in seqs]
+        L = max(len(s) for s in seqs)
+        ids = np.full((len(seqs), L), PAD, np.int64)
+        mask = np.zeros((len(seqs), L), np.int64)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+        obj = types.SimpleNamespace(input_ids=torch.from_numpy(ids),
+                                    attention_mask=torch.from_numpy(mask))
+        obj.to = lambda device: obj
+        return obj
+
+
+def _tiny_vit():
+    from models.vit import VisionTransformer as RefViT
+
+    return RefViT(img_size=64, patch_size=16, embed_dim=H, depth=2,
+                  num_heads=HEADS, evaluate=True, sd_dim=H)
+
+
+def _tiny_bert_cfg():
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    rcfg = BertConfig(
+        vocab_size=VOCAB, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=HEADS, intermediate_size=FF,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    rcfg.encoder_width = H
+    rcfg.add_cross_attention = True
+    rcfg.evaluate = True
+    return rcfg
+
+
+def _our_cfg(twin=False):
+    vit = ViTConfig(image_size=64, patch_size=16, embed_dim=H, depth=2,
+                    num_heads=HEADS, sd_dim=H)
+    med = MedConfig(vocab_size=VOCAB, hidden_size=H, num_hidden_layers=2,
+                    num_attention_heads=HEADS, intermediate_size=FF,
+                    max_position_embeddings=64, encoder_width=H, sd_dim=H,
+                    twin_cross=twin)
+    return BlipConfig(vit=vit, med=med, sd_num=7, sd_dim=H)
+
+
+def _resync(ref):
+    """Post-randomize re-export: tied LM-head weights share storage, so the
+    model's actual state (last load wins) is the ground truth."""
+    return {k: v.numpy() for k, v in ref.state_dict().items()
+            if v.dtype == torch.float32}
+
+
+def _metrics(step, *args):
+    tx_out = step(*args)
+    return {k: float(v) for k, v in tx_out[-1].items()}
+
+
+def test_nlvr_train_loss_golden():
+    from models.blip_nlvr import BLIP_NLVR
+    from models.nlvr_encoder import BertModel as RefNlvrBert
+
+    tok = FakeTok()
+    ref = BLIP_NLVR.__new__(BLIP_NLVR)
+    torch.nn.Module.__init__(ref)
+    ref.sd_dim = H
+    ref.space_dict = torch.nn.Parameter(torch.randn(7, H))
+    ref.criterion = torch.nn.CosineEmbeddingLoss()
+    ref.visual_encoder = _tiny_vit()
+    ref.text_encoder = RefNlvrBert(_tiny_bert_cfg(), add_pooling_layer=False,
+                                   sd_dim=H)
+    ref.cls_head = torch.nn.Sequential(
+        torch.nn.Linear(H, H), torch.nn.ReLU(), torch.nn.Linear(H, 2))
+    ref.tokenizer = tok
+    ref.eval()
+    randomize_state_dict(ref, seed=20)
+    sd = _resync(ref)
+
+    rng = np.random.RandomState(21)
+    B = 2
+    images = rng.randn(2 * B, 3, 64, 64).astype(np.float32)
+    texts = ["the left object is red", "a small thing on the right side"]
+    targets = np.array([1, 0])
+    T = 0.8
+
+    with torch.no_grad():
+        lo_ref, lf_ref = ref(torch.from_numpy(images), texts,
+                             torch.from_numpy(targets), temperature=T,
+                             train=True)
+
+    cfg = _our_cfg(twin=True)
+    params = {
+        "visual_encoder": remap_vit(sd, prefix="visual_encoder."),
+        "text_encoder": remap_med(sd, prefix="text_encoder.",
+                                  twin_cross=True),
+        "space_dict": sd["space_dict"],
+        "cls_head": {
+            "fc1": {"kernel": sd["cls_head.0.weight"].T,
+                    "bias": sd["cls_head.0.bias"]},
+            "fc2": {"kernel": sd["cls_head.2.weight"].T,
+                    "bias": sd["cls_head.2.bias"]},
+        },
+    }
+    params = jax.tree.map(jnp.asarray, params)
+
+    t = tok(texts, padding="longest", return_tensors="pt")
+    ids = t.input_ids.numpy().copy()
+    ids[:, 0] = ENC  # driver does this before the step
+    tx = optax.sgd(0.0)
+    step = loops.make_nlvr_train_step(cfg, tx)
+    m = _metrics(step, params, tx.init(params), jnp.asarray(images),
+                 jnp.asarray(ids), jnp.asarray(t.attention_mask.numpy()),
+                 jnp.asarray(targets), jnp.float32(T))
+    np.testing.assert_allclose(m["loss_ori"], float(lo_ref), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(m["loss_fdt"], float(lf_ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_caption_train_loss_golden():
+    from models.blip import BLIP_Decoder
+    from models.med import BertLMHeadModel
+
+    tok = FakeTok()
+    ref = BLIP_Decoder.__new__(BLIP_Decoder)
+    torch.nn.Module.__init__(ref)
+    ref.sd_dim = H
+    ref.space_dict = torch.nn.Parameter(torch.randn(7, H))
+    ref.criterion = torch.nn.CosineEmbeddingLoss()
+    ref.visual_encoder = _tiny_vit()
+    ref.text_decoder = BertLMHeadModel(config=_tiny_bert_cfg(), sd_dim=H)
+    ref.tokenizer = tok
+    ref.prompt = "a picture of "
+    ref.prompt_length = len(tok(ref.prompt).input_ids) - 1
+    ref.eval()
+    randomize_state_dict(ref, seed=22)
+    sd = _resync(ref)
+
+    rng = np.random.RandomState(23)
+    B = 2
+    images = rng.randn(B, 3, 64, 64).astype(np.float32)
+    captions = [ref.prompt + "a dog on grass",
+                ref.prompt + "two people near water and trees"]
+    T = 0.8
+
+    with torch.no_grad():
+        lm_ref, lf_ref = ref(torch.from_numpy(images), captions,
+                             temperature=T, train=True)
+
+    cfg = _our_cfg()
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": remap_vit(sd, prefix="visual_encoder."),
+        "text_decoder": remap_med(sd, prefix="text_decoder.",
+                                  has_lm_head=True),
+        "space_dict": sd["space_dict"],
+    })
+
+    t = tok(captions, padding="longest", truncation=True, max_length=40,
+            return_tensors="pt")
+    ids = t.input_ids.numpy().copy()
+    ids[:, 0] = BOS
+    labels = np.where(ids == PAD, -100, ids)
+    labels[:, : ref.prompt_length] = -100
+    tx = optax.sgd(0.0)
+    step = loops.make_caption_train_step(cfg, tx)
+    m = _metrics(step, params, tx.init(params), jnp.asarray(images),
+                 jnp.asarray(ids), jnp.asarray(t.attention_mask.numpy()),
+                 jnp.asarray(labels), jnp.float32(T))
+    np.testing.assert_allclose(m["loss_lm"], float(lm_ref), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(m["loss_fdt"], float(lf_ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_vqa_train_loss_golden():
+    from models.blip_vqa import BLIP_VQA
+    from models.med import BertLMHeadModel, BertModel as RefBert
+
+    tok = FakeTok()
+    ref = BLIP_VQA.__new__(BLIP_VQA)
+    torch.nn.Module.__init__(ref)
+    ref.sd_dim = H
+    ref.space_dict = torch.nn.Parameter(torch.randn(7, H))
+    ref.criterion = torch.nn.CosineEmbeddingLoss()
+    ref.visual_encoder = _tiny_vit()
+    ref.text_encoder = RefBert(_tiny_bert_cfg(), add_pooling_layer=False,
+                               sd_dim=H)
+    ref.text_decoder = BertLMHeadModel(config=_tiny_bert_cfg(), sd_dim=H)
+    ref.tokenizer = tok
+    ref.eval()
+    randomize_state_dict(ref, seed=24)
+    sd = _resync(ref)
+
+    rng = np.random.RandomState(25)
+    B = 2
+    images = rng.randn(B, 3, 64, 64).astype(np.float32)
+    questions = ["what color is the ball", "how many dogs are there"]
+    answers = ["red", "two", "three dogs"]  # ragged: n = [1, 2]
+    n = [1, 2]
+    weights = torch.tensor([1.0, 0.6, 0.4])
+    T = 0.8
+
+    with torch.no_grad():
+        lv_ref, lf_ref = ref(torch.from_numpy(images), questions, answers,
+                             train=True, n=n, weights=weights,
+                             temperature=T)
+
+    cfg = _our_cfg()
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": remap_vit(sd, prefix="visual_encoder."),
+        "text_encoder": remap_med(sd, prefix="text_encoder."),
+        "text_decoder": remap_med(sd, prefix="text_decoder.",
+                                  has_lm_head=True),
+        "space_dict": sd["space_dict"],
+    })
+
+    q = tok(questions, padding="longest", truncation=True, max_length=35,
+            return_tensors="pt")
+    q_ids = q.input_ids.numpy().copy()
+    q_ids[:, 0] = ENC
+    a = tok(answers, padding="longest", return_tensors="pt")
+    a_np = a.input_ids.numpy().copy()
+    a_np[:, 0] = BOS
+    am_np = a.attention_mask.numpy()
+    # pad the ragged flattened answers to [B, K, La] like the driver
+    K, La = 2, a_np.shape[1]
+    ans_ids = np.zeros((B, K, La), np.int32)
+    ans_msk = np.zeros((B, K, La), np.int32)
+    w = np.zeros((B, K), np.float32)
+    pos = 0
+    for b, cnt in enumerate(n):
+        ans_ids[b, :cnt] = a_np[pos: pos + cnt]
+        ans_msk[b, :cnt] = am_np[pos: pos + cnt]
+        w[b, :cnt] = weights.numpy()[pos: pos + cnt]
+        pos += cnt
+
+    tx = optax.sgd(0.0)
+    step = loops.make_vqa_train_step(cfg, tx, max_answers_per_q=K)
+    m = _metrics(step, params, tx.init(params), jnp.asarray(images),
+                 jnp.asarray(q_ids), jnp.asarray(q.attention_mask.numpy()),
+                 jnp.asarray(ans_ids), jnp.asarray(ans_msk), jnp.asarray(w),
+                 jnp.float32(T))
+    np.testing.assert_allclose(m["loss_vqa"], float(lv_ref), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(m["loss_fdt"], float(lf_ref), rtol=2e-4,
+                               atol=2e-5)
