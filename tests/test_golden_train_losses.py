@@ -72,7 +72,8 @@ class FakeTok:
         seqs = [self._encode(t) for t in texts]
         if truncation and max_length:
             seqs = [s[:max_length] for s in seqs]
-        L = max(len(s) for s in seqs)
+        L = (max_length if (padding == "max_length" and max_length)
+             else max(len(s) for s in seqs))
         ids = np.full((len(seqs), L), PAD, np.int64)
         mask = np.zeros((len(seqs), L), np.int64)
         for i, s in enumerate(seqs):
@@ -118,8 +119,11 @@ def _our_cfg(twin=False):
 
 def _resync(ref):
     """Post-randomize re-export: tied LM-head weights share storage, so the
-    model's actual state (last load wins) is the ground truth."""
-    return {k: v.numpy() for k, v in ref.state_dict().items()
+    model's actual state (last load wins) is the ground truth.  COPIES, not
+    ``.numpy()`` views: the retrieval forward mutates momentum params,
+    queues and temp IN PLACE (EMA / enqueue / clamp_), and a view captured
+    'before' the forward would silently read the post-forward values."""
+    return {k: v.numpy().copy() for k, v in ref.state_dict().items()
             if v.dtype == torch.float32}
 
 
@@ -316,3 +320,135 @@ def test_vqa_train_loss_golden():
                                atol=2e-5)
     np.testing.assert_allclose(m["loss_fdt"], float(lf_ref), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_retrieval_train_ita_fdt_losses_golden():
+    """BLIP retrieval ITC + dual FDT losses vs the reference's own
+    ``BLIP_Retrieval.forward`` (models/blip_retrieval.py:99-283): temp
+    clamp, momentum EMA-before-use, queue-concatenated soft targets, and
+    the online/momentum FDT pair.  The ITM term uses ``torch.multinomial``
+    hard-negative draws that cannot match across frameworks, so loss_itm
+    is excluded (its structure is covered by tests/test_train.py); the
+    deterministic terms must match exactly."""
+    import socket
+
+    from models.blip_retrieval import BLIP_Retrieval
+    from models.med import BertModel as RefBert
+
+    if not torch.distributed.is_initialized():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        # world-1 gloo group: the reference's concat_all_gather calls
+        # torch.distributed unconditionally (models/blip_retrieval.py:334)
+        torch.distributed.init_process_group(
+            backend="gloo", init_method=f"tcp://127.0.0.1:{port}",
+            rank=0, world_size=1)
+
+    E, Q, B = 16, 8, 4
+    tok = FakeTok()
+    ref = BLIP_Retrieval.__new__(BLIP_Retrieval)
+    torch.nn.Module.__init__(ref)
+    ref.sd_dim = H
+    ref.space_dict = torch.nn.Parameter(torch.randn(7, H))
+    ref.criterion = torch.nn.CosineEmbeddingLoss()
+    ref.visual_encoder = _tiny_vit()
+    ref.text_encoder = RefBert(_tiny_bert_cfg(), add_pooling_layer=False,
+                               sd_dim=H)
+    ref.vision_proj = torch.nn.Linear(H, E)
+    ref.text_proj = torch.nn.Linear(H, E)
+    ref.itm_head = torch.nn.Linear(H, 2)
+    ref.visual_encoder_m = _tiny_vit()
+    ref.text_encoder_m = RefBert(_tiny_bert_cfg(), add_pooling_layer=False,
+                                 sd_dim=H)
+    ref.vision_proj_m = torch.nn.Linear(H, E)
+    ref.text_proj_m = torch.nn.Linear(H, E)
+    ref.model_pairs = [
+        [ref.visual_encoder, ref.visual_encoder_m],
+        [ref.vision_proj, ref.vision_proj_m],
+        [ref.text_encoder, ref.text_encoder_m],
+        [ref.text_proj, ref.text_proj_m],
+    ]
+    ref.temp = torch.nn.Parameter(0.07 * torch.ones([]))
+    ref.register_buffer("image_queue", torch.randn(E, Q))
+    ref.register_buffer("text_queue", torch.randn(E, Q))
+    ref.register_buffer("idx_queue", torch.full((1, Q), -100,
+                                                dtype=torch.long))
+    ref.register_buffer("ptr_queue", torch.zeros(1, dtype=torch.long))
+    ref.momentum = 0.995
+    ref.queue_size = Q
+    ref.negative_all_rank = False
+    ref.tokenizer = tok
+    ref.eval()
+    randomize_state_dict(ref, seed=26)
+    sd = _resync(ref)
+
+    rng = np.random.RandomState(27)
+    images = rng.randn(B, 3, 64, 64).astype(np.float32)
+    captions = ["a dog runs on grass", "two people near water",
+                "a red ball on sand", "trees beside a quiet road"]
+    idx = np.array([3, 5, 7, 9])
+    alpha, T = 0.4, 0.8
+
+    with torch.no_grad():
+        lita_ref, _litm, lfdt_ref, lfdtm_ref = ref(
+            torch.from_numpy(images), captions, alpha,
+            torch.from_numpy(idx).view(-1, 1), temperature=T, train=True)
+
+    # ---- our side: the REAL retrieval train step ----
+    from madtp_tpu.train.loops import (
+        MOMENTUM_KEYS, RetrievalTrainState, make_retrieval_train_step,
+    )
+    from madtp_tpu.train.momentum import FeatureQueue
+
+    cfg = _our_cfg()
+
+    def proj(prefix):
+        return {"kernel": sd[prefix + ".weight"].T,
+                "bias": sd[prefix + ".bias"]}
+
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": remap_vit(sd, prefix="visual_encoder."),
+        "text_encoder": remap_med(sd, prefix="text_encoder."),
+        "space_dict": sd["space_dict"],
+        "vision_proj": proj("vision_proj"),
+        "text_proj": proj("text_proj"),
+        "itm_head": proj("itm_head"),
+    })
+    params_m = jax.tree.map(jnp.asarray, {
+        "visual_encoder": remap_vit(sd, prefix="visual_encoder_m."),
+        "text_encoder": remap_med(sd, prefix="text_encoder_m."),
+        "vision_proj": proj("vision_proj_m"),
+        "text_proj": proj("text_proj_m"),
+    })
+    assert set(params_m) == set(MOMENTUM_KEYS)
+    queue = FeatureQueue(
+        image=jnp.asarray(sd["image_queue"]),
+        text=jnp.asarray(sd["text_queue"]),
+        idx=jnp.full((Q,), -100, jnp.int32),
+        ptr=jnp.zeros((), jnp.int32),
+    )
+
+    import optax as _optax
+
+    tx = _optax.sgd(0.0)
+    step = make_retrieval_train_step(
+        cfg, tx, alpha=alpha, enc_token_id=ENC, negative_all_rank=False,
+        data_shards=1)
+    state = RetrievalTrainState(
+        params=params, params_m=params_m, opt_state=tx.init(params),
+        queue=queue, temp=jnp.float32(float(sd["temp"])))
+
+    t = tok(captions, padding="max_length", truncation=True, max_length=35,
+            return_tensors="pt")
+    _, metrics = step(state, jax.random.PRNGKey(0),
+                      jnp.asarray(images), jnp.asarray(t.input_ids.numpy()),
+                      jnp.asarray(t.attention_mask.numpy()),
+                      jnp.asarray(idx), jnp.float32(T))
+    np.testing.assert_allclose(float(metrics["loss_ita"]), float(lita_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(metrics["loss_fdt"]), float(lfdt_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(metrics["loss_fdt_m"]),
+                               float(lfdtm_ref), rtol=2e-4, atol=2e-5)
