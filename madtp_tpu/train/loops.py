@@ -357,10 +357,17 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
         logit_scale = jnp.exp(jnp.clip(params["logit_scale"], 0.0, 4.6052))
         img, txt, sd_img, sd_txt = towers(params, space_dict, images, text,
                                           temperature)
+        # reference quirk, mirrored for parity (clip/model.py:508-526):
+        # encode_text_m runs the ONLINE transformer + ln_final with the
+        # MOMENTUM token/positional embeddings and text projection — the
+        # transformer_m/ln_final_m copies are EMA-updated but never used
+        # (golden-tested in tests/test_golden_train_losses.py)
+        m_params = {**params, **params_m,
+                    "blocks": params["blocks"],
+                    "ln_final": params["ln_final"]}
         m_img, m_txt, sd_img_m, sd_txt_m = jax.tree_util.tree_map(
             jax.lax.stop_gradient,
-            towers({**params, **params_m}, space_dict, images, text,
-                   temperature))
+            towers(m_params, space_dict, images, text, temperature))
 
         idx_all = jnp.concatenate([idx, queue.idx])
         sim_targets = L.id_match_targets(idx, idx_all)

@@ -452,3 +452,119 @@ def test_retrieval_train_ita_fdt_losses_golden():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(float(metrics["loss_fdt_m"]),
                                float(lfdtm_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_clip_train_ita_fdt_losses_golden():
+    """CLIP compression losses vs the reference's own ``CLIP.forward``
+    (clip/model.py:529-595): logit_scale clamp, momentum EMA, queue soft
+    targets, online-feature enqueue, dual FDT — including the reference's
+    text-momentum quirk (encode_text_m runs the ONLINE transformer +
+    ln_final with momentum embeddings/projection; mirrored in
+    make_clip_train_step)."""
+    import importlib.util as ilu
+    import socket
+    import sys as _sys
+
+    def _load(name, p):
+        spec = ilu.spec_from_file_location(name, p)
+        mod = ilu.module_from_spec(spec)
+        _sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    if "ref_clip_model" not in _sys.modules:
+        _load("ref_clip_mock", "/root/reference/clip/mock.py")
+        refclip = _sys.modules["ref_clip_model"] = _load(
+            "ref_clip_model", "/root/reference/clip/model.py")
+    else:
+        refclip = _sys.modules["ref_clip_model"]
+
+    if not torch.distributed.is_initialized():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        torch.distributed.init_process_group(
+            backend="gloo", init_method=f"tcp://127.0.0.1:{port}",
+            rank=0, world_size=1)
+
+    E, B = 16, 4
+    ref = refclip.CLIP(
+        embed_dim=E, image_resolution=64, vision_layers=2, vision_width=128,
+        vision_patch_size=16, context_length=12, vocab_size=60,
+        transformer_width=64, transformer_heads=4, transformer_layers=2,
+        evaluate=False, config={"sd_num": 7, "sd_dim": 32},
+    )
+    ref.eval()
+    ref = ref.float()
+    randomize_state_dict(ref, seed=28)
+    sd = _resync(ref)
+    Q = ref.queue_size  # hardcoded 57600 in the reference ctor
+
+    rng = np.random.RandomState(29)
+    images = rng.randn(B, 3, 64, 64).astype(np.float32)
+    text = np.zeros((B, 12), np.int64)
+    for i in range(B):
+        text[i, 0] = 57
+        text[i, 1: 3 + i % 3] = rng.randint(5, 50, size=2 + i % 3)
+        text[i, 3 + i % 3] = 59  # eot (highest id)
+    ref.tokenize = lambda caption: torch.from_numpy(text)
+    idxv = np.array([3, 5, 7, 9])
+    alpha, T = 0.4, 0.8
+
+    with torch.no_grad():
+        lita_ref, lfdt_ref, lfdtm_ref = ref(
+            torch.from_numpy(images), ["x"] * B, alpha,
+            torch.from_numpy(idxv).view(-1, 1), temperature=T)
+
+    # ---- our side: the REAL CLIP train step ----
+    from madtp_tpu.ckpt.remap import remap_clip
+    from madtp_tpu.core.config import CLIPConfig
+    from madtp_tpu.train.loops import (
+        CLIP_MOMENTUM_KEYS, ClipTrainState, make_clip_train_step,
+    )
+    from madtp_tpu.train.momentum import FeatureQueue
+
+    cfg = CLIPConfig(
+        embed_dim=E, image_resolution=64, vision_layers=2, vision_width=128,
+        vision_patch_size=16, vision_heads_override=2, context_length=12,
+        vocab_size=60, transformer_width=64, transformer_heads=4,
+        transformer_layers=2, sd_dim=32,
+    )
+    params = jax.tree.map(jnp.asarray, remap_clip(sd))
+    # momentum copies: overlay the *_m weights under the online names and
+    # remap again
+    sd_m = dict(sd)
+    for k, v in sd.items():
+        for pre in ("visual_m.", "transformer_m.", "token_embedding_m.",
+                    "ln_final_m."):
+            if k.startswith(pre):
+                sd_m[pre[:-3] + "." + k[len(pre):]] = v
+    sd_m["positional_embedding"] = sd["positional_embedding_m"]
+    sd_m["text_projection"] = sd["text_projection_m"]
+    full_m = jax.tree.map(jnp.asarray, remap_clip(sd_m))
+    params_m = {k: full_m[k] for k in CLIP_MOMENTUM_KEYS}
+
+    import optax as _optax
+
+    tx = _optax.sgd(0.0)
+    step = make_clip_train_step(cfg, tx, alpha=alpha)
+    state = ClipTrainState(
+        params=params, params_m=params_m,
+        opt_state=tx.init({"params": params,
+                           "space_dict": jnp.asarray(sd["space_dict"])}),
+        queue=FeatureQueue(
+            image=jnp.asarray(sd["image_queue"]),
+            text=jnp.asarray(sd["text_queue"]),
+            idx=jnp.full((Q,), -100, jnp.int32),
+            ptr=jnp.zeros((), jnp.int32)),
+        space_dict=jnp.asarray(sd["space_dict"]),
+    )
+    _, metrics = step(state, jnp.asarray(images), jnp.asarray(text),
+                      jnp.asarray(idxv), jnp.float32(T))
+    np.testing.assert_allclose(float(metrics["loss_ita"]), float(lita_ref),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(metrics["loss_fdt"]), float(lfdt_ref),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(metrics["loss_fdt_m"]),
+                               float(lfdtm_ref), rtol=5e-4, atol=5e-5)
