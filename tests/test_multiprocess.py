@@ -150,3 +150,16 @@ def test_caption_driver_2proc_eval_merge(tmp_path):
                                         "test_epoch_eval_rank1.json")))
     assert rank0 and rank0 == rank1  # identical synthetic shards
     assert merged == rank0  # dedup by image_id collapses the duplicates
+
+
+def test_vqa_driver_2proc_eval_merge(tmp_path):
+    """2-process VQA eval: per-rank answer JSON + rank-0 merge (reference
+    compress_vqa_dtp.py + data/utils.py:47-86); shared output dir."""
+    shared = str(tmp_path / "vqa")
+    _launch(["madtp_tpu.cli.compress_vqa", "--synthetic"], 2,
+            [shared, shared])
+    merged = json.load(open(os.path.join(shared, "vqa_result.json")))
+    rank0 = json.load(open(os.path.join(shared, "vqa_result_rank0.json")))
+    rank1 = json.load(open(os.path.join(shared, "vqa_result_rank1.json")))
+    assert rank0 and rank0 == rank1  # identical synthetic shards
+    assert merged == rank0  # dedup by question_id collapses duplicates
