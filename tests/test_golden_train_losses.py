@@ -568,3 +568,42 @@ def test_clip_train_ita_fdt_losses_golden():
                                rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(float(metrics["loss_fdt_m"]),
                                float(lfdtm_ref), rtol=5e-4, atol=5e-5)
+
+
+def test_hard_negative_sampling_distribution_matches_reference():
+    """torch.multinomial draws can't be matched, but the SAMPLING
+    DISTRIBUTION can: the reference samples proportionally to
+    masked_fill(softmax(sim), same-id, 0) (models/blip_retrieval.py:229-243)
+    and our categorical over log-weights must induce exactly the same
+    normalized distribution per row."""
+    import torch.nn.functional as TF
+
+    from madtp_tpu.train.losses import sample_hard_negatives
+
+    rng = np.random.RandomState(30)
+    B, E = 5, 8
+    fa = rng.randn(B, E).astype(np.float32)
+    fb = rng.randn(B, E).astype(np.float32)
+    idxv = np.array([1, 2, 2, 3, 4])
+    temp = 0.3
+
+    sim = torch.from_numpy(fa) @ torch.from_numpy(fb).t() / temp
+    w = TF.softmax(sim, dim=1)
+    w = w.masked_fill(torch.from_numpy(idxv)[:, None]
+                      == torch.from_numpy(idxv)[None, :], 0)
+    ref_dist = (w / w.sum(1, keepdim=True)).numpy()
+
+    # our induced distribution: exp(logw) normalized (what categorical
+    # samples from)
+    mask = idxv[:, None] == idxv[None, :]
+    ours = np.asarray(jax.nn.softmax(
+        jnp.asarray(fa) @ jnp.asarray(fb).T / temp, axis=1))
+    ours = np.where(mask, 0.0, ours)
+    ours = ours / ours.sum(1, keepdims=True)
+    np.testing.assert_allclose(ours, ref_dist, atol=1e-6)
+
+    # and sample_hard_negatives never returns a masked index
+    out = np.asarray(sample_hard_negatives(
+        jax.random.PRNGKey(0), jnp.asarray(fa), jnp.asarray(fb),
+        jnp.asarray(idxv), jnp.asarray(idxv), jnp.float32(temp)))
+    assert not np.any(idxv[out] == idxv)
