@@ -34,7 +34,7 @@ import numpy as np
 
 from madtp_tpu.core.config import CLIPConfig
 from madtp_tpu.ops.attention import attention_core
-from madtp_tpu.ops.layers import layer_norm, linear, quick_gelu
+from madtp_tpu.ops.layers import layer_norm, linear, mlp, quick_gelu
 from madtp_tpu.prune.dtp import DTPSignals, TokenState, dtp_prune, init_token_state
 from madtp_tpu.prune.query import query_model
 
@@ -100,8 +100,8 @@ def clip_block(
         )
 
     x, alive, bias = state
-    h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x, LN_EPS))
-    x = x + linear(p["mlp"]["c_proj"], quick_gelu(h))
+    x = x + mlp({"fc1": p["mlp"]["c_fc"], "fc2": p["mlp"]["c_proj"]},
+                layer_norm(p["ln_2"], x, LN_EPS), act=quick_gelu)
     return TokenState(x, alive, bias), sd_ft, kept
 
 
@@ -176,8 +176,8 @@ def _tower_gather(params_blocks, state, *, num_layers, num_heads, temperature,
             state, signals, temperature, cap, variant="clip",
             max_keep=max_keep)
         x, alive, bias = state
-        h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x, LN_EPS))
-        x = x + linear(p["mlp"]["c_proj"], quick_gelu(h))
+        x = x + mlp({"fc1": p["mlp"]["c_fc"], "fc2": p["mlp"]["c_proj"]},
+                    layer_norm(p["ln_2"], x, LN_EPS), act=quick_gelu)
         state = TokenState(x, alive, bias)
         kept_list.append(kept)
     return state, sd_all, jnp.stack(kept_list)

@@ -33,7 +33,7 @@ import numpy as np
 
 from madtp_tpu.core.config import MedConfig
 from madtp_tpu.ops.attention import attention_core
-from madtp_tpu.ops.layers import dropout, gelu, layer_norm, linear
+from madtp_tpu.ops.layers import dropout, gelu, layer_norm, linear, mlp
 from madtp_tpu.prune.dtp import DTPSignals, TokenState, dtp_prune, init_token_state
 from madtp_tpu.prune.query import query_model
 
@@ -127,8 +127,8 @@ def _twin_cross_attn(p, x, enc0, enc1, cfg, *, alive0, alive1, layer_idx):
 
 
 def _ffn(p, x, cfg, rng=None):
-    h = gelu(linear(p["intermediate"]["dense"], x))
-    h = dropout(rng, linear(p["output"]["dense"], h),
+    h = mlp({"fc1": p["intermediate"]["dense"], "fc2": p["output"]["dense"]}, x)
+    h = dropout(rng, h,
                 cfg.hidden_dropout_prob if rng is not None else 0.0)
     return layer_norm(
         p["output"]["LayerNorm"], h + x,

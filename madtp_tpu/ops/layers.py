@@ -11,8 +11,12 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def linear(p, x):
@@ -43,9 +47,70 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _mlp_xla(p, x, act):
+    return linear(p["fc2"], act(linear(p["fc1"], x)))
+
+
+def _ffn_fused_eligible(p, x):
+    """Fused FFN dispatch — OPT-IN (``MADTP_FUSED_FFN=1``) pending the
+    on-chip A/B (tools/bench_ffn.py); see fused_ffn.py for the rationale.
+    Requires lane-aligned widths, matching weight dtype (the XLA path would
+    upcast the matmul if the kernel were wider than the activations), biases
+    present, and enough token rows to fill at least two row tiles."""
+    if os.environ.get("MADTP_FUSED_FFN", "") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    k1, k2 = p["fc1"]["kernel"], p["fc2"]["kernel"]
+    if p["fc1"].get("bias") is None or p["fc2"].get("bias") is None:
+        return False
+    D, F = k1.shape
+    if D % 128 or F % 128 or k2.shape != (F, D):
+        return False
+    if k1.dtype != x.dtype or k2.dtype != x.dtype:
+        return False
+    if int(np.prod(x.shape[:-1])) < 512:
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mlp_fused(p, x, act_name):
+    from madtp_tpu.ops.pallas.fused_ffn import fused_mlp_2d
+
+    x2 = x.reshape(-1, x.shape[-1])
+    y = fused_mlp_2d(x2, p["fc1"]["kernel"], p["fc1"]["bias"],
+                     p["fc2"]["kernel"], p["fc2"]["bias"], act=act_name)
+    return y.reshape(x.shape)
+
+
+def _mlp_fused_fwd(p, x, act_name):
+    return _mlp_fused(p, x, act_name), (p, x)
+
+
+def _mlp_fused_bwd(act_name, res, g):
+    # XLA-recompute backward (same strategy as the fused attention kernels):
+    # gradients are exactly the XLA path's.
+    p, x = res
+    act = gelu if act_name == "gelu" else quick_gelu
+    _, vjp = jax.vjp(lambda p_, x_: _mlp_xla(p_, x_, act), p, x)
+    return vjp(g)
+
+
+_mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
+
+
 def mlp(p, x, act=gelu):
     """Transformer FFN: fc1 -> act -> fc2 (reference models/vit.py:15-36)."""
-    return linear(p["fc2"], act(linear(p["fc1"], x)))
+    if act is gelu:
+        act_name = "gelu"
+    elif act is quick_gelu:
+        act_name = "quick_gelu"
+    else:
+        act_name = None
+    if act_name is not None and _ffn_fused_eligible(p, x):
+        return _mlp_fused(p, x, act_name)
+    return _mlp_xla(p, x, act)
 
 
 def patch_embed(p, images):
