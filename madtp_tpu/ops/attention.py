@@ -58,9 +58,14 @@ FUSED_MIN_N = 192
 
 def _fused_eligible(q, key_bias, key_alive, need_scores):
     """The Pallas fused kernel handles the scoring self-attention pattern:
-    per-key bias only, alive masking, N a lane multiple, on TPU."""
+    per-key bias only, alive masking, N a lane multiple, on TPU.
+    ``MADTP_NO_FUSED_ATTN=1`` is the escape hatch back to pure XLA (mirrors
+    ``MADTP_NO_FUSED_BWD`` for the backward)."""
     import jax
+    import os
 
+    if os.environ.get("MADTP_NO_FUSED_ATTN"):
+        return False
     if not need_scores or key_alive is None:
         return False
     B, H, N, Dh = q.shape

@@ -189,3 +189,16 @@ def test_fused_ffn_grads_are_xla_grads():
             np.testing.assert_allclose(
                 np.asarray(gp_f[key][leaf]), np.asarray(gp_r[key][leaf]),
                 atol=1e-5, rtol=1e-5, err_msg=f"{key}.{leaf}")
+
+
+def test_no_fused_attn_escape_hatch(monkeypatch):
+    """MADTP_NO_FUSED_ATTN=1 must force the XLA scoring path even on TPU
+    (backend-codegen-fault escape hatch, tools/repro_sched_crash.py)."""
+    from madtp_tpu.ops import attention as A
+
+    q = jnp.zeros((2, 4, 256, 16), jnp.float32)
+    alive = jnp.ones((2, 256), bool)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert A._fused_eligible(q, None, alive, need_scores=True)
+    monkeypatch.setenv("MADTP_NO_FUSED_ATTN", "1")
+    assert not A._fused_eligible(q, None, alive, need_scores=True)
