@@ -55,6 +55,16 @@ def _merge_heads(x):
 # threshold picked by on-chip A/B, tools/bench_ablate.py).
 FUSED_MIN_N = 192
 
+# Above this many (padded) key slots the full kernel's [N,N] fp32 VMEM
+# scratches (colmax; + tie counts in the backward) would blow the VMEM
+# budget; the forward switches to the query-tiled kernel
+# (fused_attention_scores_tiled: [TQ,N] scratch, K/V re-fetched per tile)
+# and the backward falls back to the XLA VJP (VERDICT r2 weak #6).
+FUSED_FULL_MAX_N = 1536
+# Tiled-kernel ceiling: beyond this pure XLA takes over (nothing in the
+# model zoo comes close — ViT-B/480 is 901 tokens; this covers ~1280px).
+FUSED_TILED_MAX_N = 4096
+
 
 def _fused_eligible(q, key_bias, key_alive, need_scores):
     """The Pallas fused kernel handles the scoring self-attention pattern:
@@ -73,11 +83,7 @@ def _fused_eligible(q, key_bias, key_alive, need_scores):
         return False  # kernel wrapper pads N up to a lane multiple itself
     if N < FUSED_MIN_N:
         return False
-    if N > 1536:
-        # graceful fallback (VERDICT r2 weak #6): the kernel holds [N,N]
-        # fp32 colmax (+ tie counts in the backward) in VMEM — ~9 MB at
-        # N=1536; beyond that (e.g. larger images) the XLA path takes over
-        # rather than blowing the VMEM budget
+    if N > FUSED_TILED_MAX_N:
         return False
     return jax.default_backend() == "tpu"
 
@@ -319,10 +325,15 @@ def _fused_scores_diff(q, k, v, key_alive, key_bias, scale):
 
 
 def _fused_forward(q, k, v, key_alive, key_bias, scale):
-    from madtp_tpu.ops.pallas.fused_attention import fused_attention_scores
+    from madtp_tpu.ops.pallas.fused_attention import (
+        fused_attention_scores, fused_attention_scores_tiled)
 
     B, H, Nq, Dh = q.shape
     Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
+    tiled = Np > FUSED_FULL_MAX_N
+    if tiled:
+        # query-tiled kernel: pad up to a tile multiple (dead-masked slots)
+        Np = ((Nq + 511) // 512) * 512
     pad = Np - Nq
     qt, kt, vt = (
         jnp.pad(x.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, 0), (0, pad)))
@@ -330,9 +341,15 @@ def _fused_forward(q, k, v, key_alive, key_bias, scale):
     )
     alive_p = jnp.pad(key_alive, ((0, 0), (0, pad)))
     bias_p = jnp.pad(key_bias, ((0, 0), (0, pad)))
-    out_t, col, cls = fused_attention_scores(
-        qt, kt, vt, alive_p, bias_p, num_heads=H, scale=scale
-    )
+    if tiled:
+        out_t, col, cls = fused_attention_scores_tiled(
+            qt, kt, vt, alive_p, bias_p, num_heads=H, scale=scale,
+            tile_q=512,
+        )
+    else:
+        out_t, col, cls = fused_attention_scores(
+            qt, kt, vt, alive_p, bias_p, num_heads=H, scale=scale
+        )
     out = out_t[..., :Nq].transpose(0, 3, 1, 2).reshape(B, Nq, H * Dh)
     return out, cls[:, 1:Nq], col[:, 1:Nq]
 
@@ -347,6 +364,7 @@ def _fused_bwd(scale, res, cts):
 
     q, k, v, key_alive, key_bias = res
     if (jax.default_backend() == "tpu"
+            and ((q.shape[2] + 127) // 128) * 128 <= FUSED_FULL_MAX_N
             and not os.environ.get("MADTP_NO_FUSED_BWD")):
         # fused Pallas backward: probabilities recomputed in VMEM (two head
         # passes), never materializing [B,H,N,N] in HBM — the XLA-VJP

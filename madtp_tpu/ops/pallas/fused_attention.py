@@ -370,6 +370,226 @@ def fused_attention_scores_bwd(
     return dq, dk, dv, dbias[:, 0, :]
 
 
+def _kernel_tiled(q_ref, k_ref, v_ref, alive_ref, bias_ref, qmask_ref,
+                  o_ref, col_ref, cls_ref,
+                  kvh, qh, oh, ptile, clsrows, clstile, rownorms, colparts,
+                  sems, osem,
+                  *, num_heads: int, scale: float, tq: int, num_tiles: int):
+    """Query-tiled variant of :func:`_kernel` for large N.
+
+    The full kernel holds a [N,N] fp32 colmax accumulator in VMEM, which
+    caps N (~1536 under the 100 MB budget with the rest of the scratch).
+    Here the query axis is processed in tiles of ``tq``: the per-tile
+    colmax is only [tq, N], the column-mass and output accumulate across
+    tiles, and K/V are re-fetched per tile (num_tiles x H extra K/V HBM
+    reads — still far below the [B,H,N,N] probability round trip the XLA
+    fallback pays at these sizes).  Loop order is tile-major, head-minor so
+    the cross-head max sits innermost over the resident tile.
+
+    Mosaic gotchas (hit on real hardware, some invisible in interpret
+    mode): vector loads/stores with a DYNAMIC lane offset silently produce
+    wrong values, and lane-axis slicing/concatenation beyond the first
+    128-lane tile is unimplemented ("Input offsets outside of the first
+    tile").  Every cross-tile carrier below therefore uses only
+    leading-dim indexing with lane-offset-0 rows (rownorms keyed by the
+    flattened loop index, per-tile col partials in ``colparts``), the
+    per-tile qmask arrives pre-reshaped as [T, tq], clsrows are re-sliced
+    per tile with a DMA (DMAs handle arbitrary offsets), and the cls
+    output is written as [T, tq] blocks at static tile indices.
+    """
+    b = pl.program_id(0)
+
+    alive = alive_ref[0, 0, :]  # [N]
+    bias = bias_ref[0, 0, :]
+
+    total = num_tiles * num_heads
+    hpad = ((num_heads + 7) // 8) * 8
+
+    def split(idx):
+        return jax.lax.div(idx, num_heads), jax.lax.rem(idx, num_heads)
+
+    def start_fetch(idx, slot):
+        t, h = split(idx)
+        pltpu.make_async_copy(
+            q_ref.at[b, h, :, pl.ds(t * tq, tq)], qh.at[slot],
+            sems.at[slot]).start()
+        pltpu.make_async_copy(k_ref.at[b, h], kvh.at[slot, 0],
+                              sems.at[slot]).start()
+        pltpu.make_async_copy(v_ref.at[b, h], kvh.at[slot, 1],
+                              sems.at[slot]).start()
+
+    def wait_fetch(idx, slot):
+        t, h = split(idx)
+        pltpu.make_async_copy(
+            q_ref.at[b, h, :, pl.ds(t * tq, tq)], qh.at[slot],
+            sems.at[slot]).wait()
+        pltpu.make_async_copy(k_ref.at[b, h], kvh.at[slot, 0],
+                              sems.at[slot]).wait()
+        pltpu.make_async_copy(v_ref.at[b, h], kvh.at[slot, 1],
+                              sems.at[slot]).wait()
+
+    def out_copy(idx):
+        t, h = split(idx)
+        return pltpu.make_async_copy(
+            oh, o_ref.at[b, h, :, pl.ds(t * tq, tq)], osem)
+
+    start_fetch(0, 0)
+
+    def body(idx, _):
+        slot = jax.lax.rem(idx, 2)
+        t, h = split(idx)
+
+        @pl.when(idx + 1 < total)
+        def _():
+            start_fetch(idx + 1, jax.lax.rem(idx + 1, 2))
+
+        wait_fetch(idx, slot)
+        qt = qh[slot]  # [Dh, tq]
+        kh = kvh[slot, 0]  # [Dh, N]
+        vh = kvh[slot, 1]
+
+        logits = jax.lax.dot_general(
+            qt, kh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [tq, N]
+        logits = logits + bias[None, :]
+        logits = jnp.where(alive[None, :] > 0, logits, NEG)
+
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=1, keepdims=True)
+        p = e / jnp.maximum(s, 1e-30)  # [tq, N]
+
+        o = jax.lax.dot_general(
+            vh, p.astype(vh.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Dh, tq]
+
+        @pl.when(idx > 0)
+        def _():
+            out_copy(idx - 1).wait()
+        oh[:, :] = o.astype(oh.dtype)
+        out_copy(idx).start()
+
+        @pl.when(h == 0)
+        def _():
+            ptile[:, :] = p
+
+        @pl.when(h > 0)
+        def _():
+            ptile[:, :] = jnp.maximum(ptile[:, :], p)
+
+        # per-(tile, head) row norms in 8-aligned per-tile row blocks —
+        # tile-local [tq] rows at lane offset 0
+        rownorms[t * hpad + h, :] = jnp.sqrt(jnp.sum(o * o, axis=0))
+
+        @pl.when(t == 0)
+        def _():
+            clsrows[h, :] = p[0, :]
+
+        @pl.when(h == num_heads - 1)
+        def _():
+            qm_t = qmask_ref[0, t, :]  # [tq] (dynamic leading index)
+            colparts[t, :] = jnp.sum(ptile[:, :] * qm_t[:, None], axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0, unroll=False)
+    out_copy(total - 1).wait()
+
+    # column mass: sum the per-tile partials along sublanes (no offsets)
+    col_ref[0, 0, :] = jnp.sum(colparts[:, :], axis=0) * alive
+
+    # head-importance combine per tile: S = sum_h rn,
+    # cls = (sum_h clsrow*rn) / (S+eps); clsrows' tile slice arrives via
+    # DMA and rows >= num_heads (scratch padding, possibly garbage) are
+    # masked out of every reduction
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (hpad, tq), 0)
+               < num_heads)
+    for t in range(num_tiles):
+        cp = pltpu.make_async_copy(
+            clsrows.at[:, pl.ds(t * tq, tq)], clstile, osem)
+        cp.start()
+        cp.wait()
+        rn_t = jnp.where(rowmask, rownorms[t * hpad:(t + 1) * hpad, :], 0.0)
+        C_t = jnp.sum(jnp.where(rowmask, clstile[:, :] * rn_t, 0.0), axis=0)
+        S_t = jnp.sum(rn_t, axis=0)
+        cls_ref[0, t, :] = C_t / (S_t + 1e-8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "tile_q", "interpret"))
+def fused_attention_scores_tiled(
+    q: jnp.ndarray,  # [B, H, Dh, N]  (tokens on lanes)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    alive: jnp.ndarray,  # [B, N] bool
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    scale: float,
+    tile_q: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Query-tiled :func:`fused_attention_scores` for N beyond the full
+    kernel's VMEM cap.  Same outputs; requires ``N % tile_q == 0`` and
+    ``tile_q`` a lane multiple (the :mod:`madtp_tpu.ops.attention` wrapper
+    pads to both)."""
+    B, H, Dh, N = q.shape
+    assert H == num_heads
+    assert N % tile_q == 0 and tile_q % 128 == 0, (N, tile_q)
+    num_tiles = N // tile_q
+    af = alive.astype(jnp.float32)
+    bf = jnp.zeros_like(af) if bias is None else bias.astype(jnp.float32)
+    # qmask pre-reshaped per tile so the kernel only ever loads it with a
+    # dynamic LEADING index (dynamic lane offsets miscompile on Mosaic)
+    qm = af.at[:, 0].set(0.0).reshape(B, num_tiles, tile_q)
+    af, bf = (x[:, None, :] for x in (af, bf))
+
+    vec_in = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    qm_in = pl.BlockSpec((1, num_tiles, tile_q), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hpad = ((H + 7) // 8) * 8
+    out, col, cls = pl.pallas_call(
+        functools.partial(_kernel_tiled, num_heads=H, scale=scale,
+                          tq=tile_q, num_tiles=num_tiles),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec_in, vec_in, qm_in,
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec_in, qm_in,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Dh, N), q.dtype),
+            jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_tiles, tile_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, Dh, N), q.dtype),  # double-buffered k/v
+            pltpu.VMEM((2, Dh, tile_q), q.dtype),  # double-buffered q tile
+            pltpu.VMEM((Dh, tile_q), q.dtype),  # out staging
+            pltpu.VMEM((tile_q, N), jnp.float32),  # per-tile colmax
+            pltpu.VMEM((hpad, N), jnp.float32),  # cls rows
+            pltpu.VMEM((hpad, tile_q), jnp.float32),  # cls-row tile slice
+            pltpu.VMEM((num_tiles * hpad, tile_q), jnp.float32),  # row norms
+            pltpu.VMEM((num_tiles, N), jnp.float32),  # per-tile col partials
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+    )(q, k, v, af, bf, qm)
+    return out, col[:, 0, :], cls.reshape(B, N)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret"))
 def fused_attention_scores(
