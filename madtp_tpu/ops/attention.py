@@ -66,6 +66,16 @@ FUSED_FULL_MAX_N = 1536
 FUSED_TILED_MAX_N = 4096
 
 
+def _needs_tiling(nq):
+    """True when the 128-lane-aligned padded length exceeds the full
+    kernel's VMEM cap.  The forward's kernel choice and the backward's
+    fused-vs-XLA gate MUST key off this same predicate: the fused backward
+    has no tiled variant, so a forward that tiles must pair with the XLA
+    VJP (tests/test_pallas.py::test_fused_forward_tiled_glue_and_bwd_gate).
+    """
+    return ((nq + 127) // 128) * 128 > FUSED_FULL_MAX_N
+
+
 def _fused_eligible(q, key_bias, key_alive, need_scores):
     """The Pallas fused kernel handles the scoring self-attention pattern:
     per-key bias only, alive masking, N a lane multiple, on TPU.
@@ -329,11 +339,12 @@ def _fused_forward(q, k, v, key_alive, key_bias, scale):
         fused_attention_scores, fused_attention_scores_tiled)
 
     B, H, Nq, Dh = q.shape
-    Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
-    tiled = Np > FUSED_FULL_MAX_N
+    tiled = _needs_tiling(Nq)
     if tiled:
         # query-tiled kernel: pad up to a tile multiple (dead-masked slots)
         Np = ((Nq + 511) // 512) * 512
+    else:
+        Np = ((Nq + 127) // 128) * 128  # lane alignment; padding slots dead
     pad = Np - Nq
     qt, kt, vt = (
         jnp.pad(x.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, 0), (0, pad)))
@@ -364,7 +375,7 @@ def _fused_bwd(scale, res, cts):
 
     q, k, v, key_alive, key_bias = res
     if (jax.default_backend() == "tpu"
-            and ((q.shape[2] + 127) // 128) * 128 <= FUSED_FULL_MAX_N
+            and not _needs_tiling(q.shape[2])
             and not os.environ.get("MADTP_NO_FUSED_BWD")):
         # fused Pallas backward: probabilities recomputed in VMEM (two head
         # passes), never materializing [B,H,N,N] in HBM — the XLA-VJP

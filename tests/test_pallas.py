@@ -256,10 +256,10 @@ def test_fused_tiled_single_tile_matches_full_kernel():
 
 
 def test_large_n_dispatch_gates(monkeypatch):
-    """Eligibility/backward gates around the tiled kernel: N up to
-    FUSED_TILED_MAX_N is fused-eligible, beyond falls back to XLA; the
-    fused BACKWARD only engages up to FUSED_FULL_MAX_N (its [N,N] tie
-    scratch has no tiled variant — the XLA VJP takes over)."""
+    """Eligibility gates around the tiled kernel: N up to
+    FUSED_TILED_MAX_N is fused-eligible, beyond falls back to XLA (the
+    backward gate is exercised end-to-end in
+    test_fused_forward_tiled_glue_and_bwd_gate)."""
     from madtp_tpu.ops import attention as A
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -269,6 +269,65 @@ def test_large_n_dispatch_gates(monkeypatch):
     alive_big = jnp.ones((1, A.FUSED_TILED_MAX_N + 128), bool)
     q_big = jnp.zeros((1, 4, A.FUSED_TILED_MAX_N + 128, 16), jnp.float32)
     assert not A._fused_eligible(q_big, None, alive_big, need_scores=True)
+
+
+def test_fused_forward_tiled_glue_and_bwd_gate(monkeypatch):
+    """End-to-end through the production wrapper at a large, NON-tile-
+    multiple N: _fused_forward must route to the tiled kernel (512-pad,
+    dead-masked padding, cls/col [:, 1:Nq] slicing) and agree with the XLA
+    scoring attention; the backward through _fused_scores_diff must take
+    the XLA-VJP branch (_needs_tiling — the fused backward has no tiled
+    variant; were the gate wrong, the non-interpret Pallas backward would
+    error on CPU here) and produce XLA-exact gradients."""
+    import functools as ft
+
+    from madtp_tpu.ops import attention as A
+    from madtp_tpu.ops.pallas import fused_attention as FA
+
+    assert A._needs_tiling(1560) and not A._needs_tiling(1536)
+
+    # force interpret mode through the production call sites
+    monkeypatch.setattr(
+        FA, "fused_attention_scores_tiled",
+        ft.partial(FA.fused_attention_scores_tiled, interpret=True))
+    monkeypatch.setattr(
+        FA, "fused_attention_scores",
+        ft.partial(FA.fused_attention_scores, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    B, H, Nq, Dh = 1, 2, 1560, 8
+    rng = np.random.RandomState(7)
+    q, k, v = (jnp.asarray(rng.randn(B, H, Nq, Dh).astype(np.float32))
+               for _ in range(3))
+    alive = np.ones((B, Nq), bool)
+    alive[0, 1490:] = False
+    alive = jnp.asarray(alive)
+    bias = jnp.asarray((rng.rand(B, Nq) < 0.1).astype(np.float32) * -1e4)
+    scale = Dh ** -0.5
+
+    ref = A._xla_attention_scores(q, k, v, alive, bias, scale)
+    got = A._fused_forward(q, k, v, alive, bias, scale)
+    for g, r, name, tol in zip(got, (ref[0], ref[1], ref[2]),
+                               ("out", "cls", "col"), (5e-6, 5e-6, 5e-6)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=tol,
+                                   err_msg=name)
+
+    w_out = jnp.asarray(rng.randn(B, Nq, H * Dh).astype(np.float32))
+    w_cls = jnp.asarray(rng.randn(B, Nq - 1).astype(np.float32))
+    w_col = jnp.asarray(rng.randn(B, Nq - 1).astype(np.float32))
+
+    def loss(fn, q_, k_, v_, b_):
+        o, c, m = fn(q_, k_, v_, alive, b_, scale)
+        return (jnp.sum(o * w_out) + jnp.sum(c * w_cls)
+                + jnp.sum(m * w_col))
+
+    g_fused = jax.grad(ft.partial(loss, A._fused_scores_diff),
+                       argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_xla = jax.grad(ft.partial(loss, A._xla_attention_scores),
+                     argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for gf, gx, name in zip(g_fused, g_xla, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   atol=1e-5, err_msg=name)
 
 
 def test_no_fused_attn_escape_hatch(monkeypatch):
