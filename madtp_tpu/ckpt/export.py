@@ -144,7 +144,7 @@ def save_native(path: str, tree, extras: dict | None = None):
             json.dump(extras, f)
 
 
-def load_native(path: str):
+def load_native(path: str, *, require_extras: bool = False):
     import json
     import os
 
@@ -155,7 +155,13 @@ def load_native(path: str):
     extras = {}
     jpath = os.path.splitext(path)[0] + ".json"
     if os.path.exists(jpath):
-        extras = json.load(open(jpath))
+        with open(jpath) as f:
+            extras = json.load(f)
+    elif require_extras:
+        raise FileNotFoundError(
+            f"native checkpoint sidecar {jpath} is missing — it carries the "
+            "resume metadata (epoch/temperature/...) written by save_native; "
+            "copy it alongside the .npz")
     return unflatten_tree(flat), extras
 
 

@@ -181,6 +181,10 @@ def cached_probe_batches(cache: list, loader_factory, n: int = 2):
         close = getattr(it, "close", None)
         if close is not None:
             close()
+        if not cache[0]:
+            raise ValueError(
+                "probe loader yielded no batches — dataset smaller than "
+                "the probe batch size with drop_last=True?")
     return cache[0]
 
 

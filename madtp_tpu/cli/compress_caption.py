@@ -286,10 +286,13 @@ def main():
     from madtp_tpu.cli.common import cached_probe_batches
 
     probe_cache = [None]
+    probe_bs = min(8, config.get("batch_size", 32))
+    # drop partial batches only when a full one exists — a tiny (fixture)
+    # dataset would otherwise yield ZERO probe batches
     probe_imgs_list = [b[0] for b in cached_probe_batches(
         probe_cache, lambda: batched_loader(
-            ds, min(8, config.get("batch_size", 32)), shuffle=True,
-            num_workers=0, drop_last=True), n=3)]
+            ds, probe_bs, shuffle=True,
+            num_workers=0, drop_last=len(ds) >= probe_bs), n=3)]
 
     @jax.jit
     def probe(params, images, t):

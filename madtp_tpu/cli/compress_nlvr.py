@@ -296,7 +296,7 @@ def main():
             # ordered leaf list against the freshly-initialized template.
             from madtp_tpu.ckpt.export import load_native
 
-            tree, meta = load_native(args.resume)
+            tree, meta = load_native(args.resume, require_extras=True)
             params = tree["params"]
             leaves = [tree["opt_leaves"][f"{i:03d}"]
                       for i in range(len(tree["opt_leaves"]))]

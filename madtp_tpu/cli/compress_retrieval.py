@@ -70,6 +70,7 @@ def main():
         image_batches = [rng2.randn(3, 3, image_size, image_size).astype(np.float32)
                          for _ in range(2)]
         image_batches_fn = lambda: iter(list(image_batches))
+        image_block_fn = lambda lo, hi: iter(list(image_batches)[lo:hi])
         texts = [f"a picture of w{i}" for i in range(n_img)]
         txt2img = {i: i for i in range(n_img)}
         img2txt = {i: [i] for i in range(n_img)}
@@ -98,6 +99,13 @@ def main():
         def image_batches_fn():
             return (b[0] for b in batched_loader(
                 ds, config.get("batch_size_test", 32)))
+
+        def image_block_fn(lo, hi):
+            # range-restricted loader: the skipped batches never decode
+            # (an islice would decode everything before lo on every rank)
+            return (b[0] for b in batched_loader(
+                ds, config.get("batch_size_test", 32),
+                batch_range=(lo, hi)))
 
         image_batches = image_batches_fn()
 
@@ -156,7 +164,7 @@ def main():
             from madtp_tpu.tasks.retrieval import encode_corpus_sharded
 
             img_feats, img_states, txt_feats = encode_corpus_sharded(
-                params, cfg, image_batches, text_ids, text_mask,
+                params, cfg, image_block_fn, text_ids, text_mask,
                 n_batches=n_image_batches,
                 temperature=temperature, prune_active=prune,
                 capacities_v=caps_v, capacities_t=caps_t, mesh=mesh,
@@ -173,6 +181,10 @@ def main():
             prune_active=prune, capacities_t=caps_t, mesh=mesh, shard=shard,
         )
         if shard is not None:
+            # named checkpoint before the merge: merge_scores' allgather
+            # already synchronizes, but a named barrier turns a rank that
+            # died mid-rerank into a clear timeout HERE instead of a shape
+            # mismatch inside the gather
             dist.barrier("retrieval_scores")
             s_i2t = dist.merge_scores(s_i2t)
             s_t2i = dist.merge_scores(s_t2i)
@@ -184,7 +196,13 @@ def main():
     s_i2t, s_t2i = full_scores(params, temperature, prune, caps_v, caps_t,
                                iter(image_batches))
     if os.environ.get("MADTP_DUMP_SCORES"):
-        np.savez(os.path.join(args.output_dir, "scores.npz"),
+        # per-rank filenames: post-merge matrices are identical on every
+        # rank (the 2-process test PROVES it by comparing the dumps), and
+        # distinct names keep concurrent writes to a SHARED output_dir
+        # from corrupting each other
+        name = ("scores.npz" if dist.process_count() <= 1
+                else f"scores_r{dist.process_index()}.npz")
+        np.savez(os.path.join(args.output_dir, name),
                  i2t=s_i2t, t2i=s_t2i)
     stats = itm_eval(s_i2t, s_t2i, txt2img, img2txt)
     log = {k: round(v, 3) for k, v in stats.items()}
@@ -316,10 +334,12 @@ def main():
         )
 
         vks, tks = [], []
+        probe_bs = config.get("batch_size_train", 16)
         for images, captions, _ in cached_probe_batches(
                 probe_cache, lambda: batched_loader(
-                    train_ds, config.get("batch_size_train", 16),
-                    shuffle=True, epoch=0, drop_last=True)):
+                    train_ds, probe_bs, shuffle=True, epoch=0,
+                    # keep the partial batch when it's the only one
+                    drop_last=len(train_ds) >= probe_bs)):
             tok = tokenizer(list(captions), padding="max_length",
                             max_length=35)
             vk, tk = ft_probe(

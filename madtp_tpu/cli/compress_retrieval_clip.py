@@ -304,7 +304,10 @@ def main():
             for images_p, _, _ in cached_probe_batches(
                 probe_cache, lambda: batched_loader(
                     train_ds, config.get("batch_size_train", 16),
-                    shuffle=True, epoch=0, drop_last=True))])
+                    shuffle=True, epoch=0,
+                    # keep the partial batch when it's the only one
+                    drop_last=(len(train_ds)
+                               >= config.get("batch_size_train", 16))))])
         cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_clip_train_step(

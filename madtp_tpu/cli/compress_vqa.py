@@ -213,6 +213,12 @@ def main():
             consume(pending)
         return results, g_sum / max(n, 1)
 
+    def sync_gflops(cur_g):
+        """Average the analytic GFLOPs over all processes' eval shards."""
+        if n_procs > 1:
+            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
+        return cur_g
+
     if args.synthetic:
         rng = np.random.RandomState(1)
 
@@ -231,8 +237,7 @@ def main():
         save_result(results, args.output_dir, "vqa_result",
                     remove_duplicate="question_id", rank=proc_id,
                     world_size=n_procs, barrier=dist.barrier)
-        if n_procs > 1:
-            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
+        cur_g = sync_gflops(cur_g)
         log = {"n_answers": len(results), "Cur_Gflops": round(cur_g, 4),
                "sample": results[0]["answer"]}
         if dist.is_main_process():
@@ -253,17 +258,15 @@ def main():
         return batched_loader(ds, config.get("batch_size_test", 16),
                               num_shards=n_procs, shard_id=proc_id)
 
-    def sync_gflops(cur_g):
-        """Average the analytic GFLOPs over all processes' eval shards."""
-        if n_procs > 1:
-            cur_g = float(dist.host_sum(np.asarray([cur_g]))[0]) / n_procs
-        return cur_g
-
     if args.evaluate:
         if args.fast_eval:
             calibrate_fast_eval(test_loader)
         results, cur_g = run_eval(test_loader)
-        save_result(results, args.output_dir, "vqa_result", rank=proc_id,
+        # dedup on question_id like the reference (data/utils.py:76-82):
+        # shard_indices pads ragged shards by repeating indices, and those
+        # duplicates must not reach the scoring server
+        save_result(results, args.output_dir, "vqa_result",
+                    remove_duplicate="question_id", rank=proc_id,
                     world_size=n_procs, barrier=dist.barrier)
         cur_g = sync_gflops(cur_g)
         if dist.is_main_process():
@@ -423,7 +426,8 @@ def main():
             params = jax.tree.map(np.asarray, params)
         results, cur_g = run_eval(test_loader)
         save_result(results, args.output_dir, f"vqa_result_epoch{epoch}",
-                    rank=proc_id, world_size=n_procs, barrier=dist.barrier)
+                    remove_duplicate="question_id", rank=proc_id,
+                    world_size=n_procs, barrier=dist.barrier)
         cur_g = sync_gflops(cur_g)
         if dist.is_main_process():
             sd = {}

@@ -64,9 +64,16 @@ def batched_loader(
     num_workers: int = 8,
     collate: Callable = default_collate,
     prefetch: int = 4,
+    batch_range=None,
 ) -> Iterator:
     """Yields collated batches; image decode runs on a thread pool with
     ``prefetch`` batches in flight.
+
+    ``batch_range=(lo, hi)`` restricts to that slice of the BATCH schedule
+    without decoding the skipped batches (multi-process corpus encode:
+    each process pulls only its contiguous block — an ``islice`` over the
+    full loader would decode everything before ``lo``).  Batch membership
+    is identical to the unrestricted schedule.
 
     ``MADTP_MP_LOADER=1`` delegates to the PROCESS-worker loader
     (:mod:`madtp_tpu.data.mp_loader`) — same schedule, same batch order
@@ -83,7 +90,7 @@ def batched_loader(
             dataset, batch_size, shuffle=shuffle, seed=seed, epoch=epoch,
             num_shards=num_shards, shard_id=shard_id, drop_last=drop_last,
             num_workers=min(num_workers, os.cpu_count() or 1),
-            prefetch=prefetch, collate=collate)
+            prefetch=prefetch, collate=collate, batch_range=batch_range)
         return
     idx = shard_indices(
         len(dataset), shuffle=shuffle, seed=seed, epoch=epoch,
@@ -92,6 +99,8 @@ def batched_loader(
     batches = [idx[i : i + batch_size] for i in range(0, len(idx), batch_size)]
     if drop_last:
         batches = [b for b in batches if len(b) == batch_size]
+    if batch_range is not None:
+        batches = batches[batch_range[0] : batch_range[1]]
     if not batches:
         return
 

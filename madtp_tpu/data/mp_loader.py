@@ -168,10 +168,12 @@ def mp_batched_loader(
     num_workers: int = 4,
     prefetch: int = 4,
     collate: Callable = default_collate,
+    batch_range=None,
 ) -> Iterator:
     """Drop-in for ``batched_loader`` with PROCESS workers.  Yields collated
     batches in deterministic order; ``num_workers + prefetch`` batches are
-    in flight, each owning a reused shared-memory slot."""
+    in flight, each owning a reused shared-memory slot.  ``batch_range``
+    as in :func:`madtp_tpu.data.loader.batched_loader`."""
     idx = shard_indices(
         len(dataset), shuffle=shuffle, seed=seed, epoch=epoch,
         num_shards=num_shards, shard_id=shard_id, drop_last=drop_last,
@@ -179,6 +181,8 @@ def mp_batched_loader(
     batches = [idx[i: i + batch_size] for i in range(0, len(idx), batch_size)]
     if drop_last:
         batches = [b for b in batches if len(b) == batch_size]
+    if batch_range is not None:
+        batches = batches[batch_range[0] : batch_range[1]]
     if not batches:
         return
     if num_workers <= 0:

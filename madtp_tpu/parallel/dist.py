@@ -118,11 +118,6 @@ def host_sum(x) -> np.ndarray:
     return host_allgather(x).sum(axis=0)
 
 
-def host_max(x) -> np.ndarray:
-    """Cross-process elementwise MAX of a host array."""
-    return host_allgather(x).max(axis=0)
-
-
 def merge_scores(x) -> np.ndarray:
     """Cross-process merge of -100-initialized row-sharded score matrices:
     sentinel-aware select (each entry written by at most one process) —

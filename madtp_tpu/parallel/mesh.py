@@ -43,7 +43,7 @@ def data_mesh(enable: bool = True) -> Optional[Mesh]:
     data shard independently (the reference's per-rank model replica) and
     syncs at the torchrun-parity points — train-step gradients ride the
     GLOBAL mesh (:func:`global_data_mesh`), eval results merge on host
-    (parallel/dist.host_sum / host_max / save_result)."""
+    (parallel/dist.host_sum / merge_scores / save_result)."""
     if not enable:
         return None
     devices = jax.local_devices()

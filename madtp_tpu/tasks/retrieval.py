@@ -14,9 +14,11 @@ differences:
   tests/test_retrieval_task.py);
 * single-process multi-device: ``mesh`` shards the vmapped row axis over
   'data' (rows are independent, so this is embarrassingly parallel);
-  multi-process: ``row_slice`` splits rows across processes and
-  ``merge_score_matrices`` combines the -100-initialized score matrices
-  (the reference's ``dist.all_reduce(SUM)`` at ``:202-205``).
+  multi-process: ``shard=(num_shards, shard_id)`` splits rows across
+  processes with the reference's step arithmetic and
+  ``parallel.dist.merge_scores`` sentinel-selects the -100-initialized
+  score matrices back together (the reference's ``dist.all_reduce(SUM)``
+  at ``:202-205`` — ours is bit-exact because shards are disjoint).
 """
 
 from __future__ import annotations
@@ -140,7 +142,12 @@ def encode_corpus(
 def encode_corpus_sharded(
     params,
     cfg: BlipConfig,
-    image_batches,  # iterable of [b,3,H,W] numpy batches
+    image_batches,  # iterable of [b,3,H,W] numpy batches, OR a callable
+    # (lo, hi) -> iterator over just that slice of the batch schedule —
+    # preferred for lazy loaders: an islice over a streaming loader decodes
+    # every batch BEFORE lo on each rank (~(P+1)/2 redundant decode work
+    # fleet-wide), while a range-restricted loader
+    # (data/loader.batched_loader(batch_range=...)) skips it
     text_ids: np.ndarray,
     text_mask: np.ndarray,
     *,
@@ -170,8 +177,10 @@ def encode_corpus_sharded(
 
     P, r = D.process_count(), D.process_index()
     if P <= 1:
+        batches = (image_batches(0, n_batches) if callable(image_batches)
+                   else iter(image_batches))
         return encode_corpus(
-            params, cfg, iter(image_batches), text_ids, text_mask,
+            params, cfg, batches, text_ids, text_mask,
             temperature=temperature, prune_active=prune_active,
             capacities_v=capacities_v, capacities_t=capacities_t,
             text_batch=text_batch, mesh=mesh)
@@ -187,7 +196,10 @@ def encode_corpus_sharded(
     # batches on 4 processes -> [3,3,3,0]) and an empty encode crashes
     # while the others deadlock in the all-gather
     lo, hi = r * n_b // P, (r + 1) * n_b // P
-    block = itertools.islice(iter(image_batches), lo, hi)
+    if callable(image_batches):
+        block = image_batches(lo, hi)  # skipped batches never decode
+    else:
+        block = itertools.islice(iter(image_batches), lo, hi)
     feats, states, txt_feats = encode_corpus(
         params, cfg, block, text_ids, text_mask,
         temperature=temperature, prune_active=prune_active,
@@ -243,8 +255,8 @@ def rerank_scores(
     rows of EACH direction across processes with the reference's arithmetic
     (``step = n//num + 1``, computed independently for i2t over images and
     t2i over texts — compress_retrieval_dtp.py:160-164,184-188); un-scored
-    entries stay at -100 for the cross-process merge
-    (:func:`merge_score_matrices` / parallel.dist.host_max).  ``mesh``
+    entries stay at -100 for the cross-process sentinel-select merge
+    (``parallel.dist.merge_scores``).  ``mesh``
     shards the row axis of each dispatch over 'data' (rows are independent)."""
     from madtp_tpu.parallel.mesh import replicate, shard_batch_padded
 

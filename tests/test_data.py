@@ -278,3 +278,48 @@ def test_mp_loader_env_switch(monkeypatch):
     assert len(ref) == len(got)
     for a, b in zip(ref, got):
         assert np.array_equal(a[0], b[0])
+
+
+def test_batch_range_matches_full_schedule_without_decoding_skipped():
+    """batch_range=(lo, hi) must yield exactly batches[lo:hi] of the full
+    schedule (identical membership/order, for the sharded corpus encode)
+    and must NOT touch (decode) any sample outside the range — the whole
+    point vs islice over a streaming loader."""
+    import numpy as np
+
+    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.mp_loader import mp_batched_loader
+
+    touched = set()
+
+    class DS:
+        def __len__(self):
+            return 22
+
+        def __getitem__(self, i):
+            touched.add(i)
+            return (np.full((2, 2), i, np.float32), i)
+
+    ds = DS()
+    full = list(batched_loader(ds, 4, num_workers=0))
+    touched.clear()
+    block = list(batched_loader(ds, 4, num_workers=0, batch_range=(2, 4)))
+    assert len(block) == 2
+    for a, b in zip(full[2:4], block):
+        assert np.array_equal(a[0], b[0])
+    assert touched == set(range(8, 16))  # batches 2,3 only
+
+    # process-worker loader: same restriction semantics
+    blk_mp = list(mp_batched_loader(ds, 4, num_workers=2,
+                                    batch_range=(2, 4)))
+    assert len(blk_mp) == 2
+    for a, b in zip(block, blk_mp):
+        assert np.array_equal(a[0], b[0])
+
+    # shuffled schedules restrict the SAME shuffled order
+    full_s = list(batched_loader(ds, 4, num_workers=0, shuffle=True,
+                                 epoch=3))
+    blk_s = list(batched_loader(ds, 4, num_workers=0, shuffle=True,
+                                epoch=3, batch_range=(1, 3)))
+    for a, b in zip(full_s[1:3], blk_s):
+        assert np.array_equal(a[0], b[0])

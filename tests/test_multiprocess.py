@@ -86,12 +86,13 @@ def test_retrieval_2proc_eval_scores_bitexact(tmp_path):
     _launch(args, 2, dirs, env=env)
     _launch_single(args, str(tmp_path / "single"), env=env)
 
-    multi = np.load(os.path.join(dirs[0], "scores.npz"))
+    multi = np.load(os.path.join(dirs[0], "scores_r0.npz"))
     single = np.load(str(tmp_path / "single" / "scores.npz"))
     assert np.array_equal(multi["i2t"], single["i2t"])
     assert np.array_equal(multi["t2i"], single["t2i"])
-    # rank 1 holds the same merged matrices (host_max allgathers everywhere)
-    multi1 = np.load(os.path.join(dirs[1], "scores.npz"))
+    # rank 1 holds the same merged matrices (merge_scores allgathers
+    # everywhere; per-rank dump filenames keep shared dirs race-free)
+    multi1 = np.load(os.path.join(dirs[1], "scores_r1.npz"))
     assert np.array_equal(multi1["i2t"], single["i2t"])
     # and the final metrics logged by rank 0 match single-process
     log_m = json.load(open(os.path.join(dirs[0], "evaluate.txt")))
