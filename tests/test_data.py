@@ -323,3 +323,35 @@ def test_batch_range_matches_full_schedule_without_decoding_skipped():
                                 epoch=3, batch_range=(1, 3)))
     for a, b in zip(full_s[1:3], blk_s):
         assert np.array_equal(a[0], b[0])
+
+
+def test_probe_loader_tiny_dataset_behavior():
+    """Probe-batch robustness (code-review r3): a dataset smaller than the
+    probe batch size with drop_last=True yields ZERO batches — the drivers
+    therefore pass drop_last=len(ds) >= bs, and cached_probe_batches turns
+    a still-empty loader into a clear error instead of a downstream
+    IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from madtp_tpu.cli.common import cached_probe_batches
+    from madtp_tpu.data.loader import batched_loader
+
+    class DS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return (np.full((2, 2), i, np.float32), i)
+
+    ds = DS()
+    assert list(batched_loader(ds, 8, num_workers=0, drop_last=True)) == []
+    # the driver-side guard: keep the partial batch when it's the only one
+    got = cached_probe_batches(
+        [None], lambda: batched_loader(ds, 8, num_workers=0,
+                                       drop_last=len(ds) >= 8), n=3)
+    assert len(got) == 1 and got[0][0].shape[0] == 3
+    with _pytest.raises(ValueError, match="probe loader yielded no batches"):
+        cached_probe_batches(
+            [None], lambda: batched_loader(ds, 8, num_workers=0,
+                                           drop_last=True), n=3)
