@@ -135,18 +135,33 @@ def batch_spec() -> P:
 
 
 def model_parallel_param_shardings(mesh: Mesh, params):
-    """Tensor-parallel PartitionSpecs for a param tree: 2-D kernels whose
-    output dim is the FFN expansion (fc1/c_fc/intermediate) shard the output
-    over 'model'; their inverse projections shard the input; everything else
-    replicates.  With GSPMD this is enough — XLA inserts the all-reduces."""
+    """Tensor-parallel PartitionSpecs for a param tree:
+
+    * FFN expansion kernels (fc1/c_fc/intermediate) shard the OUTPUT dim
+      over 'model'; their inverse projections (fc2/c_proj/output.dense)
+      shard the INPUT dim — Megatron-style column-then-row split.
+    * MED/BERT attention q/k/v kernels shard the output dim too: the
+      ``[.., D] -> [.., H, Dh]`` head reshape is head-major, so contiguous
+      model-axis chunks of D are whole heads — head-parallel attention,
+      with the attention output dense (``attention.output.dense``, matched
+      by the expand_in pattern) closing the split.  The ViT tower's FUSED
+      ``qkv`` kernel stays replicated on purpose: its output is the
+      ``[q|k|v]`` concat, so contiguous model chunks would straddle the
+      three blocks (and the ViT hot path is the per-device Pallas scoring
+      kernel, which rides the 'data' axis).
+
+    With GSPMD these specs are enough — XLA inserts the all-reduces
+    (tests/test_spmd.py: TP == replicated for both towers)."""
 
     def spec_for(path: str, x) -> P:
         nd = getattr(x, "ndim", 0)
         if nd < 2:
             return P()
         expand_out = any(k in path for k in ("fc1", "c_fc", "intermediate"))
+        head_out = any(k in path for k in
+                       ("query.kernel", "key.kernel", "value.kernel"))
         expand_in = any(k in path for k in ("fc2", "c_proj", ".output.dense",))
-        if "kernel" in path and expand_out:
+        if "kernel" in path and (expand_out or head_out):
             return P(*([None] * (nd - 1)), "model")
         if "kernel" in path and expand_in:
             return P(*([None] * (nd - 2)), "model", None)

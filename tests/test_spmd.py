@@ -353,3 +353,51 @@ def test_hard_negative_group_locality():
         jax.random.PRNGKey(0), jnp.asarray(feat), jnp.asarray(feat_b), idx,
         idx_world, jnp.float32(0.05))
     assert (np.asarray(group)[np.asarray(neg_global)] != np.asarray(group)).any()
+
+
+def test_tensor_parallel_med_attention_heads_match():
+    """MED head-parallel TP (q/k/v kernels output-sharded over 'model' —
+    contiguous D-chunks are whole heads since the head reshape is
+    head-major; attention.output.dense closes the split input-sharded):
+    a pruned multimodal forward with TP params must equal the replicated
+    run, scoring signals and kept counts included."""
+    from dataclasses import replace
+
+    from madtp_tpu.core.config import MedConfig
+    from madtp_tpu.models.med import init_med_params, med_encoder
+
+    med = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=128,
+                    max_position_embeddings=32, encoder_width=32, sd_dim=32)
+    rng = np.random.RandomState(3)
+    params = jax.tree.map(jnp.asarray, init_med_params(med, rng))
+    sd = jnp.asarray(rng.randn(6, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (4, 12)).astype(np.int32))
+    mask = jnp.ones((4, 12), jnp.int32)
+    enc = jnp.asarray(rng.randn(4, 9, 32).astype(np.float32))
+    enc_alive = jnp.ones((4, 9), jnp.float32)
+
+    from madtp_tpu.prune.dtp import TokenState
+
+    def fwd(params, ids, mask, enc, enc_alive, sd):
+        out = med_encoder(params, ids, mask, med, mode="multimodal",
+                          encoder_state=TokenState(enc, enc_alive, None),
+                          space_dict=sd,
+                          temperature=1.0, prune_active=True)
+        return out.state.x, out.kept_counts
+
+    ref_x, ref_kept = jax.jit(fwd)(params, ids, mask, enc, enc_alive, sd)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        specs = model_parallel_param_shardings(mesh, params)
+        p_tp = jax.tree_util.tree_map(jax.device_put, params, specs)
+        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        x, kept = jax.jit(fwd)(p_tp, rep(ids), rep(mask), rep(enc),
+                               rep(enc_alive), rep(sd))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref_x), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(ref_kept))
+    # the q/k/v kernels really are head-sharded; the ViT fused qkv is not
+    q = p_tp["layers"]["attention"]["self"]["query"]["kernel"]
+    assert q.sharding.spec == P(None, None, "model")
