@@ -145,10 +145,10 @@ def model_parallel_param_shardings(mesh: Mesh, params):
       model-axis chunks of D are whole heads — head-parallel attention,
       with the attention output dense (``attention.output.dense``, matched
       by the expand_in pattern) closing the split.  The ViT tower's FUSED
-      ``qkv`` kernel stays replicated on purpose: its output is the
-      ``[q|k|v]`` concat, so contiguous model chunks would straddle the
-      three blocks (and the ViT hot path is the per-device Pallas scoring
-      kernel, which rides the 'data' axis).
+      ``qkv`` kernel (and CLIP's ``in_proj``) stays replicated on purpose:
+      its output is the ``[q|k|v]`` concat, so contiguous model chunks
+      would straddle the three blocks (and the vision hot path is the
+      per-device Pallas scoring kernel, which rides the 'data' axis).
 
     With GSPMD these specs are enough — XLA inserts the all-reduces
     (tests/test_spmd.py: TP == replicated for both towers)."""
