@@ -81,9 +81,11 @@ def main():
     set_seed(args.seed)
     enable_compile_cache()
     os.makedirs(args.output_dir, exist_ok=True)
-    # multi-process: only TRAIN shards across processes (reference
-    # create_sampler([train])+[None,None], compress_retrieval_clip_dtp.py:252
-    # — eval is ITC-only and runs identically on every rank)
+    # multi-process: TRAIN shards across processes like the reference
+    # (create_sampler([train])+[None,None], compress_retrieval_clip_dtp.py:252);
+    # the ITC eval's tower encode ALSO shards here (contiguous batch blocks
+    # + allgather, bit-exact — see encode_towers), exceeding the reference's
+    # full-corpus-on-every-rank eval
     from madtp_tpu.parallel import dist
     n_procs, proc_id = dist.process_count(), dist.process_index()
 
@@ -180,23 +182,44 @@ def main():
             prune_active=prune)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
 
-    bt = 32
+    bt = int(config.get("batch_size_test", 32))
 
     def encode_towers(params, space_dict, images_arr, text_arr, t):
         """Both towers over the corpus with a bounded dispatch-ahead
         pipeline (madtp_tpu.utils.pipeline): no per-batch host sync.
-        Returns (img_feats, txt_feats, v_kept, t_kept)."""
+        Returns (img_feats, txt_feats, v_kept, t_kept).
+
+        Multi-process: each process encodes a contiguous BLOCK of the
+        batch schedule and features allgather back in corpus order —
+        EXCEEDS the reference, whose CLIP eval runs the full corpus on
+        every rank (samplers [None,None] for val/test,
+        compress_retrieval_clip_dtp.py:252).  Batch membership is
+        identical to single-process (same bt, same order), so DTP's
+        batch-max coupling is unchanged and the result is bit-exact.
+        Kept counts are taken from the GLOBAL last batch of each tower
+        (the one single-process would report) so the Cur_Gflops every
+        rank feeds its controller is identical — ranks diverging here
+        would trace different programs and deadlock the global mesh."""
         from madtp_tpu.utils.pipeline import pipelined
+
+        nb_i = -(-len(images_arr) // bt)
+        nb_t = -(-len(text_arr) // bt)
+        sharded = n_procs > 1 and nb_i >= n_procs and nb_t >= n_procs
+        if sharded:
+            ilo, ihi = proc_id * nb_i // n_procs, (proc_id + 1) * nb_i // n_procs
+            tlo, thi = proc_id * nb_t // n_procs, (proc_id + 1) * nb_t // n_procs
+        else:
+            ilo, ihi, tlo, thi = 0, nb_i, 0, nb_t
 
         img_l, txt_l = [], []
         kept = {"v": None, "t": None}
 
         def dispatches():
-            for i in range(0, len(images_arr), bt):
-                im_d, n = _shard(mesh, images_arr[i : i + bt])
+            for b in range(ilo, ihi):
+                im_d, n = _shard(mesh, images_arr[b * bt : (b + 1) * bt])
                 yield ("img", n, img_step(params, im_d, space_dict, t))
-            for i in range(0, len(text_arr), bt):
-                tx_d, n = _shard(mesh, text_arr[i : i + bt])
+            for b in range(tlo, thi):
+                tx_d, n = _shard(mesh, text_arr[b * bt : (b + 1) * bt])
                 yield ("txt", n, txt_step(params, tx_d, space_dict, t))
 
         def consume(item):
@@ -206,14 +229,31 @@ def main():
             kept["v" if kind == "img" else "t"] = k
 
         pipelined(dispatches(), consume)
-        return (np.concatenate(img_l), np.concatenate(txt_l),
-                kept["v"], kept["t"])
+        img_f, txt_f = np.concatenate(img_l), np.concatenate(txt_l)
+        kept_v, kept_t = kept["v"], kept["t"]
+        if sharded:
+            def gather_cat(a):
+                counts = dist.host_allgather(np.asarray([a.shape[0]]))[:, 0]
+                m = int(counts.max())
+                pad = np.zeros((m - a.shape[0],) + a.shape[1:], a.dtype)
+                g = dist.host_allgather(np.concatenate([a, pad]))
+                return np.concatenate(
+                    [g[p, : counts[p]] for p in range(n_procs)])
+
+            img_f, txt_f = gather_cat(img_f), gather_cat(txt_f)
+            # global last batch lives on the last process (balanced blocks)
+            kept_v = dist.host_allgather(np.asarray(kept_v))[-1]
+            kept_t = dist.host_allgather(np.asarray(kept_t))[-1]
+        return img_f, txt_f, kept_v, kept_t
 
     t = jnp.float32(temperature)
     img_feats, txt_feats, v_kept, t_kept = encode_towers(
         params, space_dict, images, text, t)
 
     sims = img_feats @ txt_feats.T
+    if os.environ.get("MADTP_DUMP_SCORES"):  # test hook: post-allgather sims
+        np.savez(os.path.join(args.output_dir, f"clip_sims_r{proc_id}.npz"),
+                 sims=sims)
     stats = itm_eval(sims, sims.T, txt2img, img2txt)
     cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept)) \
         if prune else clip_gflops(

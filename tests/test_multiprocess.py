@@ -153,6 +153,31 @@ def test_caption_driver_2proc_eval_merge(tmp_path):
     assert merged == rank0  # dedup by image_id collapses the duplicates
 
 
+def test_clip_driver_2proc_eval_sharded_encode_bitexact(tmp_path):
+    """2-process CLIP eval with the SHARDED tower encode (contiguous batch
+    blocks + allgather, exceeding the reference's full-corpus-per-rank eval,
+    compress_retrieval_clip_dtp.py:252): the post-allgather sims matrix must
+    be BIT-exact vs single-process on every rank (batch membership is
+    unchanged, so DTP's batch-max coupling is identical), and the logged
+    metrics/Cur_Gflops must match (rank-identical kept counts)."""
+    dirs = [str(tmp_path / f"c{r}") for r in range(2)]
+    # bt=2 over the 6-sample synthetic corpus -> 3 batches >= 2 procs,
+    # so the sharded path actually engages (proc0: batch 0; proc1: 1-2)
+    args = ["madtp_tpu.cli.compress_retrieval_clip", "--synthetic",
+            "--batch_size_test", "2"]
+    env = {"MADTP_DUMP_SCORES": "1"}
+    _launch(args, 2, dirs, env=env)
+    _launch_single(args, str(tmp_path / "single"), env=env)
+
+    single = np.load(str(tmp_path / "single" / "clip_sims_r0.npz"))["sims"]
+    for r in range(2):
+        multi = np.load(os.path.join(dirs[r], f"clip_sims_r{r}.npz"))["sims"]
+        assert np.array_equal(multi, single)
+    log_m = json.load(open(os.path.join(dirs[0], "evaluate.txt")))
+    log_s = json.load(open(str(tmp_path / "single" / "evaluate.txt")))
+    assert log_m == log_s
+
+
 def test_vqa_driver_2proc_eval_merge(tmp_path):
     """2-process VQA eval: per-rank answer JSON + rank-0 merge (reference
     compress_vqa_dtp.py + data/utils.py:47-86); shared output dir."""
