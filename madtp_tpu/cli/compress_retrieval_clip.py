@@ -133,9 +133,20 @@ def main():
         tokzr = ClipBPETokenizer()
         text = clip_tokenize(tokzr, ds.text, cfg.context_length)
         txt2img, img2txt = ds.txt2img, ds.img2txt
-        images = np.concatenate(
-            [b[0] for b in batched_loader(ds, config.get("batch_size_test", 32))])
-    images_all = images
+
+    bt = int(config.get("batch_size_test", 32))
+    if args.synthetic:
+        n_images = len(images)
+
+        def image_block_fn(lo, hi):
+            return (images[b * bt : (b + 1) * bt] for b in range(lo, hi))
+    else:
+        n_images = len(ds)
+
+        def image_block_fn(lo, hi):
+            # range-restricted loader: each rank decodes ONLY its block
+            # (skipped batches never decode — data/loader.batched_loader)
+            return (b[0] for b in batched_loader(ds, bt, batch_range=(lo, hi)))
 
     prune = temperature > 0
     mesh = driver_mesh(args)
@@ -160,9 +171,12 @@ def main():
 
         probe = jax.jit(lambda p, im, s, t: clip_encode_image(
             p, im, cfg, space_dict=s, temperature=t, prune_active=True)[2])
+        n_probe = min(n_images, 4 * 16)
+        probe_imgs = np.concatenate(
+            list(image_block_fn(0, -(-n_probe // bt))))[:n_probe]
         vks = []
-        for i in range(0, min(len(images), 4 * 16), 16):
-            im_d, _ = _shard(mesh, images[i : i + 16])
+        for i in range(0, n_probe, 16):
+            im_d, _ = _shard(mesh, probe_imgs[i : i + 16])
             vks.append(np.asarray(probe(params, im_d, space_dict,
                                         jnp.float32(temperature))))
         caps_v, _ = fast_capacity_schedule(np.stack(vks), None, args.cap_mode)
@@ -182,9 +196,7 @@ def main():
             prune_active=prune)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
 
-    bt = int(config.get("batch_size_test", 32))
-
-    def encode_towers(params, space_dict, images_arr, text_arr, t):
+    def encode_towers(params, space_dict, image_blocks, n_imgs, text_arr, t):
         """Both towers over the corpus with a bounded dispatch-ahead
         pipeline (madtp_tpu.utils.pipeline): no per-batch host sync.
         Returns (img_feats, txt_feats, v_kept, t_kept).
@@ -193,7 +205,9 @@ def main():
         batch schedule and features allgather back in corpus order —
         EXCEEDS the reference, whose CLIP eval runs the full corpus on
         every rank (samplers [None,None] for val/test,
-        compress_retrieval_clip_dtp.py:252).  Batch membership is
+        compress_retrieval_clip_dtp.py:252).  ``image_blocks(lo, hi)``
+        yields just that slice of the batch schedule, so each rank also
+        DECODES only its own block (batched_loader batch_range).  Batch membership is
         identical to single-process (same bt, same order), so DTP's
         batch-max coupling is unchanged and the result is bit-exact.
         Kept counts are taken from the GLOBAL last batch of each tower
@@ -202,7 +216,7 @@ def main():
         would trace different programs and deadlock the global mesh."""
         from madtp_tpu.utils.pipeline import pipelined
 
-        nb_i = -(-len(images_arr) // bt)
+        nb_i = -(-n_imgs // bt)
         nb_t = -(-len(text_arr) // bt)
         sharded = n_procs > 1 and nb_i >= n_procs and nb_t >= n_procs
         if sharded:
@@ -215,8 +229,8 @@ def main():
         kept = {"v": None, "t": None}
 
         def dispatches():
-            for b in range(ilo, ihi):
-                im_d, n = _shard(mesh, images_arr[b * bt : (b + 1) * bt])
+            for im in image_blocks(ilo, ihi):
+                im_d, n = _shard(mesh, im)
                 yield ("img", n, img_step(params, im_d, space_dict, t))
             for b in range(tlo, thi):
                 tx_d, n = _shard(mesh, text_arr[b * bt : (b + 1) * bt])
@@ -232,15 +246,19 @@ def main():
         img_f, txt_f = np.concatenate(img_l), np.concatenate(txt_l)
         kept_v, kept_t = kept["v"], kept["t"]
         if sharded:
-            def gather_cat(a):
-                counts = dist.host_allgather(np.asarray([a.shape[0]]))[:, 0]
-                m = int(counts.max())
+            def gather_cat(a, nb, total):
+                # per-rank feature counts are deterministic block arithmetic
+                # (same ilo/ihi math as above) — no collective needed
+                counts = [min(((p + 1) * nb // n_procs) * bt, total)
+                          - (p * nb // n_procs) * bt for p in range(n_procs)]
+                m = max(counts)
                 pad = np.zeros((m - a.shape[0],) + a.shape[1:], a.dtype)
                 g = dist.host_allgather(np.concatenate([a, pad]))
                 return np.concatenate(
                     [g[p, : counts[p]] for p in range(n_procs)])
 
-            img_f, txt_f = gather_cat(img_f), gather_cat(txt_f)
+            img_f = gather_cat(img_f, nb_i, n_imgs)
+            txt_f = gather_cat(txt_f, nb_t, len(text_arr))
             # global last batch lives on the last process (balanced blocks)
             kept_v = dist.host_allgather(np.asarray(kept_v))[-1]
             kept_t = dist.host_allgather(np.asarray(kept_t))[-1]
@@ -248,7 +266,7 @@ def main():
 
     t = jnp.float32(temperature)
     img_feats, txt_feats, v_kept, t_kept = encode_towers(
-        params, space_dict, images, text, t)
+        params, space_dict, image_block_fn, n_images, text, t)
 
     sims = img_feats @ txt_feats.T
     if os.environ.get("MADTP_DUMP_SCORES"):  # test hook: post-allgather sims
@@ -390,7 +408,8 @@ def main():
                           if space_dict is not None else None)
         # eval epoch (ITC-only like the reference CLIP driver)
         img_feats, txt_feats, v_kept, t_kept = encode_towers(
-            params, space_dict, images_all, text, jnp.float32(temperature))
+            params, space_dict, image_block_fn, n_images, text,
+            jnp.float32(temperature))
         sims = img_feats @ txt_feats.T
         stats = itm_eval(sims, sims.T, txt2img, img2txt)
         cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))

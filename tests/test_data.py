@@ -331,11 +331,7 @@ def test_probe_loader_tiny_dataset_behavior():
     therefore pass drop_last=len(ds) >= bs, and cached_probe_batches turns
     a still-empty loader into a clear error instead of a downstream
     IndexError."""
-    import numpy as np
-    import pytest as _pytest
-
     from madtp_tpu.cli.common import cached_probe_batches
-    from madtp_tpu.data.loader import batched_loader
 
     class DS:
         def __len__(self):
@@ -351,7 +347,7 @@ def test_probe_loader_tiny_dataset_behavior():
         [None], lambda: batched_loader(ds, 8, num_workers=0,
                                        drop_last=len(ds) >= 8), n=3)
     assert len(got) == 1 and got[0][0].shape[0] == 3
-    with _pytest.raises(ValueError, match="probe loader yielded no batches"):
+    with pytest.raises(ValueError, match="probe loader yielded no batches"):
         cached_probe_batches(
             [None], lambda: batched_loader(ds, 8, num_workers=0,
                                            drop_last=True), n=3)

@@ -361,8 +361,6 @@ def test_tensor_parallel_med_attention_heads_match():
     head-major; attention.output.dense closes the split input-sharded):
     a pruned multimodal forward with TP params must equal the replicated
     run, scoring signals and kept counts included."""
-    from dataclasses import replace
-
     from madtp_tpu.core.config import MedConfig
     from madtp_tpu.models.med import init_med_params, med_encoder
 

@@ -65,6 +65,7 @@ def make_corpus(root, n, size=500):
 
 
 def run(loader_iter, n_batches):
+    next(loader_iter, None)  # warmup: pool/worker spin-up stays untimed
     t0 = time.perf_counter()
     n = 0
     for _ in loader_iter:
@@ -87,11 +88,14 @@ def main():
     ap.add_argument("--root", default="/tmp/madtp_loader_bench")
     args = ap.parse_args()
 
+    # batched_loader delegates to the process loader when MADTP_MP_LOADER is
+    # set; the A/B must measure each loader as itself.
+    os.environ.pop("MADTP_MP_LOADER", None)
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.data.mp_loader import mp_batched_loader
 
     ds = JpegDataset(make_corpus(args.root, args.n), args.image_size)
-    n_batches = max(1, len(ds) // args.batch - 1)  # first batch warms pools
+    n_batches = max(1, len(ds) // args.batch - 1)  # one batch spare for warmup
 
     res = {}
     for name, fn in (
