@@ -45,7 +45,11 @@ def _load_ann(ann_root: str, name: str):
 
 
 def _open_image(path: str) -> Image.Image:
-    return Image.open(path).convert("RGB")
+    # Lazy open (header only): the transforms convert("RGB") themselves, and
+    # deferring the pixel decode lets the native JPEG fast path
+    # (MADTP_NATIVE_JPEG=1, madtp_tpu/native) fuse decode+crop+resize from
+    # the file bytes instead of decoding twice.
+    return Image.open(path)
 
 
 class NLVRDataset:

@@ -9,8 +9,9 @@ flip, and RandAugment(2, 5) over the reference's 10-op palette.
 
 from __future__ import annotations
 
+import os
 import random
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
@@ -25,14 +26,47 @@ def normalize_chw(img: Image.Image) -> np.ndarray:
     return a.transpose(2, 0, 1)
 
 
+# ---------------------------------------------------------------------------
+# Native JPEG fast path (madtp_tpu/native): fused decode->crop->resize
+# [->normalize], GIL-free.  MADTP_NATIVE_JPEG=1 is BIT-EXACT vs the PIL
+# path below (tests/test_native_jpeg.py); =2 additionally enables M/8
+# DCT-scaled decode (faster, a few uint8 LSB of deviation).  Default off.
+# ---------------------------------------------------------------------------
+
+
+def _native_jpeg_bytes(img) -> Tuple[Optional[bytes], int]:
+    mode = {"1": 1, "2": 2}.get(os.environ.get("MADTP_NATIVE_JPEG", ""), 0)
+    if (not mode or getattr(img, "format", None) != "JPEG"
+            or not getattr(img, "filename", None)):
+        return None, 0
+    from madtp_tpu import native
+
+    if not native.available():
+        return None, 0
+    try:
+        with open(img.filename, "rb") as f:
+            return f.read(), mode
+    except OSError:
+        return None, 0
+
+
 def eval_transform(img: Image.Image, image_size: int) -> np.ndarray:
+    data, mode = _native_jpeg_bytes(img)
+    if data is not None:
+        from madtp_tpu import native
+
+        try:
+            return native.decode_resize_norm(data, image_size,
+                                             dct_scale=mode == 2)
+        except native.UnsupportedJpeg:
+            pass
     img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
     return normalize_chw(img)
 
 
-def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
-                        scale=(0.5, 1.0), ratio=(3 / 4, 4 / 3)) -> Image.Image:
-    W, H = img.size
+def _random_crop_box(W: int, H: int, rng: random.Random, scale,
+                     ratio=(3 / 4, 4 / 3)) -> Optional[Tuple[int, int, int, int]]:
+    """RandomResizedCrop box draw (same rng consumption on every path)."""
     area = W * H
     for _ in range(10):
         target = rng.uniform(*scale) * area
@@ -43,8 +77,17 @@ def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
         if 0 < w <= W and 0 < h <= H:
             x = rng.randint(0, W - w)
             y = rng.randint(0, H - h)
-            return img.crop((x, y, x + w, y + h)).resize((size, size), Image.BICUBIC)
-    return img.resize((size, size), Image.BICUBIC)
+            return x, y, w, h
+    return None
+
+
+def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
+                        scale=(0.5, 1.0), ratio=(3 / 4, 4 / 3)) -> Image.Image:
+    box = _random_crop_box(img.size[0], img.size[1], rng, scale, ratio)
+    if box is None:
+        return img.resize((size, size), Image.BICUBIC)
+    x, y, w, h = box
+    return img.crop((x, y, x + w, y + h)).resize((size, size), Image.BICUBIC)
 
 
 # ---------------------------------------------------------------------------
@@ -104,17 +147,44 @@ def rand_augment(img: Image.Image, n: int, m: int, rng: random.Random,
 
 def train_transform(img: Image.Image, image_size: int, rng: random.Random,
                     min_scale: float = 0.5) -> np.ndarray:
-    img = img.convert("RGB")
-    img = random_resized_crop(img, image_size, rng, scale=(min_scale, 1.0))
+    # Crop box drawn BEFORE any decode so native and PIL paths consume the
+    # same rng stream (the native path decodes only the crop region).
+    data, mode = _native_jpeg_bytes(img)
+    box = _random_crop_box(img.size[0], img.size[1], rng, (min_scale, 1.0))
+    cropped = None
+    if data is not None:
+        from madtp_tpu import native
+
+        try:
+            cropped = Image.fromarray(native.decode_resize(
+                data, image_size, crop=box, dct_scale=mode == 2))
+        except native.UnsupportedJpeg:
+            cropped = None
+    if cropped is None:
+        img = img.convert("RGB")
+        if box is None:
+            cropped = img.resize((image_size, image_size), Image.BICUBIC)
+        else:
+            x, y, w, h = box
+            cropped = img.crop((x, y, x + w, y + h)).resize(
+                (image_size, image_size), Image.BICUBIC)
     if rng.random() < 0.5:
-        img = img.transpose(Image.FLIP_LEFT_RIGHT)
-    img = rand_augment(img, 2, 5, rng)
-    return normalize_chw(img)
+        cropped = cropped.transpose(Image.FLIP_LEFT_RIGHT)
+    cropped = rand_augment(cropped, 2, 5, rng)
+    return normalize_chw(cropped)
 
 
 def eval_resize_uint8(img: Image.Image, image_size: int) -> np.ndarray:
     """Host side of the on-device pipeline: bicubic resize only, uint8 HWC.
     Ships 4x less host->device traffic than normalized fp32; pair with
     :func:`madtp_tpu.ops.layers.normalize_images` inside the jitted step."""
+    data, mode = _native_jpeg_bytes(img)
+    if data is not None:
+        from madtp_tpu import native
+
+        try:
+            return native.decode_resize(data, image_size, dct_scale=mode == 2)
+        except native.UnsupportedJpeg:
+            pass
     img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
     return np.asarray(img, np.uint8)

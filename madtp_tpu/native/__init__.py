@@ -1,0 +1,132 @@
+"""Native (C++) host-input-pipeline components.
+
+``jpeg_decode.cpp`` fuses JPEG decode -> crop -> Pillow-bicubic resize ->
+normalize into one GIL-free libjpeg-turbo call (DCT-scaled decode +
+scanline cropping), replacing the PIL+numpy per-image chain in the host
+loaders.  The reference's native analogue is torch DataLoader's C worker
+machinery + PIL (reference ``data/__init__.py:93-104``); here the decode
+itself is the native component, built on demand with ``g++`` (no
+pre-install step — the toolchain is part of the target environment).
+
+Opt-in: the transforms use this only under ``MADTP_NATIVE_JPEG=1``
+(default remains the PIL path, which the golden preprocessing tests pin).
+With DCT scaling disabled the native path is bit-exact vs PIL decode +
+``Image.resize(BICUBIC)``; with scaling enabled it deviates by a few
+uint8 LSB (tolerance-tested in tests/test_native_jpeg.py) for ~1.3-2x
+less decode work.
+
+API:
+    available() -> bool            (builds + loads on first call)
+    jpeg_dims(data) -> (w, h)
+    decode_resize(data, size, crop=None, dct_scale=True) -> uint8 HWC
+    decode_resize_norm(data, size, crop=None, dct_scale=True) -> fp32 CHW
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "jpeg_decode.cpp")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+# CLIP stats (data/transforms.py) preloaded as C arrays
+_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _build_and_load():
+    src = open(_SRC, "rb").read()
+    tag = hashlib.sha1(src).hexdigest()[:12]
+    so = os.path.join(tempfile.gettempdir(), f"madtp_jpeg_{tag}.so")
+    if not os.path.exists(so):
+        tmp = so + f".build.{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC, "-ljpeg"],
+            check=True, capture_output=True)
+        os.replace(tmp, so)  # atomic vs concurrent builders
+    lib = ctypes.CDLL(so)
+    lib.madtp_jpeg_dims.restype = ctypes.c_int
+    lib.madtp_jpeg_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.madtp_decode_resize.restype = ctypes.c_int
+    lib.madtp_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,          # data, len
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # crop
+        ctypes.c_int, ctypes.c_int,                # out_w, out_h
+        ctypes.c_int, ctypes.c_int,                # allow_dct_scale, fuse
+        ctypes.c_void_p, ctypes.c_void_p,          # mean, std
+        ctypes.c_void_p, ctypes.c_void_p]          # out_u8, out_f32
+    return lib
+
+
+def available() -> bool:
+    """Build (once) and load the native library; False if that fails
+    (missing toolchain/headers — callers fall back to PIL)."""
+    global _lib, _tried
+    if _lib is not None:
+        return True
+    if _tried:
+        return False
+    with _lock:
+        if _lib is None and not _tried:
+            try:
+                _lib = _build_and_load()
+            except Exception:
+                _tried = True
+    return _lib is not None
+
+
+class UnsupportedJpeg(Exception):
+    """Corrupt stream or CMYK/YCCK color space — use the PIL path."""
+
+
+def jpeg_dims(data: bytes) -> Tuple[int, int]:
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if _lib.madtp_jpeg_dims(data, len(data), ctypes.byref(w),
+                            ctypes.byref(h)):
+        raise UnsupportedJpeg("header parse failed")
+    return w.value, h.value
+
+
+def _call(data: bytes, size, crop, dct_scale: bool, fuse: bool):
+    out_w, out_h = (size, size) if isinstance(size, int) else size
+    cx, cy, cw, ch = crop if crop is not None else (0, 0, -1, -1)
+    if fuse:
+        out = np.empty((3, out_h, out_w), np.float32)
+        u8, f32 = None, out.ctypes.data_as(ctypes.c_void_p)
+    else:
+        out = np.empty((out_h, out_w, 3), np.uint8)
+        u8, f32 = out.ctypes.data_as(ctypes.c_void_p), None
+    rc = _lib.madtp_decode_resize(
+        data, len(data), cx, cy, cw, ch, out_w, out_h,
+        int(dct_scale), int(fuse),
+        _MEAN.ctypes.data_as(ctypes.c_void_p),
+        _STD.ctypes.data_as(ctypes.c_void_p), u8, f32)
+    if rc:
+        raise UnsupportedJpeg(f"native decode rc={rc}")
+    return out
+
+
+def decode_resize(data: bytes, size, crop: Optional[tuple] = None,
+                  dct_scale: bool = True) -> np.ndarray:
+    """JPEG bytes -> uint8 HWC RGB at ``size`` (int or (w, h));
+    ``crop=(x, y, w, h)`` in full-resolution pixel coordinates."""
+    return _call(data, size, crop, dct_scale, fuse=False)
+
+
+def decode_resize_norm(data: bytes, size, crop: Optional[tuple] = None,
+                       dct_scale: bool = True) -> np.ndarray:
+    """JPEG bytes -> normalized float32 CHW (the eval-transform layout)."""
+    return _call(data, size, crop, dct_scale, fuse=True)

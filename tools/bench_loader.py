@@ -97,19 +97,35 @@ def main():
     ds = JpegDataset(make_corpus(args.root, args.n), args.image_size)
     n_batches = max(1, len(ds) // args.batch - 1)  # one batch spare for warmup
 
+    from madtp_tpu import native
+
     res = {}
-    for name, fn in (
-        ("threaded", lambda: batched_loader(
+    rows = [
+        ("threaded", "", lambda: batched_loader(
             ds, args.batch, shuffle=True, num_workers=args.workers)),
-        ("process", lambda: mp_batched_loader(
+        ("process", "", lambda: mp_batched_loader(
             ds, args.batch, shuffle=True, num_workers=args.workers)),
-    ):
+    ]
+    if native.available():
+        # fused C++ decode->crop->resize (GIL-free): =1 bit-exact vs PIL,
+        # =2 adds DCT-scaled decode (approximate)
+        for mode in ("1", "2"):
+            rows.append((f"threaded_native{mode}", mode,
+                         lambda: batched_loader(
+                             ds, args.batch, shuffle=True,
+                             num_workers=args.workers)))
+    for name, njpeg, fn in rows:
+        if njpeg:
+            os.environ["MADTP_NATIVE_JPEG"] = njpeg
+        else:
+            os.environ.pop("MADTP_NATIVE_JPEG", None)
         bps = run(fn(), n_batches)
         res[name] = {
             "batches_per_s": round(bps, 3),
             "images_per_s": round(bps * args.batch, 1),
             "feeds_step": bps >= 1000.0 / args.step_ms,
         }
+    os.environ.pop("MADTP_NATIVE_JPEG", None)
 
     need = round(1000.0 / args.step_ms, 2)
     print(json.dumps({
