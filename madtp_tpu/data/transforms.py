@@ -34,32 +34,41 @@ def normalize_chw(img: Image.Image) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _native_jpeg_bytes(img) -> Tuple[Optional[bytes], int]:
+def _native_mode() -> int:
     mode = {"1": 1, "2": 2}.get(os.environ.get("MADTP_NATIVE_JPEG", ""), 0)
-    if (not mode or getattr(img, "format", None) != "JPEG"
-            or not getattr(img, "filename", None)):
-        return None, 0
+    if not mode:
+        return 0
     from madtp_tpu import native
 
-    if not native.available():
-        return None, 0
+    return mode if native.available() else 0
+
+
+def _native_jpeg_bytes(img) -> Tuple[Optional[bytes], int]:
+    mode = _native_mode()
+    if (not mode or getattr(img, "format", None) != "JPEG"
+            or not getattr(img, "filename", None)):
+        return None, mode
     try:
         with open(img.filename, "rb") as f:
             return f.read(), mode
     except OSError:
-        return None, 0
+        return None, mode
 
 
 def eval_transform(img: Image.Image, image_size: int) -> np.ndarray:
     data, mode = _native_jpeg_bytes(img)
-    if data is not None:
+    if mode:
         from madtp_tpu import native
 
-        try:
-            return native.decode_resize_norm(data, image_size,
-                                             dct_scale=mode == 2)
-        except native.UnsupportedJpeg:
-            pass
+        if data is not None:
+            try:
+                return native.decode_resize_norm(data, image_size,
+                                                 dct_scale=mode == 2)
+            except native.UnsupportedJpeg:
+                pass
+        # non-JPEG (or fallback): fused resize+normalize on decoded pixels
+        return native.resize_norm(
+            np.asarray(img.convert("RGB"), np.uint8), image_size)
     img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
     return normalize_chw(img)
 
@@ -160,6 +169,11 @@ def train_transform(img: Image.Image, image_size: int, rng: random.Random,
                 data, image_size, crop=box, dct_scale=mode == 2))
         except native.UnsupportedJpeg:
             cropped = None
+    if cropped is None and mode:
+        from madtp_tpu import native
+
+        cropped = Image.fromarray(native.resize(
+            np.asarray(img.convert("RGB"), np.uint8), image_size, crop=box))
     if cropped is None:
         img = img.convert("RGB")
         if box is None:
@@ -179,12 +193,16 @@ def eval_resize_uint8(img: Image.Image, image_size: int) -> np.ndarray:
     Ships 4x less host->device traffic than normalized fp32; pair with
     :func:`madtp_tpu.ops.layers.normalize_images` inside the jitted step."""
     data, mode = _native_jpeg_bytes(img)
-    if data is not None:
+    if mode:
         from madtp_tpu import native
 
-        try:
-            return native.decode_resize(data, image_size, dct_scale=mode == 2)
-        except native.UnsupportedJpeg:
-            pass
+        if data is not None:
+            try:
+                return native.decode_resize(data, image_size,
+                                            dct_scale=mode == 2)
+            except native.UnsupportedJpeg:
+                pass
+        return native.resize(np.asarray(img.convert("RGB"), np.uint8),
+                             image_size)
     img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
     return np.asarray(img, np.uint8)

@@ -68,6 +68,13 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int,                # allow_dct_scale, fuse
         ctypes.c_void_p, ctypes.c_void_p,          # mean, std
         ctypes.c_void_p, ctypes.c_void_p]          # out_u8, out_f32
+    lib.madtp_resize_norm.restype = ctypes.c_int
+    lib.madtp_resize_norm.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,  # in, in_w, in_h
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # crop
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # out_w, out_h, fuse
+        ctypes.c_void_p, ctypes.c_void_p,          # mean, std
+        ctypes.c_void_p, ctypes.c_void_p]          # out_u8, out_f32
     return lib
 
 
@@ -130,3 +137,35 @@ def decode_resize_norm(data: bytes, size, crop: Optional[tuple] = None,
                        dct_scale: bool = True) -> np.ndarray:
     """JPEG bytes -> normalized float32 CHW (the eval-transform layout)."""
     return _call(data, size, crop, dct_scale, fuse=True)
+
+
+def _resize_call(arr: np.ndarray, size, crop, fuse: bool):
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    out_w, out_h = (size, size) if isinstance(size, int) else size
+    cx, cy, cw, ch = crop if crop is not None else (0, 0, -1, -1)
+    if fuse:
+        out = np.empty((3, out_h, out_w), np.float32)
+        u8, f32 = None, out.ctypes.data_as(ctypes.c_void_p)
+    else:
+        out = np.empty((out_h, out_w, 3), np.uint8)
+        u8, f32 = out.ctypes.data_as(ctypes.c_void_p), None
+    rc = _lib.madtp_resize_norm(
+        arr.ctypes.data_as(ctypes.c_void_p), w, h, cx, cy, cw, ch,
+        out_w, out_h, int(fuse),
+        _MEAN.ctypes.data_as(ctypes.c_void_p),
+        _STD.ctypes.data_as(ctypes.c_void_p), u8, f32)
+    if rc:
+        raise UnsupportedJpeg(f"native resize rc={rc}")
+    return out
+
+
+def resize(arr: np.ndarray, size, crop: Optional[tuple] = None) -> np.ndarray:
+    """uint8 HWC RGB -> uint8 HWC at ``size`` (Pillow-bicubic; optional
+    crop in source pixel coords).  For already-decoded non-JPEG images."""
+    return _resize_call(arr, size, crop, fuse=False)
+
+
+def resize_norm(arr: np.ndarray, size, crop: Optional[tuple] = None) -> np.ndarray:
+    """uint8 HWC RGB -> normalized float32 CHW (eval-transform layout)."""
+    return _resize_call(arr, size, crop, fuse=True)

@@ -152,6 +152,44 @@ void resample_rgb(const uint8_t* in, int in_w, int in_h, int in_stride,
 
 extern "C" {
 
+// Resize (+ optional fused normalize) an ALREADY-DECODED uint8 HWC RGB
+// image — the non-JPEG formats' (PNG NLVR2 images) share of the fused
+// pipeline.  Same Pillow-bicubic semantics as the JPEG path; GIL-free.
+int madtp_resize_norm(const uint8_t* in, int in_w, int in_h, int crop_x,
+                      int crop_y, int crop_w, int crop_h, int out_w,
+                      int out_h, int fuse_norm, const float* mean,
+                      const float* stdv, uint8_t* out_u8, float* out_f32) {
+  if (crop_w <= 0 || crop_h <= 0) {
+    crop_x = crop_y = 0;
+    crop_w = in_w;
+    crop_h = in_h;
+  }
+  crop_x = std::max(0, std::min(crop_x, in_w - 1));
+  crop_y = std::max(0, std::min(crop_y, in_h - 1));
+  crop_w = std::min(crop_w, in_w - crop_x);
+  crop_h = std::min(crop_h, in_h - crop_y);
+  std::vector<uint8_t> resized;
+  uint8_t* dst = out_u8;
+  if (fuse_norm) {
+    resized.resize(static_cast<size_t>(out_w) * out_h * 3);
+    dst = resized.data();
+  }
+  resample_rgb(in + (static_cast<size_t>(crop_y) * in_w + crop_x) * 3,
+               crop_w, crop_h, in_w * 3, 0.0, 0.0, crop_w, crop_h, out_w,
+               out_h, dst);
+  if (fuse_norm) {
+    const int n = out_w * out_h;
+    for (int c = 0; c < 3; c++) {
+      const float sc = 1.0f / (255.0f * stdv[c]);
+      const float bi = -mean[c] / stdv[c];
+      float* o = out_f32 + static_cast<size_t>(c) * n;
+      const uint8_t* p = dst + c;
+      for (int i = 0; i < n; i++, p += 3) o[i] = *p * sc + bi;
+    }
+  }
+  return 0;
+}
+
 // Header-only dimension probe.  Returns 0 on success.
 int madtp_jpeg_dims(const uint8_t* data, size_t len, int* w, int* h) {
   jpeg_decompress_struct cinfo;

@@ -125,11 +125,35 @@ def test_transforms_use_native_when_enabled(tmp_path, monkeypatch):
     got2 = eval_transform(Image.open(p), 384)
     assert np.abs(got2 - ref_eval).mean() < 0.15  # DCT-scaled, normalized units
 
-    # non-JPEG input silently uses the PIL path
+    # non-JPEG input routes through the native resampler, bit-exactly
     png = str(tmp_path / "x.png")
     Image.fromarray(_photo(64, 64)).save(png)
-    out = eval_transform(Image.open(png), 32)
-    assert out.shape == (3, 32, 32)
+    monkeypatch.delenv("MADTP_NATIVE_JPEG", raising=False)
+    ref_png = eval_transform(Image.open(png), 32)
+    ref_png_t = train_transform(Image.open(png), 32, random.Random(3))
+    monkeypatch.setenv("MADTP_NATIVE_JPEG", "1")
+    np.testing.assert_allclose(eval_transform(Image.open(png), 32),
+                               ref_png, atol=1e-6)
+    np.testing.assert_allclose(
+        train_transform(Image.open(png), 32, random.Random(3)),
+        ref_png_t, atol=1e-6)
+
+
+def test_raw_resize_matches_pil():
+    arr = _photo(300, 220, seed=3)
+    pil = Image.fromarray(arr)
+    ref = np.asarray(pil.resize((96, 96), Image.BICUBIC), np.uint8)
+    assert np.array_equal(ref, native.resize(arr, 96))
+    box = (17, 40, 201, 133)
+    x, y, w, h = box
+    refc = np.asarray(pil.crop((x, y, x + w, y + h))
+                      .resize((64, 64), Image.BICUBIC), np.uint8)
+    assert np.array_equal(refc, native.resize(arr, 64, crop=box))
+    f = native.resize_norm(arr, 96)
+    from madtp_tpu.data.transforms import MEAN, STD
+
+    ref_f = ((ref.astype(np.float32) / 255.0 - MEAN) / STD).transpose(2, 0, 1)
+    np.testing.assert_allclose(f, ref_f, atol=1e-6)
 
 
 def test_loader_end_to_end_native_matches_pil(tmp_path, monkeypatch):
