@@ -139,6 +139,45 @@ def test_transforms_use_native_when_enabled(tmp_path, monkeypatch):
         ref_png_t, atol=1e-6)
 
 
+def test_edge_cases(tmp_path):
+    rng = np.random.RandomState(0)
+
+    def jbytes(arr, **kw):
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", **kw)
+        return b.getvalue()
+
+    # garbage rejected; truncated streams decode soft (libjpeg warning
+    # semantics: missing blocks fill gray instead of crashing the loader;
+    # note the PIL path would raise here)
+    with pytest.raises(native.UnsupportedJpeg):
+        native.decode_resize(b"not a jpeg" * 20, 64)
+    full = jbytes((rng.rand(400, 400, 3) * 255).astype(np.uint8), quality=92)
+    assert native.decode_resize(full[: len(full) // 2], 128).shape == (128, 128, 3)
+    # tiny sources stay exact
+    for shape in [(1, 1, 3), (1, 8, 3), (8, 1, 3)]:
+        d = jbytes((rng.rand(*shape) * 255).astype(np.uint8), quality=92)
+        ref = np.asarray(Image.open(io.BytesIO(d)).convert("RGB")
+                         .resize((32, 32), Image.BICUBIC))
+        assert np.array_equal(ref, native.decode_resize(d, 32, dct_scale=False))
+    # all chroma subsampling modes, cropped
+    for ss in (0, 1, 2):
+        d = jbytes((rng.rand(100, 150, 3) * 255).astype(np.uint8),
+                   quality=92, subsampling=ss)
+        ref = np.asarray(Image.open(io.BytesIO(d)).convert("RGB")
+                         .crop((13, 7, 113, 87)).resize((48, 48), Image.BICUBIC))
+        got = native.decode_resize(d, 48, crop=(13, 7, 100, 80),
+                                   dct_scale=False)
+        assert np.array_equal(ref, got), f"subsampling {ss}"
+    # out-of-range crop clamps to the image like PIL's edge crop
+    d = jbytes((rng.rand(50, 50, 3) * 255).astype(np.uint8), quality=92)
+    ref = np.asarray(Image.open(io.BytesIO(d)).convert("RGB")
+                     .crop((40, 40, 50, 50)).resize((32, 32), Image.BICUBIC))
+    assert np.array_equal(
+        ref, native.decode_resize(d, 32, crop=(40, 40, 100, 100),
+                                  dct_scale=False))
+
+
 def test_raw_resize_matches_pil():
     arr = _photo(300, 220, seed=3)
     pil = Image.fromarray(arr)
