@@ -298,3 +298,64 @@ def init_blip_params(cfg, seed: int, *, heads=("cls",), with_decoder=False,
                 "kernel": (rng.randn(H, od) * 0.02).astype(np.float32),
                 "bias": np.zeros((od,), np.float32)}
     return jax.tree.map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Mid-run resume checkpoints (shared by all five drivers).
+# The reference has NO resume at all (a crash restarts from the last best
+# checkpoint manually, SURVEY §5); here every driver writes a resume
+# checkpoint at each epoch boundary and on preemption (utils/preempt).
+# ---------------------------------------------------------------------------
+
+
+def save_resume(output_dir: str, state_tree, meta: dict) -> str:
+    """Save ``state_tree`` (any pytree: params / optimizer / momentum /
+    queues) + ``meta`` (flat str->float/int dict).
+
+    Multi-process: rank-0 writes the native npz format (orbax's save()
+    barriers across ALL processes — a rank-0-only call deadlocks, see
+    CLAUDE.md); single-process uses an orbax directory.  Returns the path
+    that ``--resume`` takes."""
+    import jax
+
+    from madtp_tpu.parallel import dist
+
+    if dist.process_count() > 1:
+        path = os.path.join(output_dir, "resume_ckpt.npz")
+        if dist.is_main_process():
+            from madtp_tpu.ckpt.export import save_native
+
+            leaves = {f"{i:05d}": np.asarray(l) for i, l in
+                      enumerate(jax.tree_util.tree_leaves(state_tree))}
+            save_native(path, {"leaves": leaves}, extras=meta)
+        return path
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, "resume_ckpt"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {"state": state_tree, "meta": meta}, force=True)
+    return path
+
+
+def load_resume(path: str, state_template, meta_template: dict):
+    """Restore a ``save_resume`` checkpoint.  ``state_template`` must be a
+    freshly-initialized pytree with the run's exact structure (the npz
+    format stores a flat leaf list and unflattens against it)."""
+    import jax
+
+    if path.endswith(".npz"):
+        from madtp_tpu.ckpt.export import load_native
+
+        tree, meta = load_native(path, require_extras=True)
+        leaves = [tree["leaves"][f"{i:05d}"]
+                  for i in range(len(tree["leaves"]))]
+        state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state_template), leaves)
+        return state, {k: meta[k] for k in meta_template}
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            item={"state": state_template, "meta": dict(meta_template)})
+    return restored["state"], restored["meta"]

@@ -305,9 +305,10 @@ def main():
                                 jnp.float32(t)))
         return caption_gflops(cfg.vit, cfg.med, kept, 14)
 
-    controller.temperature = presearch_temperature(
-        measure, target, t0=1.0, tol=1.0)
-    print("pre-searched temperature:", controller.temperature)
+    if not args.resume:  # resume restores the controller state instead
+        controller.temperature = presearch_temperature(
+            measure, target, t0=1.0, tol=1.0)
+        print("pre-searched temperature:", controller.temperature)
 
     from madtp_tpu.parallel.mesh import replicate as _replicate
 
@@ -357,8 +358,25 @@ def main():
                                                      capacities_v=cv)
         return step_cache[cv], cv
 
+    from madtp_tpu.cli.common import load_resume, save_resume
+    from madtp_tpu.utils.preempt import PreemptionGuard
+
     best, cur_g = -1.0, ORI_GFLOPS
-    for epoch in range(config["max_epoch"]):
+    start_epoch = 0
+    if args.resume:
+        (params, opt_state), meta = load_resume(
+            args.resume, (params, opt_state),
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+        start_epoch = int(meta["epoch"]) + 1
+        controller.temperature = float(meta["temperature"])
+        cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        if tmesh is not None:  # restored host leaves -> replicated arrays
+            params = _replicate(tmesh, params)
+            opt_state = _replicate(tmesh, opt_state)
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    guard = PreemptionGuard()
+    for epoch in range(start_epoch, config["max_epoch"]):
+        pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:
             controller.update(cur_g)
         temperature = controller.temperature
@@ -376,6 +394,8 @@ def main():
                            epoch=epoch, num_shards=n_procs,
                            shard_id=proc_id,
                            drop_last=n_procs > 1), 50, f"Train [{epoch}]"):
+            if guard.should_stop():
+                break
             # multi-process: fixed-length padding — per-shard 'longest'
             # shapes would diverge across processes under the global mesh
             pad_mode = "max_length" if n_procs > 1 else "longest"
@@ -394,6 +414,16 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
+        if guard.sync_now():
+            # preempted mid-epoch: PRE-epoch controller state so --resume
+            # restarts THIS epoch (the deterministic controller re-derives
+            # this epoch's temperature from cur_gflops)
+            save_resume(args.output_dir, (params, opt_state),
+                        {"epoch": epoch - 1, "temperature": float(pre_temp),
+                         "cur_gflops": float(cur_g), "best": float(best)})
+            print("LOG: preempted — resume checkpoint saved; restart with "
+                  "--resume")
+            return
         if n_procs > 1:
             # host copies: eval/decode runs per-process on the LOCAL mesh
             params = jax.tree.map(np.asarray, params)
@@ -452,6 +482,10 @@ def main():
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
+        # mid-run resume checkpoint (params + optimizer + controller)
+        save_resume(args.output_dir, (params, opt_state),
+                    {"epoch": epoch, "temperature": float(temperature),
+                     "cur_gflops": float(cur_g), "best": float(best)})
 
 
 if __name__ == "__main__":

@@ -289,37 +289,25 @@ def main():
     cur_g = ORI_GFLOPS
     start_epoch = 0
     if args.resume:
-        if args.resume.endswith(".npz"):
-            # native npz resume (the multi-process format, see the save
-            # below): plain numpy, no cross-process coordination.  The
-            # optax state is a namedtuple pytree, so it round-trips as an
-            # ordered leaf list against the freshly-initialized template.
-            from madtp_tpu.ckpt.export import load_native
+        # shared resume format (cli/common.save_resume): flat leaf list
+        # against the freshly-initialized template (npz multi-process /
+        # orbax single-process)
+        from madtp_tpu.cli.common import load_resume
 
-            tree, meta = load_native(args.resume, require_extras=True)
-            params = tree["params"]
-            leaves = [tree["opt_leaves"][f"{i:03d}"]
-                      for i in range(len(tree["opt_leaves"]))]
-            opt_state = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(opt_state), leaves)
-        else:
-            import orbax.checkpoint as ocp
-
-            with ocp.PyTreeCheckpointer() as ckptr:
-                restored = ckptr.restore(
-                    os.path.abspath(args.resume),
-                    item={"params": params, "opt_state": opt_state,
-                          "meta": {"epoch": 0, "temperature": 0.0,
-                                   "cur_gflops": 0.0, "best": 0.0}},
-                )
-            params, opt_state = restored["params"], restored["opt_state"]
-            meta = restored["meta"]
+        (params, opt_state), meta = load_resume(
+            args.resume, (params, opt_state),
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
+    from madtp_tpu.cli.common import save_resume
+    from madtp_tpu.utils.preempt import PreemptionGuard
+
+    guard = PreemptionGuard()
     for epoch in range(start_epoch, config["max_epoch"]):
+        pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:
             controller.update(cur_g)
         temperature = controller.temperature
@@ -335,8 +323,18 @@ def main():
         params, opt_state, train_stats = task.train_epoch(
             params, opt_state, step_fn, get_loader("train", True, epoch),
             tokenize_train, tokenizer.enc_token_id, temperature, lr=lr,
-            mesh=tmesh,
+            mesh=tmesh, stop=guard.should_stop,
         )
+        if guard.sync_now():
+            # preempted mid-epoch: save with PRE-epoch controller state so
+            # --resume restarts THIS epoch (the deterministic controller
+            # re-derives this epoch's temperature from cur_gflops)
+            save_resume(args.output_dir, (params, opt_state),
+                        {"epoch": epoch - 1, "temperature": float(pre_temp),
+                         "cur_gflops": float(cur_g), "best": float(best)})
+            print("LOG: preempted — resume checkpoint saved; restart with "
+                  "--resume")
+            return
         if n_procs > 1:
             # host copies: eval runs per-process on the LOCAL mesh and the
             # global-mesh arrays can't be re-placed locally directly
@@ -385,31 +383,9 @@ def main():
         print("LOG:", log)
 
         # mid-run resume checkpoint (params + optimizer + controller)
-        meta = {"epoch": epoch, "temperature": float(temperature),
-                "cur_gflops": float(cur_g), "best": float(best)}
-        if n_procs > 1:
-            # orbax coordinates its save across ALL processes (collective
-            # barriers) — a rank-0-only call deadlocks; write the native
-            # npz format from rank 0 instead, no coordination needed
-            if dist.is_main_process():
-                from madtp_tpu.ckpt.export import save_native
-
-                opt_leaves = {f"{i:03d}": np.asarray(l) for i, l in
-                              enumerate(jax.tree_util.tree_leaves(opt_state))}
-                save_native(
-                    os.path.join(args.output_dir, "resume_ckpt.npz"),
-                    {"params": jax.tree.map(np.asarray, params),
-                     "opt_leaves": opt_leaves},
-                    extras=meta)
-        else:
-            import orbax.checkpoint as ocp
-
-            rdir = os.path.abspath(os.path.join(args.output_dir,
-                                                "resume_ckpt"))
-            with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(rdir,
-                           {"params": params, "opt_state": opt_state,
-                            "meta": meta}, force=True)
+        save_resume(args.output_dir, (params, opt_state),
+                    {"epoch": epoch, "temperature": float(temperature),
+                     "cur_gflops": float(cur_g), "best": float(best)})
     print(f"LOG: best epoch: {best_epoch}")
 
 

@@ -360,9 +360,27 @@ def main():
                 capacities_v=cv, capacities_t=ct)
         return step_cache[key], key
 
+    from madtp_tpu.cli.common import load_resume, save_resume
+    from madtp_tpu.utils.preempt import PreemptionGuard
+
     rng_key = jrandom.PRNGKey(args.seed)
     best, cur_g = 0.0, ORI_GFLOPS
-    for epoch in range(config["max_epoch"]):
+    start_epoch = 0
+    if args.resume:
+        # full train state: params + momentum towers + queues + optimizer
+        # (+ the hard-negative sampling key)
+        (state, rng_key), meta = load_resume(
+            args.resume, (state, rng_key),
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+        start_epoch = int(meta["epoch"]) + 1
+        controller.temperature = float(meta["temperature"])
+        cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        if tmesh is not None:  # restored host leaves -> replicated arrays
+            state = _replicate(tmesh, state)
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    guard = PreemptionGuard()
+    for epoch in range(start_epoch, config["max_epoch"]):
+        pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:
             controller.update(cur_g)
         temperature = controller.temperature
@@ -380,6 +398,8 @@ def main():
                            shuffle=True, epoch=epoch, drop_last=True,
                            num_shards=n_procs, shard_id=proc_id),
             50, f"Train [{epoch}]"):
+            if guard.should_stop():
+                break
             tok = tokenizer(list(captions), padding="max_length", max_length=35)
             rng_key, sub = jrandom.split(rng_key)
             batch_d = put_train(images, tok["input_ids"],
@@ -391,6 +411,15 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
+        if guard.sync_now():
+            # preempted mid-epoch: PRE-epoch controller state so --resume
+            # restarts THIS epoch
+            save_resume(args.output_dir, (state, rng_key),
+                        {"epoch": epoch - 1, "temperature": float(pre_temp),
+                         "cur_gflops": float(cur_g), "best": float(best)})
+            print("LOG: preempted — resume checkpoint saved; restart with "
+                  "--resume")
+            return
         # eval epoch: re-embed + rerank with current weights (host copies —
         # the eval path runs per-process on the LOCAL mesh)
         params = (jax.tree.map(np.asarray, state.params)
@@ -434,6 +463,10 @@ def main():
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
+        # mid-run resume checkpoint (full train state + controller)
+        save_resume(args.output_dir, (state, rng_key),
+                    {"epoch": epoch, "temperature": float(temperature),
+                     "cur_gflops": float(cur_g), "best": float(best)})
 
 
 if __name__ == "__main__":

@@ -372,8 +372,25 @@ def main():
                 cfg, tx, alpha=config.get("alpha", 0.4), capacities_v=cv)
         return step_cache[cv], cv
 
+    from madtp_tpu.cli.common import load_resume, save_resume
+    from madtp_tpu.utils.preempt import PreemptionGuard
+
     best, cur_g = 0.0, ORI_GFLOPS
-    for epoch in range(config["max_epoch"]):
+    start_epoch = 0
+    if args.resume:
+        # full train state: params + momentum subset + queue + optimizer
+        state, meta = load_resume(
+            args.resume, state,
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+        start_epoch = int(meta["epoch"]) + 1
+        controller.temperature = float(meta["temperature"])
+        cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        if tmesh is not None:  # restored host leaves -> replicated arrays
+            state = _replicate(tmesh, state)
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    guard = PreemptionGuard()
+    for epoch in range(start_epoch, config["max_epoch"]):
+        pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:
             controller.update(cur_g)
         temperature = controller.temperature
@@ -391,6 +408,8 @@ def main():
                            shuffle=True, epoch=epoch, drop_last=True,
                            num_shards=n_procs, shard_id=proc_id),
             50, f"Train [{epoch}]"):
+            if guard.should_stop():
+                break
             txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
             batch_d = put_train(images, txt, np.asarray(img_idx))
             state, metrics = step_fn(
@@ -400,6 +419,15 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
+        if guard.sync_now():
+            # preempted mid-epoch: PRE-epoch controller state so --resume
+            # restarts THIS epoch
+            save_resume(args.output_dir, state,
+                        {"epoch": epoch - 1, "temperature": float(pre_temp),
+                         "cur_gflops": float(cur_g), "best": float(best)})
+            print("LOG: preempted — resume checkpoint saved; restart with "
+                  "--resume")
+            return
         params, space_dict = state.params, state.space_dict
         if n_procs > 1:
             # host copies: eval runs per-process on the LOCAL mesh
@@ -429,6 +457,10 @@ def main():
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
+        # mid-run resume checkpoint (full train state + controller)
+        save_resume(args.output_dir, state,
+                    {"epoch": epoch, "temperature": float(temperature),
+                     "cur_gflops": float(cur_g), "best": float(best)})
 
 
 if __name__ == "__main__":

@@ -363,8 +363,27 @@ def main():
                 capacities_v=cv, capacities_t=ct)
         return step_cache[key], key
 
+    from madtp_tpu.cli.common import load_resume, save_resume
+    from madtp_tpu.utils.preempt import PreemptionGuard
+
     cur_g = ORI_GFLOPS
-    for epoch in range(config["max_epoch"]):
+    start_epoch = 0
+    if args.resume:
+        (params, opt_state), meta = load_resume(
+            args.resume, (params, opt_state),
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0})
+        start_epoch = int(meta["epoch"]) + 1
+        controller.temperature = float(meta["temperature"])
+        cur_g = float(meta["cur_gflops"])
+        if tmesh is not None:  # restored host leaves -> replicated arrays
+            from madtp_tpu.parallel.mesh import replicate as _replicate
+
+            params = _replicate(tmesh, params)
+            opt_state = _replicate(tmesh, opt_state)
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    guard = PreemptionGuard()
+    for epoch in range(start_epoch, config["max_epoch"]):
+        pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:
             controller.update(cur_g)
         temperature = controller.temperature
@@ -395,6 +414,8 @@ def main():
                            num_shards=n_procs, shard_id=proc_id,
                            drop_last=n_procs > 1),
             50, f"Train [{epoch}]"):
+            if guard.should_stop():
+                break
             B = images.shape[0]
             q = tokenizer(list(questions), **pad_q)
             q_ids = q["input_ids"]; q_ids[:, 0] = tokenizer.enc_token_id
@@ -421,6 +442,15 @@ def main():
             pending_m = metrics
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
+        if guard.sync_now():
+            # preempted mid-epoch: PRE-epoch controller state so --resume
+            # restarts THIS epoch
+            save_resume(args.output_dir, (params, opt_state),
+                        {"epoch": epoch - 1, "temperature": float(pre_temp),
+                         "cur_gflops": float(cur_g)})
+            print("LOG: preempted — resume checkpoint saved; restart with "
+                  "--resume")
+            return
         if n_procs > 1:
             # host copies: eval runs per-process on the LOCAL mesh
             params = jax.tree.map(np.asarray, params)
@@ -448,6 +478,10 @@ def main():
                      {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                       "train_loss":
                           f"{logger.meters['loss'].global_avg:.4f}"})
+        # mid-run resume checkpoint (params + optimizer + controller)
+        save_resume(args.output_dir, (params, opt_state),
+                    {"epoch": epoch, "temperature": float(temperature),
+                     "cur_gflops": float(cur_g)})
 
 
 if __name__ == "__main__":

@@ -154,7 +154,8 @@ def evaluate(params, loader_fn: Callable[[], Iterable], tokenize, cfg: BlipConfi
 
 def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
                 enc_token_id: int, temperature: float, *, print_fn=print,
-                print_freq: int = 50, lr: float = 0.0, mesh=None):
+                print_freq: int = 50, lr: float = 0.0, mesh=None,
+                stop=None):
     """``mesh``: GSPMD data-parallel training — params/optimizer replicated,
     batches sharded over 'data' (XLA inserts the gradient all-reduce; the
     reference's DDP, compress_nlvr_dtp.py:148).  Train batches must divide
@@ -195,6 +196,10 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
     for image0, image1, sentences, targets in logger.log_every(
         loader_fn(), print_freq, "Train:"
     ):
+        if stop is not None and stop():
+            # preemption (utils/preempt): every rank breaks on the same
+            # batch (the guard's decision is cross-process synced)
+            break
         ids, mask = tokenize(sentences)
         ids[:, 0] = enc_token_id
         local_d = (len(mesh.local_mesh.devices.flat) if spans
