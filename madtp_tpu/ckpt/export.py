@@ -129,19 +129,33 @@ def save_torch_checkpoint(path: str, state_dict: Dict[str, np.ndarray],
 
 
 def save_native(path: str, tree, extras: dict | None = None):
-    """Native checkpoint (numpy npz of the flat tree + json extras) — unlike
-    the reference, includes whatever the caller passes (e.g. optimizer state
-    flattened) enabling true resume (reference has none, SURVEY.md §5)."""
+    """Native checkpoint (numpy npz of the flat tree; extras embedded as a
+    json string so the checkpoint is ONE file) — unlike the reference,
+    includes whatever the caller passes (e.g. optimizer state flattened)
+    enabling true resume (reference has none, SURVEY.md §5).
+
+    ATOMIC: written to a temp name and os.replace'd, so a crash mid-save
+    (e.g. the preemption grace window expiring) never destroys the
+    previous checkpoint — load always sees a complete generation."""
     import json
     import os
 
     from madtp_tpu.core.tree import flatten_tree
 
     flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
-    np.savez(path, **flat)
     if extras is not None:
-        with open(os.path.splitext(path)[0] + ".json", "w") as f:
-            json.dump(extras, f)
+        flat["__extras_json__"] = np.frombuffer(
+            json.dumps(extras).encode(), np.uint8)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        np.savez(tmp, **flat)
+        # np.savez appends .npz when missing; normalize
+        if not os.path.exists(tmp):
+            tmp += ".npz"
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_native(path: str, *, require_extras: bool = False):
@@ -154,7 +168,9 @@ def load_native(path: str, *, require_extras: bool = False):
         flat = {k: z[k] for k in z.files}
     extras = {}
     jpath = os.path.splitext(path)[0] + ".json"
-    if os.path.exists(jpath):
+    if "__extras_json__" in flat:
+        extras = json.loads(flat.pop("__extras_json__").tobytes().decode())
+    elif os.path.exists(jpath):  # pre-r3 two-file format
         with open(jpath) as f:
             extras = json.load(f)
     elif require_extras:

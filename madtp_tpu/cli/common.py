@@ -329,11 +329,25 @@ def save_resume(output_dir: str, state_tree, meta: dict) -> str:
                       enumerate(jax.tree_util.tree_leaves(state_tree))}
             save_native(path, {"leaves": leaves}, extras=meta)
         return path
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(output_dir, "resume_ckpt"))
+    # crash-safe generation swap: write the new checkpoint beside the old
+    # one and rename into place, so a kill mid-save (preemption grace
+    # window expiring) never destroys the only resume state
+    new, old = path + ".new", path + ".stale"
+    for d in (new, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, {"state": state_tree, "meta": meta}, force=True)
+        ckptr.save(new, {"state": state_tree, "meta": meta}, force=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
 
 
@@ -351,7 +365,8 @@ def load_resume(path: str, state_template, meta_template: dict):
                   for i in range(len(tree["leaves"]))]
         state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(state_template), leaves)
-        return state, {k: meta[k] for k in meta_template}
+        return state, {k: meta.get(k, meta_template[k])
+                       for k in meta_template}
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:

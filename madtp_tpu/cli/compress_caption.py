@@ -363,13 +363,16 @@ def main():
 
     best, cur_g = -1.0, ORI_GFLOPS
     start_epoch = 0
+    resume_skip = 0  # trained batches to skip on the resumed epoch
     if args.resume:
         (params, opt_state), meta = load_resume(
             args.resume, (params, opt_state),
-            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0,
+             "batches_done": 0})
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        resume_skip = int(meta["batches_done"])
         if tmesh is not None:  # restored host leaves -> replicated arrays
             params = _replicate(tmesh, params)
             opt_state = _replicate(tmesh, opt_state)
@@ -389,13 +392,16 @@ def main():
             print("fast_train capacities:", sched)
         logger = MetricLogger()
         pending_m = None  # one-deep metric lag (no per-step device sync)
+        skip = resume_skip if epoch == start_epoch else 0
+        done = skip
         for images, captions, img_ids in logger.log_every(
             batched_loader(ds, config.get("batch_size", 32), shuffle=True,
                            epoch=epoch, num_shards=n_procs,
-                           shard_id=proc_id,
-                           drop_last=n_procs > 1), 50, f"Train [{epoch}]"):
-            if guard.should_stop():
-                break
+                           shard_id=proc_id, drop_last=n_procs > 1,
+                           # exactly-once mid-epoch resume: deterministic
+                           # (seed, epoch) schedule, skip what's trained
+                           batch_range=(skip, 1 << 31) if skip else None),
+            50, f"Train [{epoch}]"):
             # multi-process: fixed-length padding — per-shard 'longest'
             # shapes would diverge across processes under the global mesh
             pad_mode = "max_length" if n_procs > 1 else "longest"
@@ -412,15 +418,19 @@ def main():
             if pending_m is not None:
                 logger.update(**{k: float(v) for k, v in pending_m.items()})
             pending_m = metrics
+            done += 1
+            if guard.should_stop():  # after the step: the batch counts
+                break
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
         if guard.sync_now():
-            # preempted mid-epoch: PRE-epoch controller state so --resume
-            # restarts THIS epoch (the deterministic controller re-derives
-            # this epoch's temperature from cur_gflops)
+            # preempted mid-epoch: PRE-epoch controller state + completed
+            # batch count — --resume restarts THIS epoch, skips trained
+            # batches (exactly-once), re-derives the temperature
             save_resume(args.output_dir, (params, opt_state),
                         {"epoch": epoch - 1, "temperature": float(pre_temp),
-                         "cur_gflops": float(cur_g), "best": float(best)})
+                         "cur_gflops": float(cur_g), "best": float(best),
+                         "batches_done": done})
             print("LOG: preempted — resume checkpoint saved; restart with "
                   "--resume")
             return
@@ -485,7 +495,8 @@ def main():
         # mid-run resume checkpoint (params + optimizer + controller)
         save_resume(args.output_dir, (params, opt_state),
                     {"epoch": epoch, "temperature": float(temperature),
-                     "cur_gflops": float(cur_g), "best": float(best)})
+                     "cur_gflops": float(cur_g), "best": float(best),
+                     "batches_done": 0})
 
 
 if __name__ == "__main__":

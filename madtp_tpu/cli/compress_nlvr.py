@@ -41,7 +41,7 @@ def build_cfg(config, image_size):
     return build_blip_cfg(config, image_size, twin_cross=True)
 
 
-def synthetic_loader(n_batches, batch, image_size, seed=0):
+def synthetic_loader(n_batches, batch, image_size, seed=0, batch_skip=0):
     rng = np.random.RandomState(seed)
     data = []
     for _ in range(n_batches):
@@ -50,11 +50,11 @@ def synthetic_loader(n_batches, batch, image_size, seed=0):
         sents = ["the object is on the left" for _ in range(batch)]
         targets = rng.randint(0, 2, size=(batch,))
         data.append((img0, img1, sents, targets))
-    return lambda: iter(data)
+    return lambda: iter(data[batch_skip:])
 
 
 def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
-                num_shards=1, shard_id=0):
+                num_shards=1, shard_id=0, batch_skip=0):
     from madtp_tpu.data.datasets import NLVRDataset
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.data.transforms import eval_transform, train_transform
@@ -69,10 +69,15 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
     ds = NLVRDataset(tf, config["image_root"], config["ann_root"], split)
 
     def it():
+        # batch_skip: exactly-once mid-epoch resume — the schedule is
+        # deterministic in (seed, epoch), so skipping the first k batches
+        # resumes the epoch with every batch trained exactly once
         for batch_data in batched_loader(ds, batch, shuffle=train, epoch=epoch,
                                          drop_last=train,
                                          num_shards=num_shards,
-                                         shard_id=shard_id):
+                                         shard_id=shard_id,
+                                         batch_range=((batch_skip, 1 << 31)
+                                                      if batch_skip else None)):
             yield batch_data
 
     return it
@@ -175,18 +180,19 @@ def main():
     # metrics all-reduce in tasks/nlvr.evaluate
     n_procs, proc_id = dist.process_count(), dist.process_index()
 
-    def get_loader(split, train=False, epoch=0, sharded=True):
+    def get_loader(split, train=False, epoch=0, sharded=True, batch_skip=0):
         # ``sharded=False``: identical batches on every process — required
         # for --fast_train calibration probes, whose derived capacity
         # schedule must match across processes (divergent schedules would
         # trace different global-mesh programs and deadlock the collectives)
         if args.synthetic:
             return synthetic_loader(args.synthetic_batches, batch_test,
-                                    image_size)
+                                    image_size, batch_skip=batch_skip)
         ns, si = (n_procs, proc_id) if sharded else (1, 0)
         return real_loader(config, split, tokenizer, train=train,
                            batch=batch_train if train else batch_test,
-                           epoch=epoch, num_shards=ns, shard_id=si)
+                           epoch=epoch, num_shards=ns, shard_id=si,
+                           batch_skip=batch_skip)
 
     caps_v = caps_t = None
     if args.evaluate and args.fast_eval and temperature > 0:
@@ -288,6 +294,7 @@ def main():
     best, best_epoch = 0.0, 0
     cur_g = ORI_GFLOPS
     start_epoch = 0
+    resume_skip = 0  # trained batches to skip on the resumed epoch
     if args.resume:
         # shared resume format (cli/common.save_resume): flat leaf list
         # against the freshly-initialized template (npz multi-process /
@@ -296,11 +303,15 @@ def main():
 
         (params, opt_state), meta = load_resume(
             args.resume, (params, opt_state),
-            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0,
+             "batches_done": 0})
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
-        print(f"resumed from {args.resume} at epoch {start_epoch}")
+        resume_skip = int(meta["batches_done"])
+        print(f"resumed from {args.resume} at epoch {start_epoch}"
+              + (f" (skipping {resume_skip} trained batches)"
+                 if resume_skip else ""))
 
     from madtp_tpu.cli.common import save_resume
     from madtp_tpu.utils.preempt import PreemptionGuard
@@ -320,18 +331,23 @@ def main():
         if args.fast_train and temperature > 0:
             step_fn, sched = fast_train_step(params, temperature, epoch)
             print("fast_train capacities:", sched)
+        skip = resume_skip if epoch == start_epoch else 0
         params, opt_state, train_stats = task.train_epoch(
-            params, opt_state, step_fn, get_loader("train", True, epoch),
+            params, opt_state, step_fn,
+            get_loader("train", True, epoch, batch_skip=skip),
             tokenize_train, tokenizer.enc_token_id, temperature, lr=lr,
             mesh=tmesh, stop=guard.should_stop,
         )
+        done = skip + int(train_stats.pop("batches_done", 0))
         if guard.sync_now():
-            # preempted mid-epoch: save with PRE-epoch controller state so
-            # --resume restarts THIS epoch (the deterministic controller
-            # re-derives this epoch's temperature from cur_gflops)
+            # preempted mid-epoch: save with PRE-epoch controller state +
+            # the completed-batch count — --resume restarts THIS epoch,
+            # skips the already-trained batches (exactly-once), and the
+            # deterministic controller re-derives the temperature
             save_resume(args.output_dir, (params, opt_state),
                         {"epoch": epoch - 1, "temperature": float(pre_temp),
-                         "cur_gflops": float(cur_g), "best": float(best)})
+                         "cur_gflops": float(cur_g), "best": float(best),
+                         "batches_done": done})
             print("LOG: preempted — resume checkpoint saved; restart with "
                   "--resume")
             return
@@ -385,7 +401,8 @@ def main():
         # mid-run resume checkpoint (params + optimizer + controller)
         save_resume(args.output_dir, (params, opt_state),
                     {"epoch": epoch, "temperature": float(temperature),
-                     "cur_gflops": float(cur_g), "best": float(best)})
+                     "cur_gflops": float(cur_g), "best": float(best),
+                     "batches_done": 0})
     print(f"LOG: best epoch: {best_epoch}")
 
 

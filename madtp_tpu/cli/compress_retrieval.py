@@ -366,15 +366,18 @@ def main():
     rng_key = jrandom.PRNGKey(args.seed)
     best, cur_g = 0.0, ORI_GFLOPS
     start_epoch = 0
+    resume_skip = 0  # trained batches to skip on the resumed epoch
     if args.resume:
         # full train state: params + momentum towers + queues + optimizer
         # (+ the hard-negative sampling key)
         (state, rng_key), meta = load_resume(
             args.resume, (state, rng_key),
-            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0,
+             "batches_done": 0})
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        resume_skip = int(meta["batches_done"])
         if tmesh is not None:  # restored host leaves -> replicated arrays
             state = _replicate(tmesh, state)
         print(f"resumed from {args.resume} at epoch {start_epoch}")
@@ -393,13 +396,15 @@ def main():
             print("fast_train capacities:", sched)
         logger = MetricLogger()
         pending_m = None  # one-deep metric lag (no per-step device sync)
+        skip = resume_skip if epoch == start_epoch else 0
+        done = skip
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, drop_last=True,
-                           num_shards=n_procs, shard_id=proc_id),
+                           num_shards=n_procs, shard_id=proc_id,
+                           # exactly-once mid-epoch resume
+                           batch_range=(skip, 1 << 31) if skip else None),
             50, f"Train [{epoch}]"):
-            if guard.should_stop():
-                break
             tok = tokenizer(list(captions), padding="max_length", max_length=35)
             rng_key, sub = jrandom.split(rng_key)
             batch_d = put_train(images, tok["input_ids"],
@@ -409,14 +414,18 @@ def main():
             if pending_m is not None:
                 logger.update(**{k: float(v) for k, v in pending_m.items()})
             pending_m = metrics
+            done += 1
+            if guard.should_stop():  # after the step: the batch counts
+                break
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
         if guard.sync_now():
-            # preempted mid-epoch: PRE-epoch controller state so --resume
-            # restarts THIS epoch
+            # preempted mid-epoch: PRE-epoch controller state + completed
+            # batch count (exactly-once resume)
             save_resume(args.output_dir, (state, rng_key),
                         {"epoch": epoch - 1, "temperature": float(pre_temp),
-                         "cur_gflops": float(cur_g), "best": float(best)})
+                         "cur_gflops": float(cur_g), "best": float(best),
+                         "batches_done": done})
             print("LOG: preempted — resume checkpoint saved; restart with "
                   "--resume")
             return
@@ -466,7 +475,8 @@ def main():
         # mid-run resume checkpoint (full train state + controller)
         save_resume(args.output_dir, (state, rng_key),
                     {"epoch": epoch, "temperature": float(temperature),
-                     "cur_gflops": float(cur_g), "best": float(best)})
+                     "cur_gflops": float(cur_g), "best": float(best),
+                     "batches_done": 0})
 
 
 if __name__ == "__main__":

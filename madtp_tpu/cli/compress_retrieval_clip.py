@@ -142,11 +142,25 @@ def main():
             return (images[b * bt : (b + 1) * bt] for b in range(lo, hi))
     else:
         n_images = len(ds)
+        _corpus = []  # single-process: decoded once, reused across epochs
 
         def image_block_fn(lo, hi):
-            # range-restricted loader: each rank decodes ONLY its block
-            # (skipped batches never decode — data/loader.batched_loader)
-            return (b[0] for b in batched_loader(ds, bt, batch_range=(lo, hi)))
+            # Multi-process: range-restricted loader — each rank decodes
+            # ONLY its block, every epoch (caching P blocks per rank would
+            # still be P-1/P redundant across the fleet if ranks re-shard).
+            # Single-process: decode the corpus ONCE and slice (training
+            # evals run every epoch; re-decoding ~1k images/epoch on the
+            # host would dominate the epoch).
+            from madtp_tpu.parallel import dist as _dist
+
+            if _dist.process_count() > 1:
+                return (b[0] for b in batched_loader(
+                    ds, bt, batch_range=(lo, hi)))
+            if not _corpus:
+                _corpus.append(np.concatenate(
+                    [b[0] for b in batched_loader(ds, bt)]))
+            arr = _corpus[0]
+            return (arr[b * bt : (b + 1) * bt] for b in range(lo, hi))
 
     prune = temperature > 0
     mesh = driver_mesh(args)
@@ -377,14 +391,17 @@ def main():
 
     best, cur_g = 0.0, ORI_GFLOPS
     start_epoch = 0
+    resume_skip = 0  # trained batches to skip on the resumed epoch
     if args.resume:
         # full train state: params + momentum subset + queue + optimizer
         state, meta = load_resume(
             args.resume, state,
-            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0})
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0, "best": 0.0,
+             "batches_done": 0})
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g, best = float(meta["cur_gflops"]), float(meta["best"])
+        resume_skip = int(meta["batches_done"])
         if tmesh is not None:  # restored host leaves -> replicated arrays
             state = _replicate(tmesh, state)
         print(f"resumed from {args.resume} at epoch {start_epoch}")
@@ -403,13 +420,15 @@ def main():
             print("fast_train capacities:", sched)
         logger = MetricLogger()
         pending_m = None  # one-deep metric lag (no per-step device sync)
+        skip = resume_skip if epoch == start_epoch else 0
+        done = skip
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, drop_last=True,
-                           num_shards=n_procs, shard_id=proc_id),
+                           num_shards=n_procs, shard_id=proc_id,
+                           # exactly-once mid-epoch resume
+                           batch_range=(skip, 1 << 31) if skip else None),
             50, f"Train [{epoch}]"):
-            if guard.should_stop():
-                break
             txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
             batch_d = put_train(images, txt, np.asarray(img_idx))
             state, metrics = step_fn(
@@ -417,14 +436,18 @@ def main():
             if pending_m is not None:
                 logger.update(**{k: float(v) for k, v in pending_m.items()})
             pending_m = metrics
+            done += 1
+            if guard.should_stop():  # after the step: the batch counts
+                break
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
         if guard.sync_now():
-            # preempted mid-epoch: PRE-epoch controller state so --resume
-            # restarts THIS epoch
+            # preempted mid-epoch: PRE-epoch controller state + completed
+            # batch count (exactly-once resume)
             save_resume(args.output_dir, state,
                         {"epoch": epoch - 1, "temperature": float(pre_temp),
-                         "cur_gflops": float(cur_g), "best": float(best)})
+                         "cur_gflops": float(cur_g), "best": float(best),
+                         "batches_done": done})
             print("LOG: preempted — resume checkpoint saved; restart with "
                   "--resume")
             return
@@ -460,7 +483,8 @@ def main():
         # mid-run resume checkpoint (full train state + controller)
         save_resume(args.output_dir, state,
                     {"epoch": epoch, "temperature": float(temperature),
-                     "cur_gflops": float(cur_g), "best": float(best)})
+                     "cur_gflops": float(cur_g), "best": float(best),
+                     "batches_done": 0})
 
 
 if __name__ == "__main__":

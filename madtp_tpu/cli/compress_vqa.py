@@ -368,13 +368,16 @@ def main():
 
     cur_g = ORI_GFLOPS
     start_epoch = 0
+    resume_skip = 0  # trained batches to skip on the resumed epoch
     if args.resume:
         (params, opt_state), meta = load_resume(
             args.resume, (params, opt_state),
-            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0})
+            {"epoch": 0, "temperature": 0.0, "cur_gflops": 0.0,
+             "batches_done": 0})
         start_epoch = int(meta["epoch"]) + 1
         controller.temperature = float(meta["temperature"])
         cur_g = float(meta["cur_gflops"])
+        resume_skip = int(meta["batches_done"])
         if tmesh is not None:  # restored host leaves -> replicated arrays
             from madtp_tpu.parallel.mesh import replicate as _replicate
 
@@ -408,14 +411,16 @@ def main():
                  else dict(padding="longest", max_length=35))
         pad_a = (dict(padding="max_length", max_length=24) if n_procs > 1
                  else dict(padding="longest"))
+        skip = resume_skip if epoch == start_epoch else 0
+        done = skip
         for images, questions, answers, weights, n in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, collate=vqa_collate,
                            num_shards=n_procs, shard_id=proc_id,
-                           drop_last=n_procs > 1),
+                           drop_last=n_procs > 1,
+                           # exactly-once mid-epoch resume
+                           batch_range=(skip, 1 << 31) if skip else None),
             50, f"Train [{epoch}]"):
-            if guard.should_stop():
-                break
             B = images.shape[0]
             q = tokenizer(list(questions), **pad_q)
             q_ids = q["input_ids"]; q_ids[:, 0] = tokenizer.enc_token_id
@@ -440,14 +445,17 @@ def main():
             if pending_m is not None:
                 logger.update(**{k: float(v) for k, v in pending_m.items()})
             pending_m = metrics
+            done += 1
+            if guard.should_stop():  # after the step: the batch counts
+                break
         if pending_m is not None:
             logger.update(**{k: float(v) for k, v in pending_m.items()})
         if guard.sync_now():
-            # preempted mid-epoch: PRE-epoch controller state so --resume
-            # restarts THIS epoch
+            # preempted mid-epoch: PRE-epoch controller state + completed
+            # batch count (exactly-once resume)
             save_resume(args.output_dir, (params, opt_state),
                         {"epoch": epoch - 1, "temperature": float(pre_temp),
-                         "cur_gflops": float(cur_g)})
+                         "cur_gflops": float(cur_g), "batches_done": done})
             print("LOG: preempted — resume checkpoint saved; restart with "
                   "--resume")
             return
@@ -481,7 +489,7 @@ def main():
         # mid-run resume checkpoint (params + optimizer + controller)
         save_resume(args.output_dir, (params, opt_state),
                     {"epoch": epoch, "temperature": float(temperature),
-                     "cur_gflops": float(cur_g)})
+                     "cur_gflops": float(cur_g), "batches_done": 0})
 
 
 if __name__ == "__main__":

@@ -40,20 +40,40 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-# CLIP stats (data/transforms.py) preloaded as C arrays
-_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+def _stats():
+    # the canonical CLIP normalization constants live in data/transforms;
+    # no import cycle (transforms imports this module only inside functions)
+    from madtp_tpu.data.transforms import MEAN, STD
+
+    return (np.ascontiguousarray(MEAN, np.float32),
+            np.ascontiguousarray(STD, np.float32))
+
+
+def _cache_dir() -> str:
+    # per-user 0700 dir: a world-writable /tmp with a predictable .so name
+    # would let another local user plant a library we'd CDLL-load
+    d = os.path.join(tempfile.gettempdir(), f"madtp_native_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(f"refusing unsafe native cache dir {d}")
+    return d
 
 
 def _build_and_load():
     src = open(_SRC, "rb").read()
     tag = hashlib.sha1(src).hexdigest()[:12]
-    so = os.path.join(tempfile.gettempdir(), f"madtp_jpeg_{tag}.so")
+    so = os.path.join(_cache_dir(), f"madtp_jpeg_{tag}.so")
     if not os.path.exists(so):
         tmp = so + f".build.{os.getpid()}"
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC, "-ljpeg"],
-            check=True, capture_output=True)
+        base = ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC, "-ljpeg"]
+        # the .so runs on the machine that builds it: -march=native is safe
+        # and lets the resampler loops vectorize; fall back for odd compilers
+        r = subprocess.run(base[:1] + ["-march=native"] + base[1:],
+                           capture_output=True)
+        if r.returncode != 0:
+            subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp, so)  # atomic vs concurrent builders
     lib = ctypes.CDLL(so)
     lib.madtp_jpeg_dims.restype = ctypes.c_int
@@ -100,6 +120,8 @@ class UnsupportedJpeg(Exception):
 
 
 def jpeg_dims(data: bytes) -> Tuple[int, int]:
+    if not available():
+        raise UnsupportedJpeg("native helper unavailable")
     w, h = ctypes.c_int(), ctypes.c_int()
     if _lib.madtp_jpeg_dims(data, len(data), ctypes.byref(w),
                             ctypes.byref(h)):
@@ -108,6 +130,8 @@ def jpeg_dims(data: bytes) -> Tuple[int, int]:
 
 
 def _call(data: bytes, size, crop, dct_scale: bool, fuse: bool):
+    if not available():
+        raise UnsupportedJpeg("native helper unavailable")
     out_w, out_h = (size, size) if isinstance(size, int) else size
     cx, cy, cw, ch = crop if crop is not None else (0, 0, -1, -1)
     if fuse:
@@ -116,11 +140,12 @@ def _call(data: bytes, size, crop, dct_scale: bool, fuse: bool):
     else:
         out = np.empty((out_h, out_w, 3), np.uint8)
         u8, f32 = out.ctypes.data_as(ctypes.c_void_p), None
+    mean, std = _stats()
     rc = _lib.madtp_decode_resize(
         data, len(data), cx, cy, cw, ch, out_w, out_h,
         int(dct_scale), int(fuse),
-        _MEAN.ctypes.data_as(ctypes.c_void_p),
-        _STD.ctypes.data_as(ctypes.c_void_p), u8, f32)
+        mean.ctypes.data_as(ctypes.c_void_p),
+        std.ctypes.data_as(ctypes.c_void_p), u8, f32)
     if rc:
         raise UnsupportedJpeg(f"native decode rc={rc}")
     return out
@@ -140,6 +165,8 @@ def decode_resize_norm(data: bytes, size, crop: Optional[tuple] = None,
 
 
 def _resize_call(arr: np.ndarray, size, crop, fuse: bool):
+    if not available():
+        raise UnsupportedJpeg("native helper unavailable")
     arr = np.ascontiguousarray(arr, np.uint8)
     h, w = arr.shape[:2]
     out_w, out_h = (size, size) if isinstance(size, int) else size
@@ -150,11 +177,12 @@ def _resize_call(arr: np.ndarray, size, crop, fuse: bool):
     else:
         out = np.empty((out_h, out_w, 3), np.uint8)
         u8, f32 = out.ctypes.data_as(ctypes.c_void_p), None
+    mean, std = _stats()
     rc = _lib.madtp_resize_norm(
         arr.ctypes.data_as(ctypes.c_void_p), w, h, cx, cy, cw, ch,
         out_w, out_h, int(fuse),
-        _MEAN.ctypes.data_as(ctypes.c_void_p),
-        _STD.ctypes.data_as(ctypes.c_void_p), u8, f32)
+        mean.ctypes.data_as(ctypes.c_void_p),
+        std.ctypes.data_as(ctypes.c_void_p), u8, f32)
     if rc:
         raise UnsupportedJpeg(f"native resize rc={rc}")
     return out

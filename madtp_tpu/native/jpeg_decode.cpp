@@ -63,7 +63,10 @@ inline double bicubic_filter(double x) {
   return 0.0;
 }
 
-inline uint8_t clip8(int64_t v) {
+// int32 accumulation is safe: weights are normalized to sum 1<<22, so the
+// accumulated sum is bounded by 255 * 2^22 + 2^21 < 2^31 regardless of tap
+// count (negative bicubic lobes only shrink the bound's positive part).
+inline uint8_t clip8(int32_t v) {
   v >>= PRECISION_BITS;
   return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
@@ -104,46 +107,71 @@ int precompute_coeffs(int in_size, double in0, double in1, int out_size,
   return ksize;
 }
 
-// Horizontal then vertical pass over interleaved RGB uint8.
+// Horizontal then vertical pass, PLANAR per channel: contiguous tap loads
+// in the horizontal pass and contiguous rows in the vertical pass both
+// vectorize (the interleaved stride-3 version measured ~2x slower than
+// Pillow's SIMD resampler; planar matches/beats it).  Output is written
+// either interleaved uint8 HWC (`out_u8`) or fused-normalized float32 CHW
+// (`out_f32`, planar already — no transpose): the float value normalizes
+// the CLIPPED uint8 so it equals "PIL resize then (x/255-mean)/std" bit
+// for bit.
 void resample_rgb(const uint8_t* in, int in_w, int in_h, int in_stride,
                   double bx0, double by0, double bx1, double by1, int out_w,
-                  int out_h, uint8_t* out) {
+                  int out_h, uint8_t* out_u8, float* out_f32,
+                  const float* mean, const float* stdv) {
   std::vector<int> hb, hk, vb, vk;
   const int hks = precompute_coeffs(in_w, bx0, bx1, out_w, hb, hk);
   const int vks = precompute_coeffs(in_h, by0, by1, out_h, vb, vk);
 
-  // horizontal: [in_h, in_w] -> [in_h, out_w]
-  std::vector<uint8_t> tmp(static_cast<size_t>(in_h) * out_w * 3);
-  for (int y = 0; y < in_h; y++) {
-    const uint8_t* row = in + static_cast<size_t>(y) * in_stride;
-    uint8_t* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
-    for (int xx = 0; xx < out_w; xx++) {
-      const int xmin = hb[2 * xx], n = hb[2 * xx + 1];
-      const int* k = hk.data() + static_cast<size_t>(xx) * hks;
-      int64_t s0 = 1 << (PRECISION_BITS - 1), s1 = s0, s2 = s0;
-      const uint8_t* p = row + static_cast<size_t>(xmin) * 3;
-      for (int x = 0; x < n; x++, p += 3) {
-        s0 += static_cast<int64_t>(p[0]) * k[x];
-        s1 += static_cast<int64_t>(p[1]) * k[x];
-        s2 += static_cast<int64_t>(p[2]) * k[x];
-      }
-      trow[3 * xx] = clip8(s0);
-      trow[3 * xx + 1] = clip8(s1);
-      trow[3 * xx + 2] = clip8(s2);
+  std::vector<uint8_t> plane(static_cast<size_t>(in_h) * in_w);
+  std::vector<uint8_t> tmp(static_cast<size_t>(in_h) * out_w);
+  std::vector<int32_t> acc(static_cast<size_t>(out_w));
+  for (int c = 0; c < 3; c++) {
+    // deinterleave this channel
+    for (int y = 0; y < in_h; y++) {
+      const uint8_t* row = in + static_cast<size_t>(y) * in_stride + c;
+      uint8_t* prow = plane.data() + static_cast<size_t>(y) * in_w;
+      for (int x = 0; x < in_w; x++) prow[x] = row[3 * x];
     }
-  }
-  // vertical: [in_h, out_w] -> [out_h, out_w]
-  for (int yy = 0; yy < out_h; yy++) {
-    const int ymin = vb[2 * yy], n = vb[2 * yy + 1];
-    const int* k = vk.data() + static_cast<size_t>(yy) * vks;
-    uint8_t* orow = out + static_cast<size_t>(yy) * out_w * 3;
-    for (int x = 0; x < out_w * 3; x++) {
-      int64_t s = 1 << (PRECISION_BITS - 1);
-      for (int y = 0; y < n; y++)
-        s += static_cast<int64_t>(
-                 tmp[static_cast<size_t>(ymin + y) * out_w * 3 + x]) *
-             k[y];
-      orow[x] = clip8(s);
+    // horizontal: [in_h, in_w] -> [in_h, out_w], taps contiguous
+    for (int y = 0; y < in_h; y++) {
+      const uint8_t* prow = plane.data() + static_cast<size_t>(y) * in_w;
+      uint8_t* trow = tmp.data() + static_cast<size_t>(y) * out_w;
+      for (int xx = 0; xx < out_w; xx++) {
+        const int xmin = hb[2 * xx], n = hb[2 * xx + 1];
+        const int* k = hk.data() + static_cast<size_t>(xx) * hks;
+        int32_t s = 1 << (PRECISION_BITS - 1);
+        const uint8_t* p = prow + xmin;
+        for (int x = 0; x < n; x++) s += static_cast<int32_t>(p[x]) * k[x];
+        trow[xx] = clip8(s);
+      }
+    }
+    // vertical: [in_h, out_w] -> [out_h, out_w], rows contiguous
+    const float sc = out_f32 ? 1.0f / (255.0f * stdv[c]) : 0.0f;
+    const float bi = out_f32 ? -mean[c] / stdv[c] : 0.0f;
+    float* oplane =
+        out_f32 ? out_f32 + static_cast<size_t>(c) * out_w * out_h : nullptr;
+    for (int yy = 0; yy < out_h; yy++) {
+      const int ymin = vb[2 * yy], n = vb[2 * yy + 1];
+      const int* k = vk.data() + static_cast<size_t>(yy) * vks;
+      std::fill(acc.begin(), acc.end(), 1 << (PRECISION_BITS - 1));
+      for (int y = 0; y < n; y++) {
+        const int32_t kk = k[y];
+        const uint8_t* trow =
+            tmp.data() + static_cast<size_t>(ymin + y) * out_w;
+        int32_t* a = acc.data();
+        for (int x = 0; x < out_w; x++)
+          a[x] += static_cast<int32_t>(trow[x]) * kk;
+      }
+      if (oplane) {
+        float* orow = oplane + static_cast<size_t>(yy) * out_w;
+        for (int x = 0; x < out_w; x++)
+          orow[x] = static_cast<float>(clip8(acc[x])) * sc + bi;
+      } else {
+        uint8_t* orow =
+            out_u8 + (static_cast<size_t>(yy) * out_w) * 3 + c;
+        for (int x = 0; x < out_w; x++) orow[3 * x] = clip8(acc[x]);
+      }
     }
   }
 }
@@ -168,25 +196,10 @@ int madtp_resize_norm(const uint8_t* in, int in_w, int in_h, int crop_x,
   crop_y = std::max(0, std::min(crop_y, in_h - 1));
   crop_w = std::min(crop_w, in_w - crop_x);
   crop_h = std::min(crop_h, in_h - crop_y);
-  std::vector<uint8_t> resized;
-  uint8_t* dst = out_u8;
-  if (fuse_norm) {
-    resized.resize(static_cast<size_t>(out_w) * out_h * 3);
-    dst = resized.data();
-  }
   resample_rgb(in + (static_cast<size_t>(crop_y) * in_w + crop_x) * 3,
                crop_w, crop_h, in_w * 3, 0.0, 0.0, crop_w, crop_h, out_w,
-               out_h, dst);
-  if (fuse_norm) {
-    const int n = out_w * out_h;
-    for (int c = 0; c < 3; c++) {
-      const float sc = 1.0f / (255.0f * stdv[c]);
-      const float bi = -mean[c] / stdv[c];
-      float* o = out_f32 + static_cast<size_t>(c) * n;
-      const uint8_t* p = dst + c;
-      for (int i = 0; i < n; i++, p += 3) o[i] = *p * sc + bi;
-    }
-  }
+               out_h, fuse_norm ? nullptr : out_u8,
+               fuse_norm ? out_f32 : nullptr, mean, stdv);
   return 0;
 }
 
@@ -222,6 +235,10 @@ int madtp_decode_resize(const uint8_t* data, size_t len, int crop_x,
                         float* out_f32) {
   jpeg_decompress_struct cinfo;
   ErrMgr err;
+  // declared BEFORE setjmp so a longjmp'd error return still runs their
+  // destructors on the way out (declared after, the heap blocks would leak
+  // on every corrupt file)
+  std::vector<uint8_t> buf;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = err_exit;
   err.pub.emit_message = emit_silent;
@@ -249,11 +266,14 @@ int madtp_decode_resize(const uint8_t* data, size_t len, int crop_x,
   crop_w = std::min(crop_w, W - crop_x);
   crop_h = std::min(crop_h, H - crop_y);
 
-  // Smallest M/8 decode scale that keeps the (scaled) crop >= the target in
-  // both dims -- downsampling work moves into the IDCT, never upscales.
+  // Smallest power-of-two M/8 decode scale that keeps the (scaled) crop >=
+  // the target in both dims -- downsampling work moves into the IDCT and
+  // never upscales.  Only 1/8, 2/8, 4/8 use libjpeg-turbo's small fast
+  // IDCTs; odd scales like 7/8 run 14-point IDCTs at ~full-decode cost for
+  // marginal savings (measured), so they're skipped.
   int M = 8;
   if (allow_dct_scale) {
-    for (int m = 1; m <= 8; m++) {
+    for (int m : {1, 2, 4}) {
       if (static_cast<int64_t>(crop_w) * m >= static_cast<int64_t>(out_w) * 8 &&
           static_cast<int64_t>(crop_h) * m >= static_cast<int64_t>(out_h) * 8) {
         M = m;
@@ -297,7 +317,7 @@ int madtp_decode_resize(const uint8_t* data, size_t len, int crop_x,
 
   const int rows = std::max(1, iy1 - base);
   const int stride = static_cast<int>(xw) * 3;
-  std::vector<uint8_t> buf(static_cast<size_t>(rows) * stride);
+  buf.resize(static_cast<size_t>(rows) * stride);
   while (static_cast<int>(cinfo.output_scanline) < iy1) {
     JSAMPROW rowp =
         buf.data() +
@@ -308,12 +328,6 @@ int madtp_decode_resize(const uint8_t* data, size_t len, int crop_x,
   jpeg_abort_decompress(&cinfo);  // skip the rest without EOF checks
   jpeg_destroy_decompress(&cinfo);
 
-  std::vector<uint8_t> resized;
-  uint8_t* dst = out_u8;
-  if (fuse_norm) {
-    resized.resize(static_cast<size_t>(out_w) * out_h * 3);
-    dst = resized.data();
-  }
   // Present the resampler with EXACTLY the crop region so its tap clamping
   // happens at the crop edges — PIL's crop().resize() semantics (a wider
   // view would let edge taps read pixels outside the crop).
@@ -321,21 +335,8 @@ int madtp_decode_resize(const uint8_t* data, size_t len, int crop_x,
   const int row0 = std::max(0, iy0 - base);
   resample_rgb(buf.data() + static_cast<size_t>(row0) * stride + col0 * 3,
                ix1 - ix0, iy1 - iy0, stride, fx0 - ix0, fy0 - iy0, fx1 - ix0,
-               fy1 - iy0, out_w, out_h, dst);
-
-  if (fuse_norm) {
-    const int n = out_w * out_h;
-    float sc[3], bi[3];
-    for (int c = 0; c < 3; c++) {
-      sc[c] = 1.0f / (255.0f * stdv[c]);
-      bi[c] = -mean[c] / stdv[c];
-    }
-    for (int c = 0; c < 3; c++) {
-      float* o = out_f32 + static_cast<size_t>(c) * n;
-      const uint8_t* p = dst + c;
-      for (int i = 0; i < n; i++, p += 3) o[i] = *p * sc[c] + bi[c];
-    }
-  }
+               fy1 - iy0, out_w, out_h, fuse_norm ? nullptr : out_u8,
+               fuse_norm ? out_f32 : nullptr, mean, stdv);
   return 0;
 }
 

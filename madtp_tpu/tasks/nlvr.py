@@ -156,6 +156,9 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
                 enc_token_id: int, temperature: float, *, print_fn=print,
                 print_freq: int = 50, lr: float = 0.0, mesh=None,
                 stop=None):
+    """``stop``: preemption poll (utils/preempt), checked AFTER each step so
+    every completed batch counts exactly once; the count comes back in
+    ``stats['batches_done']`` (int) for exactly-once mid-epoch resume."""
     """``mesh``: GSPMD data-parallel training — params/optimizer replicated,
     batches sharded over 'data' (XLA inserts the gradient all-reduce; the
     reference's DDP, compress_nlvr_dtp.py:148).  Train batches must divide
@@ -193,13 +196,10 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
     logger = MetricLogger(print_fn=print_fn)
     t = jnp.float32(temperature)
     pending = None
+    batches_done = 0
     for image0, image1, sentences, targets in logger.log_every(
         loader_fn(), print_freq, "Train:"
     ):
-        if stop is not None and stop():
-            # preemption (utils/preempt): every rank breaks on the same
-            # batch (the guard's decision is cross-process synced)
-            break
         ids, mask = tokenize(sentences)
         ids[:, 0] = enc_token_id
         local_d = (len(mesh.local_mesh.devices.flat) if spans
@@ -225,8 +225,15 @@ def train_epoch(params, opt_state, train_step, loader_fn, tokenize,
             logger.update(temperature=float(temperature), lr=lr,
                           **{k: float(v) for k, v in pending.items()})
         pending = metrics
+        batches_done += 1
+        if stop is not None and stop():
+            # preemption (utils/preempt): checked after the step so the
+            # batch counts; every rank breaks on the same batch (the
+            # guard's decision is cross-process synced)
+            break
     if pending is not None:
         logger.update(temperature=float(temperature), lr=lr,
                       **{k: float(v) for k, v in pending.items()})
     stats = {k: f"{m.global_avg:.4f}" for k, m in logger.meters.items()}
+    stats["batches_done"] = batches_done
     return params, opt_state, stats

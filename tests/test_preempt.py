@@ -71,9 +71,11 @@ def test_guard_request_stop_and_chaining():
         signal.signal(signal.SIGUSR1, prev)
 
 
-def test_nlvr_preempt_then_resume(tmp_path, monkeypatch):
+def test_nlvr_preempt_then_resume(tmp_path, monkeypatch, capsys):
     """Programmatic preemption (FakeGuard stops after a few polls) mid-run,
-    then --resume restarts the interrupted epoch and runs to completion."""
+    then --resume restarts the interrupted epoch EXACTLY-ONCE: already
+    trained batches are skipped via the deterministic batch schedule and
+    the controller temperature is re-derived."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -92,7 +94,7 @@ def test_nlvr_preempt_then_resume(tmp_path, monkeypatch):
 
         def should_stop(self):
             FakeGuard.polls += 1
-            if FakeGuard.polls == 4:  # mid-epoch-1 (2 batches/epoch)
+            if FakeGuard.polls == 3:  # after batch 1 of epoch 1 (2/epoch)
                 self.request_stop()
             return super().should_stop()
 
@@ -100,7 +102,8 @@ def test_nlvr_preempt_then_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["x", "--config", ypath, "--output_dir", out1, "--pretrained", "",
-         "--epoch", "4"])
+         "--epoch", "4", "--dp", "off"])  # no mesh batch padding: keep the
+    # 2-batch epochs this test's poll arithmetic assumes
     from madtp_tpu.cli.compress_nlvr import main
 
     main()
@@ -113,8 +116,13 @@ def test_nlvr_preempt_then_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["x", "--config", ypath, "--output_dir", out2, "--pretrained", "",
-         "--epoch", "4", "--resume", os.path.join(out1, "resume_ckpt")])
+         "--epoch", "4", "--dp", "off",
+         "--resume", os.path.join(out1, "resume_ckpt")])
+    capsys.readouterr()
     main()
+    resumed_out = capsys.readouterr().out
+    # exactly-once: the one trained batch of the interrupted epoch skips
+    assert "skipping 1 trained batches" in resumed_out
     log2 = [json.loads(l) for l in open(os.path.join(out2, "log.txt"))]
     epochs2 = [e["epoch"] for e in log2]
     # restarts the INTERRUPTED epoch (last completed + 1) and finishes

@@ -32,11 +32,15 @@ from PIL import Image
 
 
 class JpegDataset:
-    """Decode + train transform, shaped like the real train datasets."""
+    """Decode + transform, shaped like the real datasets.  ``train``
+    includes RandomResizedCrop+flip+RandAugment+normalize (augment cost
+    dominates); ``eval`` is decode+resize+normalize, where the fused
+    native path saves the most."""
 
-    def __init__(self, paths, image_size):
+    def __init__(self, paths, image_size, transform="train"):
         self.paths = paths
         self.image_size = image_size
+        self.transform = transform
 
     def __len__(self):
         return len(self.paths)
@@ -44,10 +48,14 @@ class JpegDataset:
     def __getitem__(self, i):
         import random
 
-        from madtp_tpu.data.transforms import train_transform
+        from madtp_tpu.data.transforms import eval_transform, train_transform
 
+        # pass the LAZY image: convert("RGB") would decode here and strip
+        # .format/.filename, bypassing the fused native decode path
         with Image.open(self.paths[i]) as im:
-            return (train_transform(im.convert("RGB"), self.image_size,
+            if self.transform == "eval":
+                return (eval_transform(im, self.image_size), i)
+            return (train_transform(im, self.image_size,
                                     random.Random(i)), i)
 
 
@@ -85,6 +93,7 @@ def main():
     ap.add_argument("--step_ms", type=float, default=70.0,
                     help="train-step time to feed (round-3 --fast_train "
                     "NLVR step is ~70 ms on the v5e chip)")
+    ap.add_argument("--transform", default="train", choices=["train", "eval"])
     ap.add_argument("--root", default="/tmp/madtp_loader_bench")
     args = ap.parse_args()
 
@@ -94,7 +103,8 @@ def main():
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.data.mp_loader import mp_batched_loader
 
-    ds = JpegDataset(make_corpus(args.root, args.n), args.image_size)
+    ds = JpegDataset(make_corpus(args.root, args.n), args.image_size,
+                     args.transform)
     n_batches = max(1, len(ds) // args.batch - 1)  # one batch spare for warmup
 
     from madtp_tpu import native
@@ -132,6 +142,7 @@ def main():
         "metric": "loader_batches_per_s", "unit": "batches/s",
         "needed_for_step": need, "cores": os.cpu_count(),
         "batch": args.batch, "image_size": args.image_size,
+        "transform": args.transform,
         **res,
     }))
 
