@@ -189,3 +189,40 @@ def test_vqa_driver_2proc_eval_merge(tmp_path):
     rank1 = json.load(open(os.path.join(shared, "vqa_result_rank1.json")))
     assert rank0 and rank0 == rank1  # identical synthetic shards
     assert merged == rank0  # dedup by question_id collapses duplicates
+
+
+def test_2proc_preempt_sigterm_one_rank(tmp_path):
+    """Preemption under the GLOBAL mesh: SIGTERM only rank 1 mid-training.
+    The guard OR-reduces the flag across processes (utils/preempt), so BOTH
+    ranks must leave the step loop on the same batch, save the resume
+    checkpoint (rank 0), and exit 0 — a lone early exit would deadlock the
+    gradient psum."""
+    import signal
+    import time
+
+    dirs = [str(tmp_path / f"p{r}") for r in range(2)]
+    coord = f"127.0.0.1:{_free_port()}"
+    full_env = dict(os.environ)
+    full_env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "madtp_tpu.cli.compress_nlvr",
+             "--synthetic", "--epoch", "500",
+             "--platform", "cpu",
+             "--num_processes", "2", "--process_id", str(r),
+             "--coordinator", coord, "--output_dir", dirs[r]],
+            cwd=REPO, env=full_env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)
+    ]
+    time.sleep(45)  # into training (a pre-training signal still stops at
+    # the first in-loop sync, which this test equally accepts)
+    procs[1].send_signal(signal.SIGTERM)
+    outs = []
+    for r, p in enumerate(procs):
+        out = p.communicate(timeout=420)[0].decode()
+        outs.append(out)
+        assert p.returncode == 0, f"rank {r} rc={p.returncode}:\n{out[-3000:]}"
+    for r, out in enumerate(outs):
+        assert "preempted" in out, f"rank {r} did not stop:\n{out[-2000:]}"
+    assert os.path.exists(os.path.join(dirs[0], "resume_ckpt.npz"))
