@@ -209,3 +209,27 @@ def test_flax_vit_npz_loader(tmp_path):
     state, _, _ = vit_forward(jax.tree.map(jnp.asarray, tree), x, cfg=cfg)
     out = np.asarray(state.x)
     assert out.shape == (2, 1 + g * g, D) and np.isfinite(out).all()
+
+
+def test_load_native_old_two_file_format(tmp_path):
+    """Pre-r3 checkpoints stored extras as a sidecar .json; the single-file
+    (atomic) format embeds them in the npz.  Loading must support both."""
+    import json
+    import os
+
+    from madtp_tpu.ckpt.export import load_native, save_native
+
+    old = str(tmp_path / "old.npz")
+    np.savez(old, ab=np.arange(3.0))
+    json.dump({"epoch": 2}, open(str(tmp_path / "old.json"), "w"))
+    tree, extras = load_native(old, require_extras=True)
+    assert extras == {"epoch": 2}
+    assert np.array_equal(tree["ab"], np.arange(3.0))
+
+    new = str(tmp_path / "new.npz")
+    save_native(new, {"a": {"b": np.arange(3.0)}}, extras={"epoch": 5})
+    assert not os.path.exists(str(tmp_path / "new.json"))  # single file
+    tree2, extras2 = load_native(new, require_extras=True)
+    assert extras2 == {"epoch": 5}
+    assert "__extras_json__" not in tree2
+    assert np.array_equal(tree2["a"]["b"], np.arange(3.0))
