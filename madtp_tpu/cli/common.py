@@ -67,7 +67,24 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                    help="force a JAX platform (the env var JAX_PLATFORMS is "
                         "read before driver code under sitecustomize; this "
                         "flag applies jax.config.update early instead)")
+    p.add_argument("--uint8_feed", action="store_true",
+                   help="ship eval images host->device as uint8 HWC (4x "
+                        "less transfer + no host normalize); the model "
+                        "normalizes on device (ops/layers.normalize_images, "
+                        "matches the host transform to ~1e-5)")
     return p
+
+
+def eval_image_transform(args, image_size: int):
+    """The eval-side image transform: fp32 host-normalized CHW (reference
+    torchvision parity) or, under ``--uint8_feed``, bicubic-resized uint8
+    HWC that the model normalizes on device (vit_forward /
+    clip_encode_image accept uint8 natively)."""
+    from madtp_tpu.data.transforms import eval_resize_uint8, eval_transform
+
+    if getattr(args, "uint8_feed", False):
+        return lambda im: eval_resize_uint8(im, image_size)
+    return lambda im: eval_transform(im, image_size)
 
 
 def setup_runtime(args) -> None:

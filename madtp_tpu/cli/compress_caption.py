@@ -223,11 +223,11 @@ def main():
 
     from madtp_tpu.data.datasets import CaptionEvalDataset, CaptionTrainDataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import eval_transform  # noqa: F401
+    from madtp_tpu.cli.common import eval_image_transform
 
     def make_loader(split):
         ds = CaptionEvalDataset(
-            lambda im: eval_transform(im, image_size),
+            eval_image_transform(args, image_size),
             config["image_root"], config["ann_root"], split)
         return lambda: batched_loader(ds, config.get("batch_size_test", 32),
                                       num_shards=n_procs, shard_id=proc_id)

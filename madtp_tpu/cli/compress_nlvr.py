@@ -54,16 +54,22 @@ def synthetic_loader(n_batches, batch, image_size, seed=0, batch_skip=0):
 
 
 def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
-                num_shards=1, shard_id=0, batch_skip=0):
+                num_shards=1, shard_id=0, batch_skip=0, uint8=False):
     from madtp_tpu.data.datasets import NLVRDataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import eval_transform, train_transform
+    from madtp_tpu.data.transforms import (
+        eval_resize_uint8, eval_transform, train_transform,
+    )
     import random as _random
 
     size = config["image_size"]
     if train:
         rng = _random.Random(42 + epoch)
         tf = lambda im: train_transform(im, size, rng)
+    elif uint8:
+        # --uint8_feed: 4x less host->device traffic; vit_forward
+        # normalizes on device (ops/layers.normalize_images)
+        tf = lambda im: eval_resize_uint8(im, size)
     else:
         tf = lambda im: eval_transform(im, size)
     ds = NLVRDataset(tf, config["image_root"], config["ann_root"], split)
@@ -192,7 +198,8 @@ def main():
         return real_loader(config, split, tokenizer, train=train,
                            batch=batch_train if train else batch_test,
                            epoch=epoch, num_shards=ns, shard_id=si,
-                           batch_skip=batch_skip)
+                           batch_skip=batch_skip,
+                           uint8=args.uint8_feed and not train)
 
     caps_v = caps_t = None
     if args.evaluate and args.fast_eval and temperature > 0:

@@ -88,10 +88,10 @@ def main():
 
         from madtp_tpu.data.datasets import RetrievalEvalDataset
         from madtp_tpu.data.loader import batched_loader
-        from madtp_tpu.data.transforms import eval_transform
+        from madtp_tpu.cli.common import eval_image_transform
 
         ds = RetrievalEvalDataset(
-            lambda im: eval_transform(im, image_size),
+            eval_image_transform(args, image_size),
             config["image_root"], config["ann_root"], "test",
             dataset=config.get("dataset", "coco"))
         texts = ds.text

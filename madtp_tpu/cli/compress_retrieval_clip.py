@@ -124,10 +124,10 @@ def main():
 
         from madtp_tpu.data.datasets import RetrievalEvalDataset
         from madtp_tpu.data.loader import batched_loader
-        from madtp_tpu.data.transforms import eval_transform
+        from madtp_tpu.cli.common import eval_image_transform
 
         ds = RetrievalEvalDataset(
-            lambda im: eval_transform(im, cfg.image_resolution),
+            eval_image_transform(args, cfg.image_resolution),
             config["image_root"], config["ann_root"], "test",
             dataset=config.get("dataset", "flickr"))
         tokzr = ClipBPETokenizer()

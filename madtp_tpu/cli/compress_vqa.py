@@ -247,10 +247,10 @@ def main():
 
     from madtp_tpu.data.datasets import VQADataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import eval_transform
+    from madtp_tpu.cli.common import eval_image_transform
     from madtp_tpu.data.text_utils import save_result
 
-    ds = VQADataset(lambda im: eval_transform(im, image_size),
+    ds = VQADataset(eval_image_transform(args, image_size),
                     config["ann_root"], config["vqa_root"],
                     config.get("vg_root", ""), split="test")
 

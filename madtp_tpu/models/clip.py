@@ -197,6 +197,12 @@ def clip_encode_image(
     physically compacted eval/training (--fast_eval/--fast_train)."""
     from madtp_tpu.ops.layers import patch_embed
 
+    if images.dtype == jnp.uint8:
+        # uint8 HWC host buffers (drivers' --uint8_feed): normalize on
+        # device — 4x less host->device traffic
+        from madtp_tpu.ops.layers import normalize_images
+
+        images = normalize_images(images)
     if cfg.is_resnet:
         # ModifiedResNet tower (clip/model.py:97-156) — unpruned; the
         # reference's own RN+DTP integration cannot even be constructed

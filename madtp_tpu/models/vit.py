@@ -106,6 +106,12 @@ def vit_forward(
     :func:`madtp_tpu.prune.calibrate.calibrate_capacities` to derive a
     schedule from mask-mode runs.
     """
+    if images.dtype == jnp.uint8:
+        # uint8 HWC host buffers (drivers' --uint8_feed): 4x less
+        # host->device traffic; normalize fuses into the patch-embed conv
+        from madtp_tpu.ops.layers import normalize_images
+
+        images = normalize_images(images)
     B = images.shape[0]
     x = patch_embed(params["patch_embed"], images)  # [B, P0, D]
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, x.shape[-1]))

@@ -1,0 +1,62 @@
+"""--uint8_feed: eval images ship host->device as uint8 HWC (4x less
+transfer) and the model normalizes on device (ops/layers.normalize_images,
+already pinned to the host transform at ~1e-5 in test_data.py).  The
+driver-level metrics must match the fp32 path."""
+
+import json
+import os
+import sys
+
+import pytest
+
+from tests.test_preempt import _make_fixture, _write_yaml
+
+
+def test_nlvr_eval_uint8_matches_fp32(tmp_path, monkeypatch):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cfg = _make_fixture(tmp_path / "fix")
+    cfg["max_epoch"] = 1
+    ypath = str(tmp_path / "nlvr.yaml")
+    _write_yaml(ypath, cfg)
+
+    from madtp_tpu.cli.compress_nlvr import main
+
+    logs = {}
+    for name, extra in (("fp32", []), ("u8", ["--uint8_feed"])):
+        out = str(tmp_path / name)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["x", "--config", ypath, "--output_dir", out, "--pretrained",
+             "", "--evaluate", "--dp", "off"] + extra)
+        main()
+        logs[name] = json.load(open(os.path.join(out, "evaluate.txt")))
+    # same random-init params (fixed seed), same images modulo the
+    # <=1-LSB-equivalent on-device normalize -> identical accuracy/GFLOPs
+    assert logs["u8"] == logs["fp32"]
+
+
+def test_vit_accepts_uint8_hwc():
+    """Model-level contract: vit_forward(uint8 HWC) == vit_forward(host-
+    normalized fp32 CHW) to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from madtp_tpu.core.config import ViTConfig
+    from madtp_tpu.models.vit import init_vit_params, vit_forward
+    from madtp_tpu.ops.layers import normalize_images
+
+    cfg = ViTConfig(image_size=32, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=4, sd_dim=32)
+    rng = np.random.RandomState(0)
+    params = jax.tree.map(jnp.asarray, init_vit_params(cfg, rng))
+    u8 = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    f32 = np.asarray(normalize_images(jnp.asarray(u8)))
+
+    s1, _, _ = vit_forward(params, jnp.asarray(u8), cfg=cfg)
+    s2, _, _ = vit_forward(params, jnp.asarray(f32), cfg=cfg)
+    np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x),
+                               atol=1e-5, rtol=1e-5)
