@@ -87,6 +87,19 @@ def eval_image_transform(args, image_size: int):
     return lambda im: eval_transform(im, image_size)
 
 
+def train_image_transform(args, image_size: int, rng):
+    """Train-side image transform (crop/flip/RandAugment), fp32 CHW or —
+    under ``--uint8_feed`` — augmented uint8 HWC normalized on device.
+    Both consume the same rng stream (same crops/flips/augments)."""
+    from madtp_tpu.data.transforms import (
+        train_transform, train_transform_uint8,
+    )
+
+    if getattr(args, "uint8_feed", False):
+        return lambda im: train_transform_uint8(im, image_size, rng)
+    return lambda im: train_transform(im, image_size, rng)
+
+
 def setup_runtime(args) -> None:
     """Platform override + multi-process bring-up.  MUST run before the
     first device query (driver_mesh / any jit)."""

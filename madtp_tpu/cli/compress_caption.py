@@ -269,11 +269,11 @@ def main():
 
     import random as _random
 
-    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.cli.common import train_image_transform
 
     _trng = _random.Random(args.seed)
     ds = CaptionTrainDataset(
-        lambda im: train_transform(im, image_size, _trng),
+        train_image_transform(args, image_size, _trng),
         config["image_root"], config["ann_root"],
         prompt=config.get("prompt", PROMPT))
     # reference models/blip.py:109: prompt_length = len(tok(prompt).ids) - 1

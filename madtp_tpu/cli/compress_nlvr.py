@@ -59,16 +59,20 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.data.transforms import (
         eval_resize_uint8, eval_transform, train_transform,
+        train_transform_uint8,
     )
     import random as _random
 
+    # uint8: --uint8_feed — 4x less host->device traffic; vit_forward
+    # normalizes on device (ops/layers.normalize_images)
     size = config["image_size"]
     if train:
         rng = _random.Random(42 + epoch)
-        tf = lambda im: train_transform(im, size, rng)
+        if uint8:
+            tf = lambda im: train_transform_uint8(im, size, rng)
+        else:
+            tf = lambda im: train_transform(im, size, rng)
     elif uint8:
-        # --uint8_feed: 4x less host->device traffic; vit_forward
-        # normalizes on device (ops/layers.normalize_images)
         tf = lambda im: eval_resize_uint8(im, size)
     else:
         tf = lambda im: eval_transform(im, size)
@@ -198,8 +202,7 @@ def main():
         return real_loader(config, split, tokenizer, train=train,
                            batch=batch_train if train else batch_test,
                            epoch=epoch, num_shards=ns, shard_id=si,
-                           batch_skip=batch_skip,
-                           uint8=args.uint8_feed and not train)
+                           batch_skip=batch_skip, uint8=args.uint8_feed)
 
     caps_v = caps_t = None
     if args.evaluate and args.fast_eval and temperature > 0:

@@ -225,7 +225,7 @@ def main():
     )
     from madtp_tpu.data.datasets import CaptionTrainDataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.cli.common import train_image_transform
     from madtp_tpu.prune.flops import retrieval_gflops
     from madtp_tpu.train.controller import TemperatureController
     from madtp_tpu.train.loops import (
@@ -280,7 +280,7 @@ def main():
 
     _trng = _random.Random(args.seed)
     train_ds = CaptionTrainDataset(
-        lambda im: train_transform(im, image_size, _trng),
+        train_image_transform(args, image_size, _trng),
         config["image_root"], config["ann_root"],
         dataset=config.get("dataset", "coco"))
 

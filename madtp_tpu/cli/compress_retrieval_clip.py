@@ -307,7 +307,7 @@ def main():
 
     from madtp_tpu.data.datasets import CaptionTrainDataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.cli.common import train_image_transform
     from madtp_tpu.train.controller import TemperatureController
     from madtp_tpu.train.loops import (
         CLIP_MOMENTUM_KEYS, ClipTrainState, make_clip_train_step,
@@ -348,7 +348,7 @@ def main():
 
     _trng = _random.Random(args.seed)
     train_ds = CaptionTrainDataset(
-        lambda im: train_transform(im, cfg.image_resolution, _trng),
+        train_image_transform(args, cfg.image_resolution, _trng),
         config["image_root"], config["ann_root"],
         dataset=config.get("dataset", "flickr"))
 

@@ -283,7 +283,7 @@ def main():
         export_med, export_vit, save_torch_checkpoint,
     )
     from madtp_tpu.data.datasets import VQADataset, vqa_collate
-    from madtp_tpu.data.transforms import train_transform
+    from madtp_tpu.cli.common import train_image_transform
     from madtp_tpu.train.controller import TemperatureController
     from madtp_tpu.train.loops import make_vqa_train_step
     from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
@@ -297,7 +297,7 @@ def main():
 
     _trng = _random.Random(args.seed)
     train_ds = VQADataset(
-        lambda im: train_transform(im, image_size, _trng),
+        train_image_transform(args, image_size, _trng),
         config["ann_root"], config["vqa_root"], config.get("vg_root", ""),
         split="train", train_files=tuple(config.get(
             "train_files", ("vqa_train", "vqa_val", "vg_qa"))))

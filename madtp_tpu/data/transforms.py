@@ -154,10 +154,11 @@ def rand_augment(img: Image.Image, n: int, m: int, rng: random.Random,
     return img
 
 
-def train_transform(img: Image.Image, image_size: int, rng: random.Random,
-                    min_scale: float = 0.5) -> np.ndarray:
-    # Crop box drawn BEFORE any decode so native and PIL paths consume the
-    # same rng stream (the native path decodes only the crop region).
+def _train_augmented(img: Image.Image, image_size: int, rng: random.Random,
+                     min_scale: float) -> Image.Image:
+    """Shared train pipeline: RandomResizedCrop -> flip -> RandAugment.
+    The crop box is drawn BEFORE any decode so native and PIL paths consume
+    the same rng stream (the native path decodes only the crop region)."""
     data, mode = _native_jpeg_bytes(img)
     box = _random_crop_box(img.size[0], img.size[1], rng, (min_scale, 1.0))
     cropped = None
@@ -184,8 +185,23 @@ def train_transform(img: Image.Image, image_size: int, rng: random.Random,
                 (image_size, image_size), Image.BICUBIC)
     if rng.random() < 0.5:
         cropped = cropped.transpose(Image.FLIP_LEFT_RIGHT)
-    cropped = rand_augment(cropped, 2, 5, rng)
-    return normalize_chw(cropped)
+    return rand_augment(cropped, 2, 5, rng)
+
+
+def train_transform(img: Image.Image, image_size: int, rng: random.Random,
+                    min_scale: float = 0.5) -> np.ndarray:
+    return normalize_chw(_train_augmented(img, image_size, rng, min_scale))
+
+
+def train_transform_uint8(img: Image.Image, image_size: int,
+                          rng: random.Random,
+                          min_scale: float = 0.5) -> np.ndarray:
+    """Train-side uint8 host buffer: identical crop/flip/augment pipeline
+    (same rng stream as :func:`train_transform`), but returns the augmented
+    uint8 HWC image for on-device normalization
+    (ops/layers.normalize_images) — the drivers' ``--uint8_feed``."""
+    return np.asarray(_train_augmented(img, image_size, rng, min_scale),
+                      np.uint8)
 
 
 def eval_resize_uint8(img: Image.Image, image_size: int) -> np.ndarray:

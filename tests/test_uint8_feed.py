@@ -60,3 +60,56 @@ def test_vit_accepts_uint8_hwc():
     s2, _, _ = vit_forward(params, jnp.asarray(f32), cfg=cfg)
     np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_train_transform_uint8_matches_fp32_exactly():
+    """train_transform_uint8 + device normalize == train_transform (same
+    rng stream -> identical crops/flips/augments; the only difference is
+    where the normalize runs)."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    jax.config.update("jax_platforms", "cpu")
+    from madtp_tpu.data.transforms import train_transform, train_transform_uint8
+    from madtp_tpu.ops.layers import normalize_images
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray((rng.rand(120, 90, 3) * 255).astype(np.uint8))
+    ref = train_transform(img, 64, random.Random(5))
+    u8 = train_transform_uint8(img, 64, random.Random(5))
+    dev = np.asarray(normalize_images(jnp.asarray(u8[None])))[0]
+    np.testing.assert_allclose(dev, ref, atol=1e-5)
+
+
+def test_nlvr_train_uint8_matches_fp32(tmp_path, monkeypatch):
+    """Driver-level train sanity under --uint8_feed: same data pipeline, so
+    the 1-epoch loss must agree closely.  NOT exact: DTP keep decisions
+    threshold on scores, so the ~1e-7 normalize placement difference can
+    flip borderline tokens (the calibration-drift phenomenon) — the bound
+    here is a sanity envelope, the strict check is the transform-level
+    test above."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cfg = _make_fixture(tmp_path / "fix")
+    cfg["max_epoch"] = 1
+    ypath = str(tmp_path / "nlvr.yaml")
+    _write_yaml(ypath, cfg)
+
+    from madtp_tpu.cli.compress_nlvr import main
+
+    losses = {}
+    for name, extra in (("fp32", []), ("u8", ["--uint8_feed"])):
+        out = str(tmp_path / ("t" + name))
+        monkeypatch.setattr(
+            sys, "argv",
+            ["x", "--config", ypath, "--output_dir", out, "--pretrained",
+             "", "--epoch", "1", "--dp", "off"] + extra)
+        main()
+        log = json.load(open(os.path.join(out, "log.txt")))
+        losses[name] = float(log["train_loss"])
+    assert abs(losses["u8"] - losses["fp32"]) < 0.05, losses
