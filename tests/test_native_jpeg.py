@@ -216,3 +216,28 @@ def test_loader_end_to_end_native_matches_pil(tmp_path, monkeypatch):
     for (ra, ri), (ga, gi) in zip(ref, got):
         np.testing.assert_allclose(ga, ra, atol=1e-6)
         assert np.array_equal(ri, gi)
+
+
+def test_mp_loader_with_native_decode(tmp_path, monkeypatch):
+    """Process-worker loader (fork) + the native decoder: children inherit
+    or rebuild the ctypes lib and must produce the same batches as the
+    threaded PIL path."""
+    from madtp_tpu.data.mp_loader import mp_batched_loader
+
+    paths = [_save(tmp_path, _photo(seed=i), f"m{i}.jpg") for i in range(4)]
+
+    class DS:
+        def __len__(self):
+            return len(paths)
+
+        def __getitem__(self, i):
+            return (eval_transform(Image.open(paths[i]), 64), i)
+
+    monkeypatch.delenv("MADTP_NATIVE_JPEG", raising=False)
+    ref = [b for b in mp_batched_loader(DS(), 2, num_workers=2)]
+    monkeypatch.setenv("MADTP_NATIVE_JPEG", "1")
+    got = [b for b in mp_batched_loader(DS(), 2, num_workers=2)]
+    assert len(ref) == len(got) == 2
+    for (ra, ri), (ga, gi) in zip(ref, got):
+        np.testing.assert_allclose(ga, ra, atol=1e-6)
+        assert np.array_equal(ri, gi)
