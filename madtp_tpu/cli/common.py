@@ -68,26 +68,30 @@ def base_parser(default_config: str, default_pretrained: str = "") -> argparse.A
                         "read before driver code under sitecustomize; this "
                         "flag applies jax.config.update early instead)")
     p.add_argument("--uint8_feed", action="store_true",
-                   help="ship eval images host->device as uint8 HWC (4x "
-                        "less transfer + no host normalize); the model "
-                        "normalizes on device (ops/layers.normalize_images, "
-                        "matches the host transform to ~1e-5)")
+                   help="ship images (eval AND train) host->device as uint8 "
+                        "HWC (4x less transfer + no host normalize); the "
+                        "model normalizes on device "
+                        "(ops/layers.normalize_images, matches the host "
+                        "transform to ~1e-5)")
     return p
 
 
-def eval_image_transform(args, image_size: int):
+def eval_image_transform(args, image_size: int, *, uint8=None):
     """The eval-side image transform: fp32 host-normalized CHW (reference
     torchvision parity) or, under ``--uint8_feed``, bicubic-resized uint8
     HWC that the model normalizes on device (vit_forward /
-    clip_encode_image accept uint8 natively)."""
+    clip_encode_image accept uint8 natively).  ``uint8`` overrides the
+    args flag for callers that carry a plain bool (NLVR's real_loader)."""
     from madtp_tpu.data.transforms import eval_resize_uint8, eval_transform
 
-    if getattr(args, "uint8_feed", False):
+    if uint8 is None:
+        uint8 = getattr(args, "uint8_feed", False)
+    if uint8:
         return lambda im: eval_resize_uint8(im, image_size)
     return lambda im: eval_transform(im, image_size)
 
 
-def train_image_transform(args, image_size: int, rng):
+def train_image_transform(args, image_size: int, rng, *, uint8=None):
     """Train-side image transform (crop/flip/RandAugment), fp32 CHW or —
     under ``--uint8_feed`` — augmented uint8 HWC normalized on device.
     Both consume the same rng stream (same crops/flips/augments)."""
@@ -95,7 +99,9 @@ def train_image_transform(args, image_size: int, rng):
         train_transform, train_transform_uint8,
     )
 
-    if getattr(args, "uint8_feed", False):
+    if uint8 is None:
+        uint8 = getattr(args, "uint8_feed", False)
+    if uint8:
         return lambda im: train_transform_uint8(im, image_size, rng)
     return lambda im: train_transform(im, image_size, rng)
 

@@ -55,27 +55,19 @@ def synthetic_loader(n_batches, batch, image_size, seed=0, batch_skip=0):
 
 def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
                 num_shards=1, shard_id=0, batch_skip=0, uint8=False):
+    from madtp_tpu.cli.common import eval_image_transform, train_image_transform
     from madtp_tpu.data.datasets import NLVRDataset
     from madtp_tpu.data.loader import batched_loader
-    from madtp_tpu.data.transforms import (
-        eval_resize_uint8, eval_transform, train_transform,
-        train_transform_uint8,
-    )
     import random as _random
 
     # uint8: --uint8_feed — 4x less host->device traffic; vit_forward
     # normalizes on device (ops/layers.normalize_images)
     size = config["image_size"]
     if train:
-        rng = _random.Random(42 + epoch)
-        if uint8:
-            tf = lambda im: train_transform_uint8(im, size, rng)
-        else:
-            tf = lambda im: train_transform(im, size, rng)
-    elif uint8:
-        tf = lambda im: eval_resize_uint8(im, size)
+        tf = train_image_transform(None, size, _random.Random(42 + epoch),
+                                   uint8=uint8)
     else:
-        tf = lambda im: eval_transform(im, size)
+        tf = eval_image_transform(None, size, uint8=uint8)
     ds = NLVRDataset(tf, config["image_root"], config["ann_root"], split)
 
     def it():
@@ -327,6 +319,9 @@ def main():
     from madtp_tpu.utils.preempt import PreemptionGuard
 
     guard = PreemptionGuard()
+    # marker consumed by tests (and useful in pod logs): from here on a
+    # SIGTERM is handled gracefully instead of taking the default action
+    print("LOG: preemption guard armed", flush=True)
     for epoch in range(start_epoch, config["max_epoch"]):
         pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:

@@ -406,6 +406,7 @@ def main():
             state = _replicate(tmesh, state)
         print(f"resumed from {args.resume} at epoch {start_epoch}")
     guard = PreemptionGuard()
+    print("LOG: preemption guard armed", flush=True)
     for epoch in range(start_epoch, config["max_epoch"]):
         pre_temp = controller.temperature  # for interrupted-epoch resume
         if epoch > 0:

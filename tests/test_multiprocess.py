@@ -204,6 +204,8 @@ def test_2proc_preempt_sigterm_one_rank(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     full_env = dict(os.environ)
     full_env.pop("XLA_FLAGS", None)
+    logs = [str(tmp_path / f"out{r}.log") for r in range(2)]
+    log_fds = [open(lf, "wb") for lf in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "madtp_tpu.cli.compress_nlvr",
@@ -212,15 +214,31 @@ def test_2proc_preempt_sigterm_one_rank(tmp_path):
              "--num_processes", "2", "--process_id", str(r),
              "--coordinator", coord, "--output_dir", dirs[r]],
             cwd=REPO, env=full_env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            stdout=log_fds[r], stderr=subprocess.STDOUT)
         for r in range(2)
     ]
-    time.sleep(45)  # into training (a pre-training signal still stops at
-    # the first in-loop sync, which this test equally accepts)
+    # Wait until rank 1 prints the guard-armed marker: a SIGTERM delivered
+    # before the handler is installed would take the default action and
+    # kill the rank (rc -15).  Once armed, any time works — a pre-training
+    # signal still stops at the first in-loop sync.
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if ("preemption guard armed"
+                in open(logs[1], errors="replace").read()):
+            break
+        assert procs[1].poll() is None, open(logs[1]).read()[-3000:]
+        time.sleep(1)
+    else:
+        raise AssertionError("rank1 never armed the preemption guard:\n"
+                             + open(logs[1], errors="replace").read()[-3000:])
+    time.sleep(3)  # let it get into the step loop (not required, just
+    # exercises the mid-epoch path more often)
     procs[1].send_signal(signal.SIGTERM)
     outs = []
     for r, p in enumerate(procs):
-        out = p.communicate(timeout=420)[0].decode()
+        p.wait(timeout=420)
+        log_fds[r].close()
+        out = open(logs[r], errors="replace").read()
         outs.append(out)
         assert p.returncode == 0, f"rank {r} rc={p.returncode}:\n{out[-3000:]}"
     for r, out in enumerate(outs):
