@@ -1,0 +1,86 @@
+"""One-command on-chip bench refresh.
+
+Runs the headline bench plus every per-task tool bench SEQUENTIALLY (the
+tunneled chip serves one process at a time — CLAUDE.md), each in its own
+subprocess with a hard timeout, and writes one combined JSON to stdout
+and ``--out`` (default /tmp/all_benches.json).  A bench that fails or
+times out is recorded with its rc and stderr tail instead of aborting the
+sweep — the chip/tunnel is noisy and a single flaky run must not cost the
+whole refresh.
+
+Usage:  python tools/run_all_benches.py [--quick] [--out PATH]
+  --quick runs only bench.py + the three cheapest task benches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, argv, timeout_s) — ordered cheapest-first so a mid-sweep outage
+# still yields the headline number
+BENCHES = [
+    ("nlvr_headline", [sys.executable, "bench.py"], 1800),
+    ("train", [sys.executable, "tools/bench_train.py"], 1800),
+    ("vqa", [sys.executable, "tools/bench_vqa.py"], 1800),
+    ("caption", [sys.executable, "tools/bench_caption.py"], 1800),
+    ("retrieval", [sys.executable, "tools/bench_retrieval.py"], 2400),
+    ("clip", [sys.executable, "tools/bench_clip.py"], 2400),
+    ("p_sweep", [sys.executable, "tools/bench_p_sweep.py"], 3600),
+]
+QUICK = {"nlvr_headline", "train", "vqa", "caption"}
+
+
+def last_json_line(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="/tmp/all_benches.json")
+    args = ap.parse_args()
+
+    results = {}
+    for name, argv, timeout_s in BENCHES:
+        if args.quick and name not in QUICK:
+            continue
+        t0 = time.time()
+        try:
+            r = subprocess.run(argv, cwd=REPO, timeout=timeout_s,
+                               capture_output=True, text=True)
+            entry = {
+                "rc": r.returncode,
+                "wall_s": round(time.time() - t0, 1),
+                "result": last_json_line(r.stdout),
+            }
+            if r.returncode != 0 or entry["result"] is None:
+                entry["stderr_tail"] = r.stderr[-800:]
+        except subprocess.TimeoutExpired:
+            entry = {"rc": None, "wall_s": round(time.time() - t0, 1),
+                     "result": None, "stderr_tail": "TIMEOUT"}
+        results[name] = entry
+        print(f"[{name}] rc={entry['rc']} {entry['wall_s']}s "
+              f"{json.dumps(entry['result'])[:160] if entry['result'] else entry.get('stderr_tail', '')[:160]}",
+              file=sys.stderr, flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
