@@ -112,6 +112,7 @@ def batched_loader(
     pool = ThreadPoolExecutor(max_workers=num_workers)
     q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
     stop = threading.Event()
+    err: list = [None]  # producer exception, re-raised in the consumer
 
     def fetch_batch(b):
         return collate(list(pool.map(lambda i: dataset[int(i)], b)))
@@ -122,6 +123,10 @@ def batched_loader(
                 if stop.is_set():
                     return
                 q.put(fetch_batch(b))
+        except BaseException as e:  # noqa: BLE001 — decode/collate failure
+            # must NOT look like a clean end-of-epoch (silent truncation);
+            # stash it and re-raise on the consumer side
+            err[0] = e
         finally:
             q.put(None)
 
@@ -131,10 +136,20 @@ def batched_loader(
         while True:
             item = q.get()
             if item is None:
+                if err[0] is not None:
+                    raise err[0]
                 break
             yield item
     finally:
         stop.set()
+        # drain so a producer blocked in q.put() can observe stop and exit
+        # (otherwise it leaks, pinning `prefetch` decoded batches forever)
+        while True:
+            try:
+                if q.get_nowait() is None:
+                    break
+            except queue_mod.Empty:
+                break
         pool.shutdown(wait=False)
 
 

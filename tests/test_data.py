@@ -351,3 +351,51 @@ def test_probe_loader_tiny_dataset_behavior():
         cached_probe_batches(
             [None], lambda: batched_loader(ds, 8, num_workers=0,
                                            drop_last=True), n=3)
+
+
+def test_batched_loader_propagates_decode_errors():
+    """A failing __getitem__ must RAISE in the consumer, not truncate the
+    epoch silently (the producer thread's end-of-queue sentinel must not
+    masquerade as a clean end)."""
+    import pytest
+
+    class BadDataset:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            if i == 7:
+                raise ValueError("corrupt image")
+            return (np.zeros((2, 2), np.float32), i)
+
+    with pytest.raises(ValueError, match="corrupt image"):
+        list(batched_loader(BadDataset(), 4, num_workers=2))
+    # num_workers=0 path raises too (direct call)
+    with pytest.raises(ValueError, match="corrupt image"):
+        list(batched_loader(BadDataset(), 4, num_workers=0))
+
+
+def test_batched_loader_abandoned_generator_unblocks_producer():
+    """Closing the generator early (preemption mid-epoch) must let a
+    producer blocked in q.put() exit instead of leaking it with prefetched
+    batches pinned."""
+    import threading
+    import time
+
+    class Ds:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return (np.zeros((4,), np.float32), i)
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = batched_loader(Ds(), 2, num_workers=2, prefetch=2)
+        next(it)
+        it.close()  # generator finally: stop + drain
+    # give the producer threads a beat to observe stop and exit
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
