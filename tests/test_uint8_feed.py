@@ -1,4 +1,4 @@
-"""--uint8_feed: eval images ship host->device as uint8 HWC (4x less
+"""--uint8_feed: images (eval AND train) ship host->device as uint8 HWC (4x less
 transfer) and the model normalizes on device (ops/layers.normalize_images,
 already pinned to the host transform at ~1e-5 in test_data.py).  The
 driver-level metrics must match the fp32 path."""
