@@ -12,14 +12,17 @@ from typing import Optional
 import numpy as np
 
 
-def base_parser(default_config: str, default_pretrained: str = "") -> argparse.ArgumentParser:
+def base_parser(default_config: str, default_pretrained: str = "",
+                default_epoch: int = 5) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=default_config)
     p.add_argument("--output_dir", default="output/run")
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--pretrained", default=default_pretrained, type=str)
-    p.add_argument("--epoch", default=15, type=int)
+    # reference per-driver defaults: 15 for NLVR, 5 elsewhere
+    # (compress_*_dtp.py argparse); --epoch always overrides max_epoch
+    p.add_argument("--epoch", default=default_epoch, type=int)
     p.add_argument("--p", default=0.5, type=float,
                    help="total compression ratio")
     p.add_argument("--bert_vocab", default="", type=str,

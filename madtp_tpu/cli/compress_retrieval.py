@@ -29,7 +29,12 @@ ORI_GFLOPS = 153.2  # reference compress_retrieval_dtp.py:383
 
 
 def main():
-    args = base_parser("configs/retrieval_coco.yaml").parse_args()
+    # default config mirrors the reference quirk: compress_retrieval_dtp.py
+    # defaults to the FLICKR yaml with a COCO checkpoint (its scripts always
+    # pass --config explicitly)
+    args = base_parser("configs/retrieval_flickr.yaml",
+                       "pretrained/model_base_retrieval_coco.pth"
+                       ).parse_args()
     setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)

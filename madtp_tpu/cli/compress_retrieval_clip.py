@@ -73,7 +73,11 @@ def infer_clip_config(sd, sd_dim=768) -> CLIPConfig:
 
 
 def main():
-    args = base_parser("configs/retrieval_flickr_clip.yaml").parse_args()
+    # the reference defaults to the (BLIP) retrieval_flickr.yaml here, which
+    # its CLIP driver cannot actually load — we default to the CLIP yaml
+    args = base_parser("configs/retrieval_flickr_clip.yaml",
+                       "pretrained/clip_large_retrieval_flickr.pth"
+                       ).parse_args()
     from madtp_tpu.cli.common import setup_runtime
 
     setup_runtime(args)  # platform override + multi-process bring-up
