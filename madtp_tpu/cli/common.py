@@ -13,10 +13,11 @@ import numpy as np
 
 
 def base_parser(default_config: str, default_pretrained: str = "",
-                default_epoch: int = 5) -> argparse.ArgumentParser:
+                default_epoch: int = 5,
+                default_output: str = "output/run") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=default_config)
-    p.add_argument("--output_dir", default="output/run")
+    p.add_argument("--output_dir", default=default_output)
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--pretrained", default=default_pretrained, type=str)

@@ -89,7 +89,8 @@ def finish_captions(tokenizer, out, B):
 def main():
     args = base_parser("configs/caption_coco.yaml",
                        "pretrained/model_base_caption_capfilt_large.pth"
-                       ).parse_args()
+                       ,
+                       default_output="output/Caption_coco").parse_args()
     from madtp_tpu.cli.common import setup_runtime
 
     setup_runtime(args)  # platform override + multi-process bring-up

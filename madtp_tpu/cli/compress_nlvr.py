@@ -88,7 +88,8 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
 def main():
     args = base_parser("configs/nlvr.yaml",
                        "pretrained/model_base_nlvr.pth",
-                       default_epoch=15).parse_args()
+                       default_epoch=15,
+                       default_output="output/NLVR").parse_args()
     from madtp_tpu.cli.common import setup_runtime
 
     setup_runtime(args)  # platform override + multi-process bring-up

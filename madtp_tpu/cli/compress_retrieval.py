@@ -34,7 +34,8 @@ def main():
     # pass --config explicitly)
     args = base_parser("configs/retrieval_flickr.yaml",
                        "pretrained/model_base_retrieval_coco.pth"
-                       ).parse_args()
+                       ,
+                       default_output="output/Retrieval_flickr").parse_args()
     setup_runtime(args)  # platform override + multi-process bring-up
     config = load_config(args)
     set_seed(args.seed)

@@ -77,7 +77,8 @@ def main():
     # its CLIP driver cannot actually load — we default to the CLIP yaml
     args = base_parser("configs/retrieval_flickr_clip.yaml",
                        "pretrained/clip_large_retrieval_flickr.pth"
-                       ).parse_args()
+                       ,
+                       default_output="output/Retrieval_flickr").parse_args()
     from madtp_tpu.cli.common import setup_runtime
 
     setup_runtime(args)  # platform override + multi-process bring-up

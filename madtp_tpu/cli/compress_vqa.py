@@ -40,7 +40,8 @@ def tokenize_answers(tokenizer, answers, bos_id):
 def main():
     args = base_parser("configs/vqa.yaml",
                        "pretrained/model_base_vqa_capfilt_large.pth"
-                       ).parse_args()
+                       ,
+                       default_output="output/VQA").parse_args()
     from madtp_tpu.cli.common import setup_runtime
 
     setup_runtime(args)  # platform override + multi-process bring-up
