@@ -122,6 +122,16 @@ def setup_runtime(args) -> None:
     init_from_args(args)
 
 
+def dump_config(config: dict, output_dir: str) -> None:
+    """Reference parity: every driver dumps the merged run config to
+    ``<output_dir>/config.yaml`` (e.g. compress_nlvr_dtp.py:270) so a run
+    is reproducible from its output directory alone."""
+    import yaml
+
+    with open(os.path.join(output_dir, "config.yaml"), "w") as f:
+        yaml.dump(config, f)
+
+
 def driver_mesh(args):
     """Build the driver's data-parallel mesh (None if single-device/--dp off),
     logging the decision once."""

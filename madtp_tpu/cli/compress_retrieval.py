@@ -41,6 +41,9 @@ def main():
     set_seed(args.seed)
     enable_compile_cache()
     os.makedirs(args.output_dir, exist_ok=True)
+    from madtp_tpu.cli.common import dump_config
+
+    dump_config(config, args.output_dir)
 
     image_size = config.get("image_size", 64 if args.synthetic else 384)
     tokenizer = make_tokenizer(args, config)

@@ -86,6 +86,9 @@ def main():
     set_seed(args.seed)
     enable_compile_cache()
     os.makedirs(args.output_dir, exist_ok=True)
+    from madtp_tpu.cli.common import dump_config
+
+    dump_config(config, args.output_dir)
     # multi-process: TRAIN shards across processes like the reference
     # (create_sampler([train])+[None,None], compress_retrieval_clip_dtp.py:252);
     # the ITC eval's tower encode ALSO shards here (contiguous batch blocks
