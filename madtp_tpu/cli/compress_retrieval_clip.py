@@ -480,12 +480,16 @@ def main():
         if improved:
             best = stats["r_mean"]
         if improved and dist.is_main_process():
-            from madtp_tpu.ckpt.export import save_native
+            # reference-interchange .pth (compress_retrieval_clip_dtp.py:358
+            # saves checkpoint_best.pth; the evaluate_* scripts load it)
+            from madtp_tpu.ckpt.export import export_clip, save_torch_checkpoint
 
-            save_native(os.path.join(args.output_dir, "checkpoint_best.npz"),
-                        {"params": params, "space_dict": space_dict},
-                        extras={"temperature": float(temperature),
-                                "epoch": epoch})
+            sd_out = export_clip(jax.tree.map(np.asarray, params))
+            if space_dict is not None:
+                sd_out["space_dict"] = np.asarray(space_dict)
+            save_torch_checkpoint(
+                os.path.join(args.output_dir, "checkpoint_best.pth"), sd_out,
+                epoch=epoch, temperature=float(temperature))
         if dist.is_main_process():
             dump_log(args.output_dir, "log.txt", log)
         print("LOG:", log)
