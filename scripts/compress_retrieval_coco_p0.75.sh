@@ -1,3 +1,4 @@
 #!/bin/bash
-python -m madtp_tpu.cli.compress_retrieval --fast_train --p 0.75 --config configs/retrieval_coco.yaml \
+python -m madtp_tpu.cli.compress_retrieval --fast_train --p 0.75 --epoch 10 \
+    --pretrained pretrained/model_base_retrieval_coco.pth --config configs/retrieval_coco.yaml \
     --output_dir output/retrieval_coco_compression_p0.75

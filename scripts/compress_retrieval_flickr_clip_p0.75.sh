@@ -1,3 +1,4 @@
 #!/bin/bash
-python -m madtp_tpu.cli.compress_retrieval_clip --fast_train --p 0.75 --config configs/retrieval_flickr_clip.yaml \
+python -m madtp_tpu.cli.compress_retrieval_clip --fast_train --p 0.75 --epoch 5 \
+    --pretrained pretrained/clip_large_retrieval_flickr.pth --config configs/retrieval_flickr_clip.yaml \
     --output_dir output/retrieval_flickr_clip_compression_p0.75
