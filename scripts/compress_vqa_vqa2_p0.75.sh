@@ -2,4 +2,4 @@
 python -m madtp_tpu.cli.compress_vqa --fast_train --p 0.75 --epoch 3 \
     --pretrained pretrained/model_base_vqa_capfilt_large.pth \
     --config configs/vqa.yaml \
-    --output_dir output/vqa_compression_p0.75
+    --output_dir output/vqa_vqa2_compression_p0.75

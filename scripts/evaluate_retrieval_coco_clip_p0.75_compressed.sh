@@ -1,4 +1,4 @@
 #!/bin/bash
 python -m madtp_tpu.cli.compress_retrieval_clip --fast_eval --evaluate --config configs/retrieval_coco_clip.yaml \
-    --pretrained output/retrieval_coco_clip_compression_p0.75/checkpoint_best.pth \
-    --output_dir output/retrieval_coco_clip_evaluate_p0.75
+    --pretrained output/retrieval_coco_clip_compression_p0.75/clip_large_retrieval_coco_p0.75_compressed.pth \
+    --output_dir output/retrieval_coco_clip_compression_p0.75

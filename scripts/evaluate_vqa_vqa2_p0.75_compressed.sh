@@ -1,6 +1,8 @@
 #!/bin/bash
-# VQA saves per-epoch checkpoints (no best gate, like the reference);
-# checkpoint_02.pth is the final epoch of the paired --epoch 3 compress run
+# --pretrained matches the reference's released-checkpoint path verbatim
+# (its eval scripts target renamed release artifacts).  A local compress
+# run saves per-epoch checkpoint_NN.pth (no best gate, like the
+# reference) — point --pretrained at checkpoint_02.pth to evaluate it.
 python -m madtp_tpu.cli.compress_vqa --fast_eval --evaluate --config configs/vqa.yaml \
-    --pretrained output/vqa_compression_p0.75/checkpoint_02.pth \
-    --output_dir output/vqa_evaluate_p0.75
+    --pretrained output/vqa_vqa2_compression_p0.75/model_base_vqa_capfilt_large_vqa2_p0.75_compressed.pth \
+    --output_dir output/vqa_vqa2_compression_p0.75

@@ -1,0 +1,69 @@
+"""Launch-script parity vs the reference's scripts/ directory.
+
+The reference ships 34 launch scripts (17 compress + 17 evaluate) whose
+flags are the ground truth for reproducing its runs — including quirks
+like filenames whose ``p`` differs from the ``--p`` actually passed
+(e.g. the reference's compress_retrieval_coco_p0.5.sh runs ``--p 0.45``)
+and evaluate scripts pointing at released-checkpoint names.  These tests
+pin our scripts to the reference values field-by-field so a rename or a
+"fix" to the wrong side can't silently break switch-over parity.
+
+Skipped when /root/reference is not present (the suite must run
+standalone too).
+"""
+
+import glob
+import os
+import re
+
+import pytest
+
+REF = "/root/reference/scripts"
+OURS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+
+def _extract(text: str, pat: str):
+    code = "\n".join(l for l in text.splitlines()
+                     if not l.lstrip().startswith("#"))
+    m = re.search(pat, code)
+    return m.group(1) if m else None
+
+
+def _ref_scripts(prefix: str):
+    return sorted(os.path.basename(f)
+                  for f in glob.glob(os.path.join(REF, prefix + "*.sh")))
+
+
+def test_listing_one_for_one():
+    ref = set(_ref_scripts(""))
+    ours = {os.path.basename(f)
+            for f in glob.glob(os.path.join(OURS, "*.sh"))}
+    assert ref == ours, (f"missing: {sorted(ref - ours)}, "
+                         f"extra: {sorted(ours - ref)}")
+
+
+@pytest.mark.parametrize("name", _ref_scripts("compress_"))
+def test_compress_flags_match_reference(name):
+    r = open(os.path.join(REF, name)).read()
+    o = open(os.path.join(OURS, name)).read()
+    for key, pat in [("--p", r"--p ([0-9.]+)"),
+                     ("--epoch", r"--epoch (\d+)"),
+                     ("--pretrained", r"--pretrained (\S+)")]:
+        assert _extract(r, pat) == _extract(o, pat), f"{name}: {key}"
+    # reference passes --output_dir $save_path with save_path= above
+    assert _extract(r, r"save_path=(\S+)") == \
+        _extract(o, r"--output_dir (\S+)"), f"{name}: output_dir"
+
+
+@pytest.mark.parametrize("name", _ref_scripts("evaluate_"))
+def test_evaluate_flags_match_reference(name):
+    r = open(os.path.join(REF, name)).read()
+    o = open(os.path.join(OURS, name)).read()
+    for key, pat in [("--pretrained", r"--pretrained (\S+)"),
+                     ("--output_dir", r"--output_dir (\S+)")]:
+        assert _extract(r, pat) == _extract(o, pat), f"{name}: {key}"
+    assert "--evaluate" in o, f"{name}: missing --evaluate"
