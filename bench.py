@@ -246,7 +246,8 @@ def _backend_reachable(attempts: int = 3, probe_timeout: int = 240) -> bool:
             msg = f"probe timed out after {probe_timeout}s"
         print(f"bench: backend probe {i + 1}/{attempts} failed: {msg}",
               file=sys.stderr)
-        time.sleep(30)
+        if i < attempts - 1:  # no pointless sleep after the final attempt
+            time.sleep(30)
     return False
 
 

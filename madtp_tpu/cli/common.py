@@ -126,6 +126,10 @@ def dump_config(config: dict, output_dir: str) -> None:
     """Reference parity: every driver dumps the merged run config to
     ``<output_dir>/config.yaml`` (e.g. compress_nlvr_dtp.py:270) so a run
     is reproducible from its output directory alone."""
+    from madtp_tpu.parallel import dist
+
+    if not dist.is_main_process():
+        return
     import yaml
 
     with open(os.path.join(output_dir, "config.yaml"), "w") as f:

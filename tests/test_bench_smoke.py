@@ -36,3 +36,24 @@ def test_bench_main_cpu_smoke(capfd):
     assert len(det["capacities_text"]) == 12
     assert all(c <= 8 for c in det["capacities_text"])
     assert det["backend"] == "cpu"
+
+
+def test_run_all_benches_json_parsing():
+    """The sweep's stdout parser must handle both single-line JSON
+    (bench.py) and the pretty-printed indent=1 JSON of bench_train.py —
+    the latter was silently recorded as result=None before r3."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from run_all_benches import last_json_line
+
+    assert last_json_line('log noise\n{"a": 1}\n')["a"] == 1
+    multi = "hdr\n" + json.dumps({"x": {"y": 2}, "z": [1, 2]}, indent=1)
+    assert last_json_line(multi) == {"x": {"y": 2}, "z": [1, 2]}
+    two = json.dumps({"first": 1}) + "\n" + json.dumps({"second": 2},
+                                                       indent=1)
+    assert last_json_line(two) == {"second": 2}
+    assert last_json_line("no json here") is None

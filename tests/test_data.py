@@ -390,8 +390,11 @@ def test_batched_loader_abandoned_generator_unblocks_producer():
             return (np.zeros((4,), np.float32), i)
 
     before = threading.active_count()
-    for _ in range(5):
-        it = batched_loader(Ds(), 2, num_workers=2, prefetch=2)
+    # prefetch=1 is the hard case: the drain's freed slot is instantly
+    # re-filled by the producer's in-flight batch, so its final sentinel
+    # put() needs the drain to keep going until the thread exits
+    for prefetch in (1, 2, 1, 2, 1):
+        it = batched_loader(Ds(), 2, num_workers=2, prefetch=prefetch)
         next(it)
         it.close()  # generator finally: stop + drain
     # give the producer threads a beat to observe stop and exit

@@ -38,14 +38,24 @@ QUICK = {"nlvr_headline", "train", "vqa", "caption"}
 
 
 def last_json_line(text: str):
-    for line in reversed(text.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    return None
+    """Last JSON object printed to stdout.  Handles both single-line
+    (bench.py) and pretty-printed multi-line (bench_train.py prints with
+    indent=1) output: from every line that starts a '{', try to decode a
+    complete object running through the following lines."""
+    lines = text.strip().splitlines()
+    dec = json.JSONDecoder()
+    found = None
+    for i, line in enumerate(lines):
+        if not line.lstrip().startswith("{"):
+            continue
+        chunk = "\n".join(lines[i:])
+        try:
+            obj, _ = dec.raw_decode(chunk[chunk.index("{"):])
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict):
+            found = obj
+    return found
 
 
 def main() -> None:
@@ -73,6 +83,21 @@ def main() -> None:
             entry = {"rc": None, "wall_s": round(time.time() - t0, 1),
                      "result": None, "stderr_tail": "TIMEOUT"}
         results[name] = entry
+        if entry["rc"] != 0:
+            # A killed/crashed TPU process can hold the chip claim for ~a
+            # minute (CLAUDE.md); probe before launching the next bench so
+            # one timeout doesn't cascade into spurious failures down the
+            # sweep.
+            sys.path.insert(0, REPO)
+            from bench import _backend_reachable
+
+            t0 = time.time()
+            ok = _backend_reachable(attempts=3, probe_timeout=240)
+            entry["cooldown_s"] = round(time.time() - t0, 1)
+            if not ok:
+                print("[sweep] backend unreachable after cooldown probes; "
+                      "continuing (remaining benches will fail fast)",
+                      file=sys.stderr, flush=True)
         print(f"[{name}] rc={entry['rc']} {entry['wall_s']}s "
               f"{json.dumps(entry['result'])[:160] if entry['result'] else entry.get('stderr_tail', '')[:160]}",
               file=sys.stderr, flush=True)
