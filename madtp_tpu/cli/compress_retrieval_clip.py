@@ -204,21 +204,39 @@ def main():
         caps_v, _ = fast_capacity_schedule(np.stack(vks), None, args.cap_mode)
         print("fast_eval vision capacities:", caps_v)
 
-    @jax.jit
-    def img_step(params, images, sd, t):
-        f, _, kept = clip_encode_image(
-            params, images, cfg, space_dict=sd, temperature=t,
-            prune_active=prune, capacities=caps_v)
-        return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
+    from madtp_tpu.utils.cache import BoundedCache
 
-    @jax.jit
-    def txt_step(params, text, sd, t):
-        f, _, kept = clip_encode_text(
-            params, text, cfg, space_dict=sd, temperature=t,
-            prune_active=prune)
-        return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
+    _tower_steps = BoundedCache()
 
-    def encode_towers(params, space_dict, image_blocks, n_imgs, text_arr, t):
+    def tower_steps(prune_flag: bool):
+        """Jitted (img_step, txt_step) for a prune mode.  The flag must
+        follow the CURRENT temperature — the controller moves it every
+        epoch, and a fresh compression run loads a DENSE checkpoint
+        (temperature 0.0): freezing prune_active at startup made every
+        per-epoch training eval run dense, so the controller never saw
+        Cur_Gflops move and the saved checkpoint (pruned at its stored
+        temperature) evaluated differently from the train-time log
+        (caught by tests/test_driver_clip_train.py going flaky)."""
+        if prune_flag not in _tower_steps:
+            @jax.jit
+            def img_step(params, images, sd, t):
+                f, _, kept = clip_encode_image(
+                    params, images, cfg, space_dict=sd, temperature=t,
+                    prune_active=prune_flag, capacities=caps_v)
+                return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
+
+            @jax.jit
+            def txt_step(params, text, sd, t):
+                f, _, kept = clip_encode_text(
+                    params, text, cfg, space_dict=sd, temperature=t,
+                    prune_active=prune_flag)
+                return f / jnp.linalg.norm(f, axis=-1, keepdims=True), kept
+
+            _tower_steps[prune_flag] = (img_step, txt_step)
+        return _tower_steps[prune_flag]
+
+    def encode_towers(params, space_dict, image_blocks, n_imgs, text_arr, t,
+                      prune_flag):
         """Both towers over the corpus with a bounded dispatch-ahead
         pipeline (madtp_tpu.utils.pipeline): no per-batch host sync.
         Returns (img_feats, txt_feats, v_kept, t_kept).
@@ -249,6 +267,8 @@ def main():
 
         img_l, txt_l = [], []
         kept = {"v": None, "t": None}
+
+        img_step, txt_step = tower_steps(prune_flag)
 
         def dispatches():
             for im in image_blocks(ilo, ihi):
@@ -288,7 +308,7 @@ def main():
 
     t = jnp.float32(temperature)
     img_feats, txt_feats, v_kept, t_kept = encode_towers(
-        params, space_dict, image_block_fn, n_images, text, t)
+        params, space_dict, image_block_fn, n_images, text, t, prune)
 
     sims = img_feats @ txt_feats.T
     if os.environ.get("MADTP_DUMP_SCORES"):  # test hook: post-allgather sims
@@ -466,13 +486,19 @@ def main():
             params = jax.tree.map(np.asarray, params)
             space_dict = (np.asarray(space_dict)
                           if space_dict is not None else None)
-        # eval epoch (ITC-only like the reference CLIP driver)
+        # eval epoch (ITC-only like the reference CLIP driver); prune flag
+        # follows the epoch's controller temperature, NOT the (dense)
+        # pretrained checkpoint's
+        ep_prune = temperature > 0
         img_feats, txt_feats, v_kept, t_kept = encode_towers(
             params, space_dict, image_block_fn, n_images, text,
-            jnp.float32(temperature))
+            jnp.float32(temperature), ep_prune)
         sims = img_feats @ txt_feats.T
         stats = itm_eval(sims, sims.T, txt2img, img2txt)
-        cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
+        cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept)) \
+            if ep_prune else clip_gflops(
+                cfg, [cfg.vision_num_patches] * cfg.vision_layers,
+                [cfg.context_length - 1] * cfg.transformer_layers)
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                **{k: round(v, 3) for k, v in stats.items()}}
         # track `best` on EVERY rank (eval is replicated); rank 0 writes
