@@ -276,8 +276,9 @@ def main():
     import random as _random
 
     from madtp_tpu.cli.common import train_image_transform
+    from madtp_tpu.data.transforms import PerSampleRng
 
-    _trng = _random.Random(args.seed)
+    _trng = PerSampleRng(args.seed)
     ds = CaptionTrainDataset(
         train_image_transform(args, image_size, _trng),
         config["image_root"], config["ann_root"],

@@ -56,6 +56,7 @@ def synthetic_loader(n_batches, batch, image_size, seed=0, batch_skip=0):
 def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
                 num_shards=1, shard_id=0, batch_skip=0, uint8=False):
     from madtp_tpu.cli.common import eval_image_transform, train_image_transform
+    from madtp_tpu.data.transforms import PerSampleRng
     from madtp_tpu.data.datasets import NLVRDataset
     from madtp_tpu.data.loader import batched_loader
     import random as _random
@@ -64,7 +65,7 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
     # normalizes on device (ops/layers.normalize_images)
     size = config["image_size"]
     if train:
-        tf = train_image_transform(None, size, _random.Random(42 + epoch),
+        tf = train_image_transform(None, size, PerSampleRng(42),
                                    uint8=uint8)
     else:
         tf = eval_image_transform(None, size, uint8=uint8)

@@ -235,6 +235,7 @@ def main():
     from madtp_tpu.data.datasets import CaptionTrainDataset
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.cli.common import train_image_transform
+    from madtp_tpu.data.transforms import PerSampleRng
     from madtp_tpu.prune.flops import retrieval_gflops
     from madtp_tpu.train.controller import TemperatureController
     from madtp_tpu.train.loops import (
@@ -287,7 +288,7 @@ def main():
                 f"data axis {local_d}; set --batch_size_train accordingly")
         return _shard(tmesh, *arrays)[:-1]
 
-    _trng = _random.Random(args.seed)
+    _trng = PerSampleRng(args.seed)
     train_ds = CaptionTrainDataset(
         train_image_transform(args, image_size, _trng),
         config["image_root"], config["ann_root"],

@@ -336,6 +336,7 @@ def main():
     from madtp_tpu.data.datasets import CaptionTrainDataset
     from madtp_tpu.data.loader import batched_loader
     from madtp_tpu.cli.common import train_image_transform
+    from madtp_tpu.data.transforms import PerSampleRng
     from madtp_tpu.train.controller import TemperatureController
     from madtp_tpu.train.loops import (
         CLIP_MOMENTUM_KEYS, ClipTrainState, make_clip_train_step,
@@ -374,7 +375,7 @@ def main():
                 f"data axis {local_d}; set --batch_size_train accordingly")
         return _shard(tmesh, *arrays)[:-1]
 
-    _trng = _random.Random(args.seed)
+    _trng = PerSampleRng(args.seed)
     train_ds = CaptionTrainDataset(
         train_image_transform(args, cfg.image_resolution, _trng),
         config["image_root"], config["ann_root"],

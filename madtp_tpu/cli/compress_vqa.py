@@ -290,6 +290,7 @@ def main():
     )
     from madtp_tpu.data.datasets import VQADataset, vqa_collate
     from madtp_tpu.cli.common import train_image_transform
+    from madtp_tpu.data.transforms import PerSampleRng
     from madtp_tpu.train.controller import TemperatureController
     from madtp_tpu.train.loops import make_vqa_train_step
     from madtp_tpu.train.optim import cosine_lr, make_adamw_injectable
@@ -301,7 +302,7 @@ def main():
     train_step = make_vqa_train_step(cfg, tx, max_answers_per_q=MAX_A)
     controller = TemperatureController(target_gflops=target)
 
-    _trng = _random.Random(args.seed)
+    _trng = PerSampleRng(args.seed)
     train_ds = VQADataset(
         train_image_transform(args, image_size, _trng),
         config["ann_root"], config["vqa_root"], config.get("vg_root", ""),

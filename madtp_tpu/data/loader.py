@@ -104,9 +104,18 @@ def batched_loader(
     if not batches:
         return
 
+    from madtp_tpu.data.transforms import sample_ctx
+
+    def fetch_item(i):
+        # per-sample augmentation ctx: PerSampleRng transforms draw a
+        # stream derived from (seed, epoch, index) — reproducible across
+        # runs and worker counts (see data/transforms.py)
+        with sample_ctx(epoch, int(i)):
+            return dataset[int(i)]
+
     if num_workers <= 0:
         for b in batches:
-            yield collate([dataset[int(i)] for i in b])
+            yield collate([fetch_item(i) for i in b])
         return
 
     pool = ThreadPoolExecutor(max_workers=num_workers)
@@ -115,7 +124,7 @@ def batched_loader(
     err: list = [None]  # producer exception, re-raised in the consumer
 
     def fetch_batch(b):
-        return collate(list(pool.map(lambda i: dataset[int(i)], b)))
+        return collate(list(pool.map(fetch_item, b)))
 
     def producer():
         try:
@@ -142,12 +151,20 @@ def batched_loader(
             yield item
     finally:
         stop.set()
-        # drain so a producer blocked in q.put() can observe stop and exit
-        # (otherwise it leaks, pinning `prefetch` decoded batches forever)
+        # Drain until the producer thread EXITS — a one-shot drain is not
+        # enough: the producer may be blocked in q.put() with an in-flight
+        # batch, and its final q.put(None) needs a free slot of its own
+        # (with prefetch=1 the freed slot is immediately re-filled by the
+        # in-flight batch, so the sentinel put would block forever).
+        while t.is_alive():
+            try:
+                q.get(timeout=0.1)
+            except queue_mod.Empty:
+                pass
+            t.join(timeout=0.05)
         while True:
             try:
-                if q.get_nowait() is None:
-                    break
+                q.get_nowait()
             except queue_mod.Empty:
                 break
         pool.shutdown(wait=False)

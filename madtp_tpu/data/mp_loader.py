@@ -90,20 +90,28 @@ class _SlotWriter:
             seg.close()
 
 
-def _worker(dataset, collate, task_q, result_q, tag, worker_seed):
+def _worker(dataset, collate, task_q, result_q, tag, worker_seed, epoch):
     # Reseed the GLOBAL rngs per worker: fork copies the parent's RNG state
     # into every worker, so without this all workers draw identical
     # augmentations and every epoch's fresh fork replays the same stream
-    # (torch DataLoader reseeds workers for the same reason).  CAVEAT:
-    # dataset transforms that close over PRIVATE rng objects (e.g. a
-    # random.Random instance) are forked copies too and are NOT reachable
-    # from here — prefer module-level `random`/`np.random` in transforms
-    # used with process workers, or derive per-item seeds from the index.
+    # (torch DataLoader reseeds workers for the same reason).  Transforms
+    # built on PerSampleRng (the drivers') don't need it: the sample_ctx
+    # below gives them a per-(seed, epoch, index) stream identical to the
+    # threaded loader's.  Transforms that close over a plain PRIVATE
+    # random.Random are forked copies and NOT reachable from here — those
+    # replay per-fork; prefer PerSampleRng or module-level rngs.
     import random as _random
+
+    from madtp_tpu.data.transforms import sample_ctx
 
     _random.seed(worker_seed)
     np.random.seed(worker_seed % (2 ** 32))
     writer = _SlotWriter(tag)
+
+    def fetch_item(i):
+        with sample_ctx(epoch, int(i)):
+            return dataset[int(i)]
+
     try:
         while True:
             item = task_q.get()
@@ -111,7 +119,7 @@ def _worker(dataset, collate, task_q, result_q, tag, worker_seed):
                 return
             seq, slot, idxs = item
             try:
-                batch = collate([dataset[int(i)] for i in idxs])
+                batch = collate([fetch_item(i) for i in idxs])
                 out = []
                 for ci, col in enumerate(batch):
                     if (isinstance(col, np.ndarray)
@@ -186,8 +194,14 @@ def mp_batched_loader(
     if not batches:
         return
     if num_workers <= 0:
+        from madtp_tpu.data.transforms import sample_ctx
+
         for b in batches:
-            yield collate([dataset[int(i)] for i in b])
+            out = []
+            for i in b:
+                with sample_ctx(epoch, int(i)):
+                    out.append(dataset[int(i)])
+            yield collate(out)
         return
 
     ctx = mp.get_context("fork")
@@ -200,7 +214,8 @@ def mp_batched_loader(
                           # stable per-(seed, epoch, worker) mix — python's
                           # hash() is salted per process and would make
                           # augmentation streams non-reproducible
-                          (seed * 1000003 + epoch * 9973 + w) & 0x7FFFFFFF),
+                          (seed * 1000003 + epoch * 9973 + w) & 0x7FFFFFFF,
+                          epoch),
                     daemon=True)
         for w in range(num_workers)
     ]

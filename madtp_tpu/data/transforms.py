@@ -20,6 +20,94 @@ MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Per-sample deterministic augmentation RNG
+#
+# A single random.Random shared by loader worker THREADS assigns draws to
+# samples in thread-interleaving order — two identical runs augment
+# differently, so training is not reproducible (the reference has the
+# dataloader-worker-count flavor of the same problem: its stream depends on
+# which torch worker decodes which sample).  PerSampleRng instead derives an
+# independent stream per (seed, epoch, sample index): the loaders declare
+# the current sample via sample_ctx() around dataset[i], and every draw in
+# that __getitem__ comes from a stream that depends only on those three
+# integers — bit-identical across runs, worker counts, thread schedules,
+# and thread/process loader choice.
+
+import contextlib
+import hashlib
+import threading
+
+_SAMPLE_TL = threading.local()
+
+
+@contextlib.contextmanager
+def sample_ctx(epoch: int, index: int):
+    """Declare the (epoch, sample index) for dataset[i] fetches on this
+    thread; PerSampleRng draws inside derive from it.  Each entry starts a
+    FRESH stream even for a repeated (epoch, index) — a re-fetch (resume,
+    probe batches) must not depend on whether an earlier fetch of the same
+    sample happened to run on this thread."""
+    prev = getattr(_SAMPLE_TL, "ctx", None)
+    token = getattr(_SAMPLE_TL, "token", 0) + 1
+    _SAMPLE_TL.token = token
+    _SAMPLE_TL.ctx = (int(epoch), int(index), token)
+    try:
+        yield
+    finally:
+        _SAMPLE_TL.ctx = prev
+
+
+def _derived_rng(seed: int, epoch: int, index: int) -> random.Random:
+    # blake2b, not hash(): python's hash is salted per process and must not
+    # leak into augmentation streams (same reason mp_loader mixes worker
+    # seeds arithmetically)
+    h = hashlib.blake2b(f"{seed}/{epoch}/{index}".encode(), digest_size=8)
+    return random.Random(int.from_bytes(h.digest(), "little"))
+
+
+class PerSampleRng:
+    """Drop-in for the random.Random the train transforms consume.
+
+    Inside a loader's sample_ctx, delegates to a stream derived from
+    (seed, epoch, sample index) — fresh at each context entry, shared by
+    all draws of that __getitem__ (e.g. NLVR transforms two images per
+    sample from one stream).  Outside any context (direct transform calls
+    in tests/tools) falls back to a plain seeded stream, the previous
+    behavior."""
+
+    def __init__(self, seed: int = 0):
+        self._seed = int(seed)
+        self._fallback = random.Random(seed)
+
+    def _rng(self) -> random.Random:
+        ctx = getattr(_SAMPLE_TL, "ctx", None)
+        if ctx is None:
+            return self._fallback
+        epoch, index, token = ctx
+        key = (self._seed, epoch, index, token)
+        cached = getattr(_SAMPLE_TL, "derived", None)
+        if cached is None or cached[0] != key:
+            _SAMPLE_TL.derived = (key, _derived_rng(self._seed, epoch, index))
+        return _SAMPLE_TL.derived[1]
+
+    # the transform surface of random.Random
+    def random(self):
+        return self._rng().random()
+
+    def uniform(self, a, b):
+        return self._rng().uniform(a, b)
+
+    def randint(self, a, b):
+        return self._rng().randint(a, b)
+
+    def choices(self, population, k=1):
+        return self._rng().choices(population, k=k)
+
+    def choice(self, seq):
+        return self._rng().choice(seq)
+
+
 def normalize_chw(img: Image.Image) -> np.ndarray:
     a = np.asarray(img, np.float32) / 255.0
     a = (a - MEAN) / STD

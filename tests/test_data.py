@@ -402,3 +402,57 @@ def test_batched_loader_abandoned_generator_unblocks_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+def test_per_sample_rng_loader_determinism():
+    """Augmentation streams derive from (seed, epoch, index): identical
+    batches across runs, worker counts, and thread interleavings — a
+    shared random.Random gave thread-order-dependent augmentations (the
+    flakiness that exposed the CLIP driver prune bug)."""
+    from PIL import Image
+
+    from madtp_tpu.data.transforms import PerSampleRng, train_transform
+
+    class Ds:
+        def __init__(self, rng):
+            self.rng = rng
+            self.imgs = [
+                Image.fromarray(
+                    (np.arange(48 * 48 * 3, dtype=np.uint32) * (i + 3)
+                     % 255).astype(np.uint8).reshape(48, 48, 3))
+                for i in range(16)
+            ]
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return (train_transform(self.imgs[i], 32, self.rng), i)
+
+    def run(num_workers, epoch):
+        out = list(batched_loader(Ds(PerSampleRng(7)), 4, shuffle=True,
+                                  epoch=epoch, num_workers=num_workers))
+        return [b[0] for b in out]
+
+    base = run(0, 0)
+    for nw in (2, 4):
+        for arr_a, arr_b in zip(base, run(nw, 0)):
+            np.testing.assert_array_equal(arr_a, arr_b)
+    # same config re-run: identical (the old shared-Random path was not)
+    for arr_a, arr_b in zip(run(2, 0), run(2, 0)):
+        np.testing.assert_array_equal(arr_a, arr_b)
+    # different epoch: different augmentations (streams mix the epoch)
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(base, run(0, 1), strict=False))
+
+
+def test_per_sample_rng_fallback_outside_ctx():
+    """Direct transform calls (tests/tools, no loader ctx) fall back to a
+    plain seeded stream."""
+    from madtp_tpu.data.transforms import PerSampleRng
+
+    a, b = PerSampleRng(5), PerSampleRng(5)
+    assert [a.random() for _ in range(4)] == [b.random() for _ in range(4)]
+    assert a.randint(0, 10) == b.randint(0, 10)
+    assert a.choices([1, 2, 3], k=2) == b.choices([1, 2, 3], k=2)
