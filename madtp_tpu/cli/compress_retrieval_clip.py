@@ -315,10 +315,9 @@ def main():
         np.savez(os.path.join(args.output_dir, f"clip_sims_r{proc_id}.npz"),
                  sims=sims)
     stats = itm_eval(sims, sims.T, txt2img, img2txt)
-    cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept)) \
-        if prune else clip_gflops(
-            cfg, [cfg.vision_num_patches] * cfg.vision_layers,
-            [cfg.context_length - 1] * cfg.transformer_layers)
+    # kept counts from a dense (prune_active=False) encode are the full
+    # per-layer token counts, so this is the dense GFLOPs there (verified)
+    cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
     log = {**{k: round(v, 3) for k, v in stats.items()},
            "Cur_Gflops": round(cur_g, 3)}
     if dist.is_main_process():
@@ -496,10 +495,7 @@ def main():
             jnp.float32(temperature), ep_prune)
         sims = img_feats @ txt_feats.T
         stats = itm_eval(sims, sims.T, txt2img, img2txt)
-        cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept)) \
-            if ep_prune else clip_gflops(
-                cfg, [cfg.vision_num_patches] * cfg.vision_layers,
-                [cfg.context_length - 1] * cfg.transformer_layers)
+        cur_g = clip_gflops(cfg, np.asarray(v_kept), np.asarray(t_kept))
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                **{k: round(v, 3) for k, v in stats.items()}}
         # track `best` on EVERY rank (eval is replicated); rank 0 writes

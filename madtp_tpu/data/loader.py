@@ -104,14 +104,13 @@ def batched_loader(
     if not batches:
         return
 
-    from madtp_tpu.data.transforms import sample_ctx
+    from madtp_tpu.data.transforms import fetch_with_ctx
 
     def fetch_item(i):
         # per-sample augmentation ctx: PerSampleRng transforms draw a
         # stream derived from (seed, epoch, index) — reproducible across
         # runs and worker counts (see data/transforms.py)
-        with sample_ctx(epoch, int(i)):
-            return dataset[int(i)]
+        return fetch_with_ctx(dataset, epoch, int(i))
 
     if num_workers <= 0:
         for b in batches:
@@ -156,7 +155,14 @@ def batched_loader(
         # batch, and its final q.put(None) needs a free slot of its own
         # (with prefetch=1 the freed slot is immediately re-filled by the
         # in-flight batch, so the sentinel put would block forever).
-        while t.is_alive():
+        # Bounded: a dataset fetch stuck on I/O (dead mount, hung codec)
+        # must not freeze whatever finalizes this generator — past the
+        # deadline we give up and leak the daemon thread (the old
+        # behavior) rather than hang close/GC.
+        import time as _time
+
+        deadline = _time.monotonic() + 30.0
+        while t.is_alive() and _time.monotonic() < deadline:
             try:
                 q.get(timeout=0.1)
             except queue_mod.Empty:

@@ -102,15 +102,14 @@ def _worker(dataset, collate, task_q, result_q, tag, worker_seed, epoch):
     # replay per-fork; prefer PerSampleRng or module-level rngs.
     import random as _random
 
-    from madtp_tpu.data.transforms import sample_ctx
+    from madtp_tpu.data.transforms import fetch_with_ctx
 
     _random.seed(worker_seed)
     np.random.seed(worker_seed % (2 ** 32))
     writer = _SlotWriter(tag)
 
     def fetch_item(i):
-        with sample_ctx(epoch, int(i)):
-            return dataset[int(i)]
+        return fetch_with_ctx(dataset, epoch, int(i))
 
     try:
         while True:
@@ -194,14 +193,11 @@ def mp_batched_loader(
     if not batches:
         return
     if num_workers <= 0:
-        from madtp_tpu.data.transforms import sample_ctx
+        from madtp_tpu.data.transforms import fetch_with_ctx
 
         for b in batches:
-            out = []
-            for i in b:
-                with sample_ctx(epoch, int(i)):
-                    out.append(dataset[int(i)])
-            yield collate(out)
+            yield collate([fetch_with_ctx(dataset, epoch, int(i))
+                           for i in b])
         return
 
     ctx = mp.get_context("fork")

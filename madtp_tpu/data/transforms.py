@@ -58,6 +58,15 @@ def sample_ctx(epoch: int, index: int):
         _SAMPLE_TL.ctx = prev
 
 
+def fetch_with_ctx(dataset, epoch: int, index: int):
+    """The one item-fetch wrapper every loader path uses: declares the
+    sample ctx so PerSampleRng transforms draw their per-(seed, epoch,
+    index) stream.  Shared so the threaded, process, and in-line loader
+    paths cannot diverge on the context protocol."""
+    with sample_ctx(epoch, index):
+        return dataset[int(index)]
+
+
 def _derived_rng(seed: int, epoch: int, index: int) -> random.Random:
     # blake2b, not hash(): python's hash is salted per process and must not
     # leak into augmentation streams (same reason mp_loader mixes worker
@@ -85,11 +94,19 @@ class PerSampleRng:
         if ctx is None:
             return self._fallback
         epoch, index, token = ctx
-        key = (self._seed, epoch, index, token)
-        cached = getattr(_SAMPLE_TL, "derived", None)
-        if cached is None or cached[0] != key:
-            _SAMPLE_TL.derived = (key, _derived_rng(self._seed, epoch, index))
-        return _SAMPLE_TL.derived[1]
+        # per-thread dict of derived streams for the CURRENT ctx entry,
+        # keyed by seed: two PerSampleRng instances alternating draws in
+        # one __getitem__ must each keep their own live stream (a single
+        # cached slot would restart the evicted stream on every draw)
+        derived = getattr(_SAMPLE_TL, "derived", None)
+        if derived is None or derived[0] != token:
+            derived = (token, {})
+            _SAMPLE_TL.derived = derived
+        rng = derived[1].get(self._seed)
+        if rng is None:
+            rng = _derived_rng(self._seed, epoch, index)
+            derived[1][self._seed] = rng
+        return rng
 
     # the transform surface of random.Random
     def random(self):

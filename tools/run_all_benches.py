@@ -22,6 +22,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # for `from bench import _backend_reachable`
 
 # (name, argv, timeout_s) — ordered cheapest-first so a mid-sweep outage
 # still yields the headline number
@@ -45,16 +46,24 @@ def last_json_line(text: str):
     lines = text.strip().splitlines()
     dec = json.JSONDecoder()
     found = None
-    for i, line in enumerate(lines):
+    i = 0
+    while i < len(lines):
+        line = lines[i]
         if not line.lstrip().startswith("{"):
+            i += 1
             continue
         chunk = "\n".join(lines[i:])
+        start = chunk.index("{")
         try:
-            obj, _ = dec.raw_decode(chunk[chunk.index("{"):])
-        except (json.JSONDecodeError, ValueError):
+            obj, end = dec.raw_decode(chunk[start:])
+        except json.JSONDecodeError:
+            i += 1
             continue
         if isinstance(obj, dict):
             found = obj
+        # skip every line the decode consumed — inner '{'-starting lines
+        # (arrays of dicts in pretty-printed output) are not candidates
+        i += chunk[: start + end].count("\n") + 1
     return found
 
 
@@ -83,12 +92,13 @@ def main() -> None:
             entry = {"rc": None, "wall_s": round(time.time() - t0, 1),
                      "result": None, "stderr_tail": "TIMEOUT"}
         results[name] = entry
-        if entry["rc"] != 0:
+        is_last = name == [n for n, _, _ in BENCHES
+                           if not args.quick or n in QUICK][-1]
+        if entry["rc"] != 0 and not is_last:
             # A killed/crashed TPU process can hold the chip claim for ~a
             # minute (CLAUDE.md); probe before launching the next bench so
             # one timeout doesn't cascade into spurious failures down the
-            # sweep.
-            sys.path.insert(0, REPO)
+            # sweep.  (Skipped after the final bench — nothing to protect.)
             from bench import _backend_reachable
 
             t0 = time.time()
