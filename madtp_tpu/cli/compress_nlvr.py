@@ -25,8 +25,7 @@ from madtp_tpu.cli.common import (
     base_parser, driver_mesh, dump_log, enable_compile_cache, load_config,
     make_tokenizer, set_seed,
 )
-from madtp_tpu.core.config import MedConfig, ViTConfig
-from madtp_tpu.models.blip import BlipConfig, load_blip_nlvr
+from madtp_tpu.models.blip import load_blip_nlvr
 from madtp_tpu.tasks import nlvr as task
 from madtp_tpu.train.controller import TemperatureController
 from madtp_tpu.train.loops import make_nlvr_train_step

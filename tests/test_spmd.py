@@ -4,7 +4,6 @@ TP param shardings (the reference's DDP/NCCL equivalents, SURVEY.md §2.5)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from madtp_tpu.parallel.mesh import (

@@ -4,7 +4,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-import pytest
 
 from madtp_tpu.core.config import MedConfig, ViTConfig
 from madtp_tpu.models.blip import BlipConfig

@@ -7,7 +7,6 @@ import json
 import os
 import sys
 
-import pytest
 
 from tests.test_preempt import _make_fixture, _write_yaml
 
