@@ -1,0 +1,243 @@
+"""Export a compressed checkpoint as an AOT serving artifact.
+
+The reference's only deployment mode is re-running its research stack
+(``compress_*_dtp.py --evaluate`` re-imports torch+HF+timm and re-traces per
+process).  This tool lowers the pruned eval step ONCE and writes a
+self-contained ``jax.export`` artifact (see ``madtp_tpu/serve/artifact.py``)
+that a serving process loads without any model code.
+
+    python -m madtp_tpu.cli.export_serving --task nlvr \
+        --pretrained ckpt.pth --config configs/nlvr.yaml \
+        --batch 32 --output_dir artifacts/nlvr_p0.5
+
+    python -m madtp_tpu.cli.export_serving --task clip \
+        --pretrained clip.pth --config configs/retrieval_flickr_clip.yaml \
+        --output_dir artifacts/clip   # -> clip/image_encoder + clip/text_encoder
+
+The DTP ``temperature`` is read from the checkpoint (the reference stores it
+inside the ``.pth``, ``compress_nlvr_dtp.py:157``) and may be overridden with
+``--temperature``.  Default semantics are the exact mask mode; ``--fast_eval``
+exports the calibrated gather fast path (capacities from mask-mode probe
+batches — synthetic images by default, or ``--probe_npz`` with a real batch
+for production calibration; drift is quantified in
+tests/test_calibration_drift.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _probe_images(args, shape):
+    if args.probe_npz:
+        with np.load(args.probe_npz) as z:
+            imgs = z[z.files[0]].astype(np.float32)
+        if imgs.shape[1:] != shape[1:]:
+            raise SystemExit(
+                f"--probe_npz images {imgs.shape} do not match the export "
+                f"shape {shape}")
+        return imgs[: shape[0]]
+    return np.random.RandomState(0).randn(*shape).astype(np.float32)
+
+
+def _export_nlvr(args, config, platforms):
+    import jax.numpy as jnp
+
+    from madtp_tpu.cli.common import build_blip_cfg, fast_capacity_schedule
+    from madtp_tpu.models.blip import blip_nlvr_forward, load_blip_nlvr
+    from madtp_tpu.serve import save_artifact
+    from madtp_tpu.tasks.nlvr import make_eval_step
+
+    image_size = config.get("image_size", 384)
+    cfg = build_blip_cfg(config, image_size, twin_cross=True)
+    if args.pretrained:
+        params, temperature = load_blip_nlvr(args.pretrained, cfg)
+    else:  # synthetic weights (artifact-pipeline smoke / shape validation)
+        from madtp_tpu.cli.common import init_blip_params
+
+        params = init_blip_params(cfg, seed=0)
+        temperature = 1.0
+    if args.temperature is not None:
+        temperature = args.temperature
+    prune = temperature > 0
+
+    B, T = args.batch, args.text_len
+    images = jnp.zeros((2 * B, 3, image_size, image_size), jnp.float32)
+    ids = jnp.zeros((B, T), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    t = jnp.float32(temperature)
+
+    caps_v = caps_t = None
+    if args.fast_eval and prune:
+        import jax
+
+        probe = jnp.asarray(_probe_images(args, images.shape))
+        step = make_eval_step(cfg, True)
+        _, vk, tk = jax.block_until_ready(step(params, probe, ids, mask, t))
+        caps_v, caps_t = fast_capacity_schedule(
+            np.asarray(vk), np.asarray(tk), args.cap_mode)
+        fn = make_eval_step(cfg, True, tuple(caps_v), tuple(caps_t))
+    else:
+        def fn(params, images, ids, mask, t):
+            logits, (vk, tk) = blip_nlvr_forward(
+                params, images, ids, mask, cfg,
+                temperature=t, prune_active=prune)
+            return logits, vk, tk
+
+    save_artifact(
+        args.output_dir, fn, params, (images, ids, mask, t),
+        meta={
+            "task": "nlvr",
+            "temperature": float(temperature),
+            "mode": "gather" if caps_v is not None else
+                    ("mask" if prune else "dense"),
+            "capacities_vision": None if caps_v is None else list(caps_v),
+            "capacities_text": None if caps_t is None else list(caps_t),
+            "outputs": "(logits [B,2], vision_kept, text_kept)",
+        },
+        platforms=platforms,
+    )
+    print(f"exported NLVR serving artifact -> {args.output_dir} "
+          f"(T={temperature}, mode="
+          f"{'gather' if caps_v is not None else 'mask' if prune else 'dense'})")
+
+
+def _export_clip(args, config, platforms):
+    import jax.numpy as jnp
+
+    from madtp_tpu.cli.common import fast_capacity_schedule
+    from madtp_tpu.models.clip import clip_encode_image, clip_encode_text
+    from madtp_tpu.serve import save_artifact
+
+    if args.pretrained:
+        import jax
+
+        from madtp_tpu.ckpt import load_state_dict, remap_clip
+        from madtp_tpu.cli.compress_retrieval_clip import infer_clip_config
+
+        sd, extras = load_state_dict(args.pretrained)
+        cfg = infer_clip_config(sd, sd_dim=config.get("sd_dim", 768))
+        params = jax.tree.map(jnp.asarray, remap_clip(sd))
+        temperature = float(extras.get("temperature", 0.0))
+    else:
+        from madtp_tpu.core.config import CLIPConfig
+        from madtp_tpu.models.clip import init_clip_params
+
+        cfg = CLIPConfig(image_resolution=config.get("image_size", 224))
+        rng0 = np.random.RandomState(0)
+        params = init_clip_params(cfg, rng0)
+        params["space_dict"] = rng0.randn(
+            config.get("sd_num", 100), cfg.sd_dim).astype(np.float32)
+        import jax
+
+        params = jax.tree.map(jnp.asarray, params)
+        temperature = 1.0
+    if args.temperature is not None:
+        temperature = args.temperature
+    prune = temperature > 0
+    sd_key = "space_dict" if "space_dict" in params else None
+
+    B = args.batch
+    images = jnp.zeros((B, 3, cfg.image_resolution, cfg.image_resolution),
+                       jnp.float32)
+    text = jnp.zeros((B, cfg.context_length), jnp.int32)
+    t = jnp.float32(temperature)
+
+    caps_v = None
+    if args.fast_eval and prune and not cfg.is_resnet:
+        import jax
+
+        probe = jnp.asarray(_probe_images(args, images.shape))
+        _, _, vk = jax.block_until_ready(jax.jit(
+            lambda p, im, t: clip_encode_image(
+                p, im, cfg, space_dict=p.get(sd_key) if sd_key else None,
+                temperature=t, prune_active=True))(params, probe, t))
+        caps_v, _ = fast_capacity_schedule(np.asarray(vk), None, args.cap_mode)
+        caps_v = tuple(caps_v)
+
+    def img_fn(params, images, t):
+        feats, _, kept = clip_encode_image(
+            params, images, cfg,
+            space_dict=params.get(sd_key) if sd_key else None,
+            temperature=t, prune_active=prune and not cfg.is_resnet,
+            capacities=caps_v)
+        return feats, kept
+
+    def txt_fn(params, text, t):
+        feats, _, kept = clip_encode_text(
+            params, text, cfg,
+            space_dict=params.get(sd_key) if sd_key else None,
+            temperature=t, prune_active=prune)
+        return feats, kept
+
+    meta = {"temperature": float(temperature),
+            "mode": "gather" if caps_v is not None else
+                    ("mask" if prune else "dense"),
+            "capacities_vision": None if caps_v is None else list(caps_v)}
+    save_artifact(os.path.join(args.output_dir, "image_encoder"),
+                  img_fn, params, (images, t),
+                  meta={"task": "clip_image",
+                        "outputs": "(features [B,E], kept_counts)", **meta},
+                  platforms=platforms)
+    save_artifact(os.path.join(args.output_dir, "text_encoder"),
+                  txt_fn, params, (text, t),
+                  meta={"task": "clip_text",
+                        "outputs": "(features [B,E], kept_counts)", **meta},
+                  platforms=platforms)
+    print(f"exported CLIP serving artifacts -> {args.output_dir}"
+          f"/{{image_encoder,text_encoder}} (T={temperature})")
+
+
+def main():
+    import argparse
+
+    from madtp_tpu.cli.common import enable_compile_cache, load_config
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", required=True, choices=["nlvr", "clip"])
+    p.add_argument("--config", default="")
+    p.add_argument("--pretrained", default="")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--batch", default=32, type=int,
+                   help="served batch size (static)")
+    p.add_argument("--text_len", default=26, type=int,
+                   help="served text length (nlvr; static)")
+    p.add_argument("--temperature", default=None, type=float,
+                   help="override the checkpoint's stored DTP temperature")
+    p.add_argument("--fast_eval", action="store_true",
+                   help="export the calibrated gather fast path")
+    p.add_argument("--cap_mode", default="ceil", choices=["ceil", "nearest"])
+    p.add_argument("--probe_npz", default="",
+                   help="npz with one array of real images [>=batch,3,H,W] "
+                        "for --fast_eval capacity calibration")
+    p.add_argument("--platforms", default="",
+                   help="comma-separated lowering platforms (e.g. 'tpu,cpu'; "
+                        "default: current backend)")
+    args = p.parse_args()
+
+    enable_compile_cache()
+    config = {}
+    if args.config:
+        class _A:  # load_config wants an argparse-like namespace
+            pass
+
+        a = _A()
+        a.config = args.config
+        a.synthetic = False
+        a.p = 0.5
+        a.pretrained = args.pretrained
+        a.epoch = 0
+        a.batch_size_train = a.batch_size_test = 0
+        config = load_config(a)
+    platforms = [s for s in args.platforms.split(",") if s] or None
+
+    if args.task == "nlvr":
+        _export_nlvr(args, config, platforms)
+    else:
+        _export_clip(args, config, platforms)
+
+
+if __name__ == "__main__":
+    main()

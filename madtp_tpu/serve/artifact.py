@@ -1,0 +1,132 @@
+"""AOT serving artifacts via ``jax.export`` (StableHLO).
+
+The reference has no deployment story beyond re-running its research stack:
+``--evaluate`` re-imports torch+HF+timm and re-traces the whole model per
+process (``compress_nlvr_dtp.py:153-157``).  The TPU-native serving path is
+the opposite: ahead-of-time lower the jitted eval step ONCE at export time,
+ship the serialized StableHLO graph, and serve it from a process that needs
+nothing but jax — no model code, no tokenizer/config stack, no re-trace.
+``jax.export`` gives versioned forward/backward compatibility windows for
+the serialized IR and for the Mosaic (Pallas) custom calls embedded in it.
+
+An artifact directory contains:
+
+``graph.jaxexport``
+    serialized ``jax.export.Exported`` of the eval step.  Parameters are
+    CALL-TIME inputs, never baked constants — the graph is weight-agnostic
+    (swap fine-tuned weights without re-exporting) and compile-time constant
+    upload is avoided (mandatory on remote-compile backends; CLAUDE.md).
+``weights.npz``
+    the parameter pytree in ``ckpt/export.save_native`` single-file format.
+``meta.json``
+    task name, per-input shapes/dtypes, DTP temperature, capacity
+    schedules, export platforms, jax version.
+
+Platform notes: the graph lowers for the platforms active at export time
+(pass ``platforms=("tpu", "cpu")`` to embed both).  Kernel dispatch in
+``ops/attention.py`` is trace-time on ``jax.default_backend()``, so an
+artifact exported ON a TPU host embeds the fused Pallas kernels while one
+exported on CPU traces the pure-XLA path (runs everywhere, slower on TPU)
+— export where you serve.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+GRAPH_FILE = "graph.jaxexport"
+WEIGHTS_FILE = "weights.npz"
+META_FILE = "meta.json"
+
+
+def _shape_dtype_tree(tree):
+    import jax
+
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype
+                                       if not hasattr(a, "dtype") else a.dtype),
+        tree,
+    )
+
+
+def save_artifact(
+    out_dir: str,
+    fn,
+    params,
+    example_inputs: Tuple,
+    *,
+    meta: Optional[Dict[str, Any]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Export ``fn(params, *inputs)`` to a self-contained serving artifact.
+
+    ``fn`` must be jittable at the example shapes; ``params`` is any pytree
+    of arrays (saved to ``weights.npz``); ``example_inputs`` fix the served
+    input shapes/dtypes (values are only read for shape/dtype).
+    ``platforms``: lowering platforms (default: the current backend).
+    Returns ``out_dir``.
+    """
+    import jax
+    from jax import export as jexport
+
+    from madtp_tpu.ckpt.export import save_native
+
+    os.makedirs(out_dir, exist_ok=True)
+    args_sds = _shape_dtype_tree((params,) + tuple(example_inputs))
+    exp = jexport.export(
+        jax.jit(fn),
+        platforms=tuple(platforms) if platforms else None,
+    )(*args_sds)
+    with open(os.path.join(out_dir, GRAPH_FILE), "wb") as f:
+        f.write(exp.serialize())
+    save_native(os.path.join(out_dir, WEIGHTS_FILE), params)
+
+    def spec(t):
+        return jax.tree.map(lambda s: [list(s.shape), str(s.dtype)], t)
+
+    full_meta = {
+        "inputs": spec(args_sds[1:]),
+        "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+        **(meta or {}),
+    }
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(full_meta, f, indent=1, default=str)
+    return out_dir
+
+
+@dataclass
+class ServingModel:
+    """A loaded artifact: ``model(*inputs)`` runs the exported graph with the
+    artifact's weights; ``rebind(params)`` swaps weights (same pytree
+    structure/shapes) without touching the graph."""
+
+    exported: Any
+    params: Any
+    meta: Dict[str, Any]
+
+    def __call__(self, *inputs):
+        return self.exported.call(self.params, *inputs)
+
+    def rebind(self, params) -> "ServingModel":
+        return ServingModel(self.exported, params, self.meta)
+
+
+def load_artifact(art_dir: str) -> ServingModel:
+    """Load a ``save_artifact`` directory.  Imports no model code — only the
+    jax runtime and the npz reader."""
+    from jax import export as jexport
+
+    from madtp_tpu.ckpt.export import load_native
+
+    with open(os.path.join(art_dir, GRAPH_FILE), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    params, _ = load_native(os.path.join(art_dir, WEIGHTS_FILE))
+    with open(os.path.join(art_dir, META_FILE)) as f:
+        meta = json.load(f)
+    return ServingModel(exp, params, meta)

@@ -1,0 +1,192 @@
+"""AOT serving artifacts (madtp_tpu/serve): export -> load -> call parity.
+
+The artifact is a serialized ``jax.export`` graph + weights npz + meta —
+the deployment path the reference lacks (its only serving mode is re-running
+the research stack, ``compress_*_dtp.py --evaluate``)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from madtp_tpu.serve import load_artifact, save_artifact
+
+
+def _tiny_nlvr(B=2, image_size=64, text_len=12):
+    from __graft_entry__ import _nlvr_setup
+
+    return _nlvr_setup(
+        image_size=image_size, B=B, text_len=text_len,
+        vit_kw=dict(patch_size=16, embed_dim=64, depth=2, num_heads=4,
+                    sd_dim=64),
+        med_kw=dict(vocab_size=120, hidden_size=64, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=256,
+                    max_position_embeddings=64),
+    )
+
+
+def test_nlvr_mask_artifact_roundtrip(tmp_path):
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+
+    def fn(params, images, ids, mask, t):
+        logits, (vk, tk) = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=t, prune_active=True)
+        return logits, vk, tk
+
+    t = jnp.float32(1.0)
+    art = str(tmp_path / "nlvr")
+    save_artifact(art, fn, params, (images, ids, mask, t),
+                  meta={"task": "nlvr", "temperature": 1.0})
+
+    model = load_artifact(art)
+    got_logits, got_vk, got_tk = model(images, ids, mask, t)
+    want_logits, want_vk, want_tk = jax.jit(fn)(params, images, ids, mask, t)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_vk), np.asarray(want_vk))
+    np.testing.assert_array_equal(np.asarray(got_tk), np.asarray(want_tk))
+    assert model.meta["task"] == "nlvr"
+    assert model.meta["platforms"] == ["cpu"]
+
+    # temperature is a call-time input (traced in the artifact too): a new
+    # temperature changes pruning without a new artifact
+    alt = model(images, ids, mask, jnp.float32(8.0))
+    assert not np.array_equal(np.asarray(alt[1]), np.asarray(got_vk))
+
+
+def test_artifact_weights_are_inputs_not_constants(tmp_path):
+    """The graph must be weight-agnostic: rebinding new weights changes the
+    output (nothing was baked at export time)."""
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+
+    def fn(params, images, ids, mask, t):
+        return blip_nlvr_forward(params, images, ids, mask, cfg,
+                                 temperature=t, prune_active=True)[0]
+
+    t = jnp.float32(1.0)
+    art = str(tmp_path / "nlvr")
+    save_artifact(art, fn, params, (images, ids, mask, t), meta={})
+    model = load_artifact(art)
+    base = np.asarray(model(images, ids, mask, t))
+
+    scaled = jax.tree.map(lambda a: a * 1.5, model.params)
+    swapped = np.asarray(model.rebind(scaled)(images, ids, mask, t))
+    assert not np.allclose(base, swapped)
+    # and the rebound output equals running fn with the scaled weights
+    np.testing.assert_allclose(
+        swapped, np.asarray(jax.jit(fn)(scaled, images, ids, mask, t)),
+        atol=1e-6)
+
+
+def test_nlvr_gather_artifact(tmp_path):
+    """Gather fast path (static capacities) exports and matches the live
+    jitted step."""
+    from madtp_tpu.tasks.nlvr import make_eval_step
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+    caps_v, caps_t = (24, 16), (8, 8)
+    step = make_eval_step(cfg, True, caps_v, caps_t)
+    t = jnp.float32(1.0)
+
+    art = str(tmp_path / "nlvr_gather")
+    save_artifact(art, step, params, (images, ids, mask, t),
+                  meta={"mode": "gather", "capacities_vision": list(caps_v)})
+    model = load_artifact(art)
+    got = model(images, ids, mask, t)
+    want = step(params, images, ids, mask, t)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+
+def test_clip_artifacts(tmp_path):
+    from madtp_tpu.core.config import CLIPConfig
+    from madtp_tpu.models.clip import (clip_encode_image, clip_encode_text,
+                                       init_clip_params)
+
+    cfg = CLIPConfig(embed_dim=32, image_resolution=32, vision_layers=2,
+                     vision_width=64, vision_patch_size=16, context_length=16,
+                     vocab_size=80, transformer_width=32, transformer_heads=4,
+                     transformer_layers=2, sd_dim=32)
+    rng0 = np.random.RandomState(0)
+    params = init_clip_params(cfg, rng0)
+    params["space_dict"] = rng0.randn(10, cfg.sd_dim).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    text = jnp.asarray(
+        np.concatenate([np.full((2, 1), 77), rng.randint(1, 70, (2, 14)),
+                        np.full((2, 1), 79)], axis=1).astype(np.int32))
+    t = jnp.float32(1.0)
+
+    def img_fn(params, images, t):
+        feats, _, kept = clip_encode_image(
+            params, images, cfg, space_dict=params["space_dict"],
+            temperature=t, prune_active=True)
+        return feats, kept
+
+    def txt_fn(params, text, t):
+        feats, _, kept = clip_encode_text(
+            params, text, cfg, space_dict=params["space_dict"],
+            temperature=t, prune_active=True)
+        return feats, kept
+
+    save_artifact(str(tmp_path / "img"), img_fn, params, (images, t), meta={})
+    save_artifact(str(tmp_path / "txt"), txt_fn, params, (text, t), meta={})
+
+    img = load_artifact(str(tmp_path / "img"))
+    txt = load_artifact(str(tmp_path / "txt"))
+    gi, _ = img(images, t)
+    gt, _ = txt(text, t)
+    wi, _, _ = jax.jit(lambda p, im, t: clip_encode_image(
+        p, im, cfg, space_dict=p["space_dict"], temperature=t,
+        prune_active=True))(params, images, t)
+    wt, _, _ = jax.jit(lambda p, tx, t: clip_encode_text(
+        p, tx, cfg, space_dict=p["space_dict"], temperature=t,
+        prune_active=True))(params, text, t)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(wi), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=1e-6)
+
+
+def test_export_serving_cli(tmp_path, monkeypatch, capsys):
+    """The CLI end-to-end on a tiny config: artifact written, loadable, and
+    the served logits match a fresh forward with the artifact's weights."""
+    import yaml
+
+    from madtp_tpu.cli import export_serving
+    from madtp_tpu.cli.common import build_blip_cfg
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg_yaml = tmp_path / "nlvr_tiny.yaml"
+    yaml.safe_dump({"vit": "tiny", "image_size": 64}, cfg_yaml.open("w"))
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["export_serving", "--task", "nlvr", "--config", str(cfg_yaml),
+         "--output_dir", str(out), "--batch", "2", "--text_len", "12"])
+    export_serving.main()
+    assert "exported NLVR serving artifact" in capsys.readouterr().out
+
+    model = load_artifact(str(out))
+    assert model.meta["task"] == "nlvr"
+    assert model.meta["mode"] == "mask"
+    assert model.meta["temperature"] == 1.0
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.randn(4, 3, 64, 64).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 100, (2, 12)).astype(np.int32))
+    mask = jnp.ones((2, 12), jnp.int32)
+    t = jnp.float32(model.meta["temperature"])
+    logits, vk, tk = model(images, ids, mask, t)
+    assert logits.shape == (2, 2)
+
+    blip_cfg = build_blip_cfg({"vit": "tiny", "image_size": 64}, 64,
+                              twin_cross=True)
+    want, _ = jax.jit(lambda p, im, i, m, t: blip_nlvr_forward(
+        p, im, i, m, blip_cfg, temperature=t, prune_active=True))(
+            model.params, images, ids, mask, t)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               atol=1e-6)
