@@ -31,6 +31,10 @@ import numpy as np
 
 
 def _probe_images(args, shape):
+    """Probe batch for --fast_eval capacity calibration.  The npz's FIRST
+    array is the images; it must supply at least ``shape[0]`` of them (for
+    NLVR that is 2*batch — the driver concatenates the image pair on the
+    batch dim, reference compress_nlvr_dtp.py:43)."""
     if args.probe_npz:
         with np.load(args.probe_npz) as z:
             imgs = z[z.files[0]].astype(np.float32)
@@ -38,8 +42,50 @@ def _probe_images(args, shape):
             raise SystemExit(
                 f"--probe_npz images {imgs.shape} do not match the export "
                 f"shape {shape}")
+        if imgs.shape[0] < shape[0]:
+            raise SystemExit(
+                f"--probe_npz supplies {imgs.shape[0]} images but the export "
+                f"needs {shape[0]} (NLVR needs 2*batch: the image pair is "
+                f"concatenated on the batch dim)")
         return imgs[: shape[0]]
     return np.random.RandomState(0).randn(*shape).astype(np.float32)
+
+
+def _probe_text(args, batch, text_len, tokenize=None):
+    """Probe text for --fast_eval TEXT capacity calibration.
+
+    Gather mode silently truncates to the calibrated static capacity, so
+    calibrating on degenerate all-zero-id 'sentences' risks silent served
+    accuracy drift.  Accepts ``ids``/``mask`` arrays in the --probe_npz, or
+    a --probe_sentences file (one sentence per line) tokenized with the
+    task tokenizer; otherwise falls back to zeros with a LOUD warning."""
+    if args.probe_npz:
+        with np.load(args.probe_npz) as z:
+            if "ids" in z.files and "mask" in z.files:
+                ids = z["ids"].astype(np.int32)
+                mask = z["mask"].astype(np.int32)
+                if ids.shape[0] < batch or ids.shape[1] != text_len:
+                    raise SystemExit(
+                        f"--probe_npz ids {ids.shape} do not cover the export "
+                        f"text shape ({batch}, {text_len})")
+                return ids[:batch], mask[:batch]
+    if args.probe_sentences:
+        if tokenize is None:
+            raise SystemExit("--probe_sentences needs a task tokenizer")
+        with open(args.probe_sentences) as f:
+            sents = [line.strip() for line in f if line.strip()]
+        if len(sents) < batch:
+            raise SystemExit(
+                f"--probe_sentences supplies {len(sents)} sentences but the "
+                f"export batch is {batch}")
+        ids, mask = tokenize(sents[:batch])
+        return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
+    print("WARNING: --fast_eval text capacities calibrated on all-zero-id "
+          "probe text (no ids/mask in --probe_npz, no --probe_sentences); "
+          "served text pruning may truncate real sentences — supply real "
+          "probe text for production calibration")
+    return (np.zeros((batch, text_len), np.int32),
+            np.ones((batch, text_len), np.int32))
 
 
 def _export_nlvr(args, config, platforms):
@@ -74,8 +120,26 @@ def _export_nlvr(args, config, platforms):
         import jax
 
         probe = jnp.asarray(_probe_images(args, images.shape))
+        # real probe TEXT matters as much as real probe images: the drivers
+        # calibrate from real tokenized sentences (compress_nlvr.py:216-226)
+        tokenize = None
+        if args.probe_sentences:
+            from madtp_tpu.data.tokenizer_bert import BertWordPieceTokenizer
+
+            if not args.bert_vocab:
+                raise SystemExit("--probe_sentences needs --bert_vocab")
+            tokzr = BertWordPieceTokenizer(args.bert_vocab)
+
+            def tokenize(sents):
+                out = tokzr(sents, padding="max_length", max_length=T)
+                ids = np.asarray(out["input_ids"], np.int32)
+                ids[:, 0] = tokzr.enc_token_id  # reference blip_nlvr.py:69
+                return ids, np.asarray(out["attention_mask"], np.int32)
+
+        p_ids, p_mask = _probe_text(args, B, T, tokenize)
+        p_ids, p_mask = jnp.asarray(p_ids), jnp.asarray(p_mask)
         step = make_eval_step(cfg, True)
-        _, vk, tk = jax.block_until_ready(step(params, probe, ids, mask, t))
+        _, vk, tk = jax.block_until_ready(step(params, probe, p_ids, p_mask, t))
         caps_v, caps_t = fast_capacity_schedule(
             np.asarray(vk), np.asarray(tk), args.cap_mode)
         fn = make_eval_step(cfg, True, tuple(caps_v), tuple(caps_t))
@@ -120,6 +184,13 @@ def _export_clip(args, config, platforms):
         sd, extras = load_state_dict(args.pretrained)
         cfg = infer_clip_config(sd, sd_dim=config.get("sd_dim", 768))
         params = jax.tree.map(jnp.asarray, remap_clip(sd))
+        # remap_clip returns a fixed tower tree WITHOUT space_dict; a
+        # compressed CLIP .pth stores it in the raw sd (the driver reads it
+        # there too, compress_retrieval_clip.py:129) — dropping it would
+        # export an artifact that prunes without the MAG term
+        if "space_dict" in sd:
+            params["space_dict"] = jnp.asarray(
+                np.asarray(sd["space_dict"], np.float32))
         temperature = float(extras.get("temperature", 0.0))
     else:
         from madtp_tpu.core.config import CLIPConfig
@@ -210,8 +281,15 @@ def main():
                    help="export the calibrated gather fast path")
     p.add_argument("--cap_mode", default="ceil", choices=["ceil", "nearest"])
     p.add_argument("--probe_npz", default="",
-                   help="npz with one array of real images [>=batch,3,H,W] "
-                        "for --fast_eval capacity calibration")
+                   help="npz for --fast_eval capacity calibration: first "
+                        "array = real images (>=batch; NLVR needs 2*batch — "
+                        "the image pair concatenates on the batch dim); "
+                        "optional 'ids'/'mask' int arrays = real probe text")
+    p.add_argument("--probe_sentences", default="",
+                   help="text file (one sentence per line, >=batch) for "
+                        "--fast_eval TEXT capacity calibration (nlvr)")
+    p.add_argument("--bert_vocab", default="",
+                   help="BERT vocab.txt for --probe_sentences tokenization")
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms (e.g. 'tpu,cpu'; "
                         "default: current backend)")

@@ -89,11 +89,13 @@ def save_artifact(
     def spec(t):
         return jax.tree.map(lambda s: [list(s.shape), str(s.dtype)], t)
 
+    # built-in keys LAST: a caller-provided 'inputs'/'platforms'/'jax_version'
+    # must never overwrite the recorded ground truth
     full_meta = {
+        **(meta or {}),
         "inputs": spec(args_sds[1:]),
         "platforms": list(exp.platforms),
         "jax_version": jax.__version__,
-        **(meta or {}),
     }
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(full_meta, f, indent=1, default=str)

@@ -7,7 +7,6 @@ tracing, reference ``:93-98``), which feeds the temperature controller.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Iterable, Tuple
 
 import jax
@@ -16,12 +15,26 @@ import numpy as np
 
 from madtp_tpu.models.blip import BlipConfig, blip_nlvr_forward
 from madtp_tpu.prune.flops import nlvr_gflops
+from madtp_tpu.utils.cache import BoundedCache
 from madtp_tpu.utils.logging import MetricLogger
 
+# bounded (LRU-8) like every other step cache: per-epoch recalibrated
+# capacity tuples under --fast_train would otherwise accumulate compiled
+# executables for the process lifetime
+_EVAL_STEP_CACHE: BoundedCache = BoundedCache(maxsize=8)
 
-@functools.lru_cache(maxsize=None)
+
 def make_eval_step(cfg: BlipConfig, prune_active: bool,
                    capacities_v=None, capacities_t=None):
+    key = (cfg, prune_active, capacities_v, capacities_t)
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = _build_eval_step(
+            cfg, prune_active, capacities_v, capacities_t)
+    return _EVAL_STEP_CACHE[key]
+
+
+def _build_eval_step(cfg: BlipConfig, prune_active: bool,
+                     capacities_v=None, capacities_t=None):
     if capacities_v is not None:
         from madtp_tpu.models import med as M
         from madtp_tpu.models.blip import _split_state

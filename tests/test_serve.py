@@ -151,6 +151,102 @@ def test_clip_artifacts(tmp_path):
     np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=1e-6)
 
 
+def test_export_serving_cli_clip_pretrained_space_dict(tmp_path, monkeypatch,
+                                                       capsys):
+    """A compressed CLIP .pth stores space_dict in the raw state dict
+    (the driver reads it there, compress_retrieval_clip.py:129) while
+    remap_clip returns a tower tree without it — the exporter must inject
+    it or the artifact prunes WITHOUT the MAG term (ADVICE r3, high)."""
+    import yaml
+
+    from madtp_tpu.ckpt.export import export_clip, save_torch_checkpoint
+    from madtp_tpu.cli import export_serving
+    from madtp_tpu.core.config import CLIPConfig
+    from madtp_tpu.models.clip import clip_encode_image, init_clip_params
+
+    # head counts must be width//64 so --evaluate-style shape inference
+    # reconstructs the same arch (reference clip/model.py:684,697 rule)
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=64, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=32, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+        sd_dim=64,
+    )
+    rng = np.random.RandomState(3)
+    sd = export_clip(init_clip_params(cfg, rng))
+    sd["space_dict"] = rng.randn(10, 64).astype(np.float32)
+    pre = str(tmp_path / "clip_compressed.pth")
+    save_torch_checkpoint(pre, sd, temperature=1.0)
+
+    cfg_yaml = tmp_path / "clip_tiny.yaml"
+    yaml.safe_dump({"sd_dim": 64}, cfg_yaml.open("w"))
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["export_serving", "--task", "clip", "--config", str(cfg_yaml),
+         "--pretrained", pre, "--output_dir", str(out), "--batch", "2"])
+    export_serving.main()
+    assert "exported CLIP serving artifacts" in capsys.readouterr().out
+
+    img = load_artifact(str(out / "image_encoder"))
+    assert "space_dict" in img.params  # the regression: was silently dropped
+    assert img.meta["temperature"] == 1.0 and img.meta["mode"] == "mask"
+
+    rng2 = np.random.RandomState(7)
+    images = jnp.asarray(rng2.randn(2, 3, 64, 64).astype(np.float32))
+    t = jnp.float32(1.0)
+    got, got_kept = img(images, t)
+
+    with_sd, _, kept_sd = jax.jit(
+        lambda p, im, t: clip_encode_image(
+            p, im, cfg, space_dict=p["space_dict"], temperature=t,
+            prune_active=True))(img.params, images, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(with_sd),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_kept), np.asarray(kept_sd))
+    # pruning actually ran (DTP needs the MAG term; without space_dict the
+    # pruned tower is untraceable, so parity above proves the term shipped)
+    n_patches = (cfg.image_resolution // cfg.vision_patch_size) ** 2
+    assert np.asarray(got_kept).min() < n_patches
+
+
+def test_probe_npz_validation(tmp_path):
+    """--probe_npz must supply >= the export's leading batch count (NLVR:
+    2*batch) and may carry real probe text as 'ids'/'mask' (ADVICE r3)."""
+    import pytest
+
+    from madtp_tpu.cli.export_serving import _probe_images, _probe_text
+
+    class A:
+        probe_npz = str(tmp_path / "probe.npz")
+        probe_sentences = ""
+
+    np.savez(A.probe_npz, images=np.zeros((3, 3, 8, 8), np.float32),
+             ids=np.arange(40, dtype=np.int64).reshape(4, 10),
+             mask=np.ones((4, 10), np.int64))
+    with pytest.raises(SystemExit, match="needs 4"):
+        _probe_images(A, (4, 3, 8, 8))  # only 3 images for 2*batch=4
+    imgs = _probe_images(A, (2, 3, 8, 8))
+    assert imgs.shape == (2, 3, 8, 8)
+
+    ids, mask = _probe_text(A, 2, 10)
+    np.testing.assert_array_equal(ids, np.arange(20).reshape(2, 10))
+    assert mask.shape == (2, 10)
+    with pytest.raises(SystemExit, match="do not cover"):
+        _probe_text(A, 2, 12)  # text_len mismatch
+
+
+def test_save_artifact_meta_collision(tmp_path):
+    """Caller meta must not overwrite the recorded ground-truth keys
+    (inputs/platforms/jax_version) — built-ins win (ADVICE r3, low)."""
+    f = lambda p, x: x * p["w"]
+    params = {"w": jnp.float32(2.0)}
+    art = save_artifact(str(tmp_path / "a"), f, params, (jnp.float32(3.0),),
+                        meta={"platforms": ["lies"], "task": "toy"})
+    m = load_artifact(art).meta
+    assert m["platforms"] == ["cpu"] and m["task"] == "toy"
+
+
 def test_export_serving_cli(tmp_path, monkeypatch, capsys):
     """The CLI end-to-end on a tiny config: artifact written, loadable, and
     the served logits match a fresh forward with the artifact's weights."""
