@@ -45,6 +45,10 @@ def base_parser(default_config: str, default_pretrained: str = "",
                    help="random weights + synthetic data (pipeline smoke run; "
                         "no checkpoints/datasets required)")
     p.add_argument("--synthetic_batches", default=4, type=int)
+    p.add_argument("--synthetic_corpus", default=6, type=int,
+                   help="synthetic retrieval corpus size (images/texts); "
+                        "small values vs --num_processes exercise the "
+                        "uneven/empty eval-shard paths")
     p.add_argument("--resume", default="", type=str,
                    help="resume compression from an orbax checkpoint dir "
                         "(params + optimizer state + controller state; "
@@ -256,11 +260,129 @@ def fast_capacity_schedule(vk, tk, cap_mode: str, *, margin_v: int = 16,
         vk if vk.ndim == 2 else vk[None, :], margin=margin_v,
         multiple=128 if cap_mode == "nearest" else 64, mode=cap_mode)
     if tk is None:
-        return cv, None
+        return _forced_caps("MADTP_FORCE_CAPS_V", cv), None
     tk = np.asarray(tk)
     ct = calibrate_capacities(tk if tk.ndim == 2 else tk[None, :],
                               margin=margin_t, multiple=8)
-    return cv, ct
+    return (_forced_caps("MADTP_FORCE_CAPS_V", cv),
+            _forced_caps("MADTP_FORCE_CAPS_T", ct))
+
+
+def _forced_caps(env_key: str, calibrated):
+    """Env override for a calibrated capacity schedule
+    (``MADTP_FORCE_CAPS_V=256,256,...`` / ``MADTP_FORCE_CAPS_T=...``):
+    an operational escape hatch when a calibrated schedule misbehaves, and
+    the fault-injection hook for the codegen-crash auto-fallback test
+    (tools/repro_sched_crash.py documents the known-bad schedules)."""
+    raw = os.environ.get(env_key, "")
+    if not raw:
+        return calibrated
+    forced = tuple(int(x) for x in raw.split(","))
+    if len(forced) != len(calibrated):
+        raise SystemExit(
+            f"{env_key} has {len(forced)} entries; the model needs "
+            f"{len(calibrated)} (one per layer)")
+    print(f"WARNING: {env_key} overrides the calibrated capacity schedule "
+          f"{tuple(calibrated)} -> {forced}")
+    return forced
+
+
+def backend_reachable(attempts: int = 4, probe_timeout: int = 150,
+                      cooldown: int = 20) -> bool:
+    """Probe the accelerator backend in a bounded SUBPROCESS (a downed
+    remote TPU worker makes ``jax.devices()`` hang forever in-process —
+    bench.py's outage pattern).  Each probe is a tiny matmul in a fresh
+    interpreter; a crashed worker's stuck chip claim clears within ~a
+    minute, so a few spaced attempts distinguish 'restarting' from
+    'down'."""
+    import subprocess
+    import sys
+    import time
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+            "print('PROBE_OK', float(jnp.sum(x @ x)))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0 and b"PROBE_OK" in r.stdout:
+                return True
+            msg = (r.stdout + r.stderr).decode(errors="replace")[-200:]
+        except subprocess.TimeoutExpired:
+            msg = f"probe timed out after {probe_timeout}s"
+        print(f"backend probe {i + 1}/{attempts} failed: {msg}", flush=True)
+        if i + 1 < attempts:
+            time.sleep(cooldown)
+    return False
+
+
+_CRASH_SIGNATURE = "TPU worker process crashed or restarted"
+
+
+def codegen_crash_autofallback(main_fn):
+    """Auto-mitigate the known backend codegen fault: certain capacity
+    schedules crash the remote TPU worker at whole-program compile/execute
+    with the fused Pallas scoring attention enabled (deterministic repro +
+    bisection matrix: tools/repro_sched_crash.py; every schedule our
+    calibrators produce is green — the fault needs an unlucky user/forced
+    schedule).
+
+    The crash poisons the in-process jax client permanently (measured: the
+    raised ``JaxRuntimeError`` is catchable but every subsequent dispatch
+    fails with the same UNAVAILABLE), so in-process retry is impossible.
+    Instead: wait for the worker to restart (bounded subprocess probes),
+    then RE-EXEC this driver with ``MADTP_NO_FUSED_ATTN=1`` (pure-XLA
+    scoring attention — correct, ~25% slower at bench shapes) and
+    ``--resume`` when a resume checkpoint already exists, so completed
+    epochs are not retrained.  One fallback attempt only: a second crash
+    without the fused kernel is a different bug and re-raises."""
+    import functools
+
+    @functools.wraps(main_fn)
+    def wrapper(*a, **kw):
+        try:
+            return main_fn(*a, **kw)
+        except Exception as e:
+            if _CRASH_SIGNATURE not in f"{type(e).__name__}: {e}":
+                raise
+            if os.environ.get("MADTP_NO_FUSED_ATTN") or \
+                    os.environ.get("MADTP_CRASH_FALLBACK") == "1":
+                raise  # fused kernel already off — not the known fault
+            print("=" * 72)
+            print("FATAL backend fault: the TPU worker crashed compiling/"
+                  "running this program — the known codegen fault for "
+                  "unlucky capacity schedules (tools/repro_sched_crash.py)."
+                  "\nAuto-fallback: restarting this driver with "
+                  "MADTP_NO_FUSED_ATTN=1 (pure-XLA scoring attention; "
+                  "correct, ~25% slower).", flush=True)
+            print("=" * 72)
+            # a crashed worker can take many minutes to restart (measured
+            # round 4: >20 min once) — wait patiently before giving up
+            if not backend_reachable(attempts=10, cooldown=60):
+                raise RuntimeError(
+                    "backend did not come back after the worker crash; "
+                    "re-run manually with MADTP_NO_FUSED_ATTN=1") from e
+            import sys
+
+            argv = [sys.executable] + sys.argv
+            # resume completed epochs instead of retraining them
+            out = ""
+            if "--output_dir" in sys.argv:
+                out = sys.argv[sys.argv.index("--output_dir") + 1]
+            if out and "--resume" not in sys.argv:
+                for cand in ("resume_ckpt", "resume_ckpt.npz"):
+                    if os.path.exists(os.path.join(out, cand)):
+                        argv += ["--resume", os.path.join(out, cand)]
+                        break
+            env = dict(os.environ)
+            env["MADTP_NO_FUSED_ATTN"] = "1"
+            env["MADTP_CRASH_FALLBACK"] = "1"
+            print(f"re-exec: {' '.join(argv)}", flush=True)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execve(sys.executable, argv, env)
+
+    return wrapper
 
 
 def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):

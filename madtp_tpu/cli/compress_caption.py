@@ -87,6 +87,10 @@ def finish_captions(tokenizer, out, B):
     return caps
 
 
+from madtp_tpu.cli.common import codegen_crash_autofallback
+
+
+@codegen_crash_autofallback
 def main():
     args = base_parser("configs/caption_coco.yaml",
                        "pretrained/model_base_caption_capfilt_large.pth"

@@ -85,6 +85,10 @@ def real_loader(config, split, tokenizer, *, train, batch, epoch=0,
     return it
 
 
+from madtp_tpu.cli.common import codegen_crash_autofallback
+
+
+@codegen_crash_autofallback
 def main():
     args = base_parser("configs/nlvr.yaml",
                        "pretrained/model_base_nlvr.pth",

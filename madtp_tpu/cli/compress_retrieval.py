@@ -28,6 +28,10 @@ from madtp_tpu.tasks.retrieval import encode_corpus, rerank_scores
 ORI_GFLOPS = 153.2  # reference compress_retrieval_dtp.py:383
 
 
+from madtp_tpu.cli.common import codegen_crash_autofallback
+
+
+@codegen_crash_autofallback
 def main():
     # default config mirrors the reference quirk: compress_retrieval_dtp.py
     # defaults to the FLICKR yaml with a COCO checkpoint (its scripts always
@@ -74,10 +78,15 @@ def main():
                          "bias": np.zeros(2, np.float32)},
         })
         temperature = 1.0
-        n_img = 6
+        # corpus size is configurable so multi-process tests can exercise
+        # uneven / EMPTY shards (reference_row_shard's n//world+1 stepping
+        # yields empty and start>end ranges when world is large vs the
+        # corpus); batches of 3 with a ragged final batch
+        n_img = args.synthetic_corpus
         rng2 = np.random.RandomState(1)
-        image_batches = [rng2.randn(3, 3, image_size, image_size).astype(np.float32)
-                         for _ in range(2)]
+        image_batches = [rng2.randn(min(3, n_img - i), 3, image_size,
+                                    image_size).astype(np.float32)
+                         for i in range(0, n_img, 3)]
         image_batches_fn = lambda: iter(list(image_batches))
         image_block_fn = lambda lo, hi: iter(list(image_batches)[lo:hi])
         texts = [f"a picture of w{i}" for i in range(n_img)]
@@ -164,7 +173,7 @@ def main():
     shard = ((dist.process_count(), dist.process_index())
              if dist.process_count() > 1 else None)
     n_image_batches = (
-        2 if args.synthetic  # the synthetic corpus above
+        len(image_batches) if args.synthetic  # the synthetic corpus above
         else -(-len(ds.image) // config.get("batch_size_test", 32)))
 
     def full_scores(params, temperature, prune, caps_v, caps_t,

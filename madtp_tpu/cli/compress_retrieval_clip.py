@@ -72,6 +72,10 @@ def infer_clip_config(sd, sd_dim=768) -> CLIPConfig:
     )
 
 
+from madtp_tpu.cli.common import codegen_crash_autofallback
+
+
+@codegen_crash_autofallback
 def main():
     # the reference defaults to the (BLIP) retrieval_flickr.yaml here, which
     # its CLIP driver cannot actually load — we default to the CLIP yaml

@@ -37,6 +37,10 @@ def tokenize_answers(tokenizer, answers, bos_id):
     return ids, mask
 
 
+from madtp_tpu.cli.common import codegen_crash_autofallback
+
+
+@codegen_crash_autofallback
 def main():
     args = base_parser("configs/vqa.yaml",
                        "pretrained/model_base_vqa_capfilt_large.pth"

@@ -261,6 +261,10 @@ def _export_clip(args, config, platforms):
           f"/{{image_encoder,text_encoder}} (T={temperature})")
 
 
+from madtp_tpu.cli.common import codegen_crash_autofallback
+
+
+@codegen_crash_autofallback
 def main():
     import argparse
 

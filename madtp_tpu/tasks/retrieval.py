@@ -188,15 +188,22 @@ def encode_corpus_sharded(
     if n_batches is None:
         n_batches = len(image_batches)  # sequence input
     n_b = n_batches
-    assert n_b >= P, (
-        f"sharded corpus encode needs >= one image batch per process "
-        f"({n_b} batches, {P} processes); shrink batch_size_test")
-    # BALANCED contiguous blocks (i*n_b//P): every process gets >= 1 batch
-    # — ceil-division blocks can leave trailing processes EMPTY (e.g. 9
-    # batches on 4 processes -> [3,3,3,0]) and an empty encode crashes
-    # while the others deadlock in the all-gather
+    # BALANCED contiguous blocks (i*n_b//P) — ceil-division blocks would
+    # leave trailing processes empty even when n_b >= P (e.g. 9 batches on
+    # 4 processes -> [3,3,3,0])
     lo, hi = r * n_b // P, (r + 1) * n_b // P
-    if callable(image_batches):
+    if lo == hi:
+        # EMPTY block (more processes than image batches — e.g. an 8-process
+        # eval on a tiny val split): encode ONE dummy image to learn the
+        # stacked shapes/dtypes the ragged all-gather below needs, then keep
+        # zero rows.  The token-buffer dim is config/capacity-determined
+        # (mask mode: fixed buffer; gather mode: static capacities), never
+        # batch-dependent, so the dummy's trailing dims match the real
+        # blocks'.  Texts still encode on every rank (replicated, like the
+        # reference's unsharded text loop, compress_retrieval_dtp.py:95-113).
+        block = iter([np.zeros(
+            (1, 3, cfg.vit.image_size, cfg.vit.image_size), np.float32)])
+    elif callable(image_batches):
         block = image_batches(lo, hi)  # skipped batches never decode
     else:
         block = itertools.islice(iter(image_batches), lo, hi)
@@ -205,6 +212,9 @@ def encode_corpus_sharded(
         temperature=temperature, prune_active=prune_active,
         capacities_v=capacities_v, capacities_t=capacities_t,
         text_batch=text_batch, mesh=mesh)
+    if lo == hi:
+        feats = feats[:0]
+        states = TokenState(states.x[:0], states.alive[:0], None)
 
     # all-gather the ragged per-process image blocks (pad rows to the max
     # block, track counts, reassemble in process order = corpus order)
