@@ -143,6 +143,17 @@ def save_native(path: str, tree, extras: dict | None = None):
     from madtp_tpu.core.tree import flatten_tree
 
     flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
+    # npz cannot represent ml_dtypes (bfloat16/fp8: numpy kind 'V' — the
+    # round trip silently degrades to void |V2); store the raw bits as
+    # uint8 and record the true dtype name for load_native to view back
+    ml_kinds = {}
+    for k, v in flat.items():
+        if v.dtype.kind == "V":
+            ml_kinds[k] = [str(v.dtype), list(v.shape)]
+            flat[k] = v.reshape(-1).view(np.uint8)  # flatten: 0-d can't view
+    if ml_kinds:
+        flat["__ml_dtypes_json__"] = np.frombuffer(
+            json.dumps(ml_kinds).encode(), np.uint8)
     if extras is not None:
         flat["__extras_json__"] = np.frombuffer(
             json.dumps(extras).encode(), np.uint8)
@@ -166,6 +177,12 @@ def load_native(path: str, *, require_extras: bool = False):
 
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
+    if "__ml_dtypes_json__" in flat:
+        import ml_dtypes
+
+        for k, (name, shape) in json.loads(
+                flat.pop("__ml_dtypes_json__").tobytes().decode()).items():
+            flat[k] = flat[k].view(getattr(ml_dtypes, name)).reshape(shape)
     extras = {}
     jpath = os.path.splitext(path)[0] + ".json"
     if "__extras_json__" in flat:

@@ -14,6 +14,12 @@ that a serving process loads without any model code.
         --pretrained clip.pth --config configs/retrieval_flickr_clip.yaml \
         --output_dir artifacts/clip   # -> clip/image_encoder + clip/text_encoder
 
+All five task families export: ``nlvr`` (classification step), ``clip``
+(dual towers), ``caption`` (pruned encode + jitted beam decode — the
+lax.fori_loop search exports whole), ``vqa`` (rank: BOS shortlist +
+shared-KV rerank; the answer list is a call-time input), ``retrieval``
+(ITC towers + the stage-2 ITM rerank unit).
+
 The DTP ``temperature`` is read from the checkpoint (the reference stores it
 inside the ``.pth``, ``compress_nlvr_dtp.py:157``) and may be overridden with
 ``--temperature``.  Default semantics are the exact mask mode; ``--fast_eval``
@@ -265,20 +271,330 @@ from madtp_tpu.cli.common import codegen_crash_autofallback
 
 
 @codegen_crash_autofallback
+def _export_caption(args, config, platforms):
+    """Caption beam decode artifact: pruned image encode + the fully-jitted
+    static-shape beam search (tasks/caption.beam_generate — one lax.fori_loop,
+    the exportable counterpart of the reference's host-side HF generate,
+    models/blip.py:161-202).  The bos-prefixed prompt ids are a CALL-TIME
+    input (serve-side tokenizes the prompt once); beam hyperparameters are
+    baked and recorded in meta."""
+    import jax.numpy as jnp
+
+    from madtp_tpu.cli.common import build_blip_cfg, fast_capacity_schedule
+    from madtp_tpu.models.blip import blip_caption_encode_image, load_blip_caption
+    from madtp_tpu.serve import save_artifact
+    from madtp_tpu.tasks.caption import beam_generate
+
+    image_size = config.get("image_size", 384)
+    cfg = build_blip_cfg(config, image_size)
+    if args.pretrained:
+        params, temperature = load_blip_caption(args.pretrained, cfg)
+        import jax
+
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        from madtp_tpu.cli.common import init_blip_params
+
+        params = init_blip_params(cfg, 0, heads=(), with_encoder=False,
+                                  with_decoder=True)
+        temperature = 1.0
+    if args.temperature is not None:
+        temperature = args.temperature
+    prune = temperature > 0
+
+    B = args.batch
+    images = jnp.zeros((B, 3, image_size, image_size), jnp.float32)
+    prompt_ids = jnp.zeros((B, args.prompt_len), jnp.int32)
+    t = jnp.float32(temperature)
+
+    caps_v = None
+    if args.fast_eval and prune:
+        import jax
+
+        probe = jnp.asarray(_probe_images(args, images.shape))
+        _, _, vk = jax.block_until_ready(jax.jit(
+            lambda p, im, t: blip_caption_encode_image(
+                p, im, cfg, temperature=t, prune_active=True))(
+                    params, probe, t))
+        caps_v, _ = fast_capacity_schedule(np.asarray(vk), None, args.cap_mode)
+        caps_v = tuple(caps_v)
+
+    def fn(params, images, prompt_ids, t):
+        vstate, _, vkept = blip_caption_encode_image(
+            params, images, cfg, temperature=t, prune_active=prune,
+            capacities=caps_v)
+        seqs = beam_generate(
+            params["text_decoder"], vstate, prompt_ids, cfg,
+            num_beams=args.num_beams, max_length=args.max_length,
+            min_length=args.min_length, eos_token_id=args.eos_id,
+            pad_token_id=args.pad_id)
+        return seqs, vkept
+
+    save_artifact(
+        args.output_dir, fn, params, (images, prompt_ids, t),
+        meta={
+            "task": "caption",
+            "temperature": float(temperature),
+            "mode": "gather" if caps_v is not None else
+                    ("mask" if prune else "dense"),
+            "capacities_vision": None if caps_v is None else list(caps_v),
+            "num_beams": args.num_beams, "max_length": args.max_length,
+            "min_length": args.min_length, "eos_id": args.eos_id,
+            "pad_id": args.pad_id,
+            "outputs": "(sequences [B,max_length] incl. prompt, vision_kept)",
+        },
+        platforms=platforms,
+    )
+    print(f"exported caption serving artifact -> {args.output_dir} "
+          f"(T={temperature}, beams={args.num_beams})")
+
+
+def _export_vqa(args, config, platforms):
+    """VQA answer-ranking artifact (reference rank_answer,
+    models/blip_vqa.py:156-203): pruned image+question encode, BOS-step
+    shortlist, shared-KV candidate rerank.  The tokenized answer list is a
+    CALL-TIME input pinned to [num_answers, answer_len] — swap answer lists
+    without re-exporting."""
+    import jax.numpy as jnp
+
+    from madtp_tpu.cli.common import build_blip_cfg, fast_capacity_schedule
+    from madtp_tpu.models.blip import blip_vqa_encode, load_blip_vqa
+    from madtp_tpu.serve import save_artifact
+    from madtp_tpu.tasks.vqa import rank_answers
+
+    image_size = config.get("image_size", 480)
+    cfg = build_blip_cfg(config, image_size)
+    if args.pretrained:
+        import jax
+
+        params, temperature = load_blip_vqa(args.pretrained, cfg)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        from madtp_tpu.cli.common import init_blip_params
+
+        params = init_blip_params(cfg, 0, heads=(), with_decoder=True)
+        temperature = 1.0
+    if args.temperature is not None:
+        temperature = args.temperature
+    prune = temperature > 0
+
+    B, T = args.batch, args.text_len
+    nA, La = args.num_answers, args.answer_len
+    k = min(args.k_test, nA)
+    images = jnp.zeros((B, 3, image_size, image_size), jnp.float32)
+    q_ids = jnp.zeros((B, T), jnp.int32)
+    q_mask = jnp.ones((B, T), jnp.int32)
+    a_ids = jnp.zeros((nA, La), jnp.int32)
+    a_mask = jnp.ones((nA, La), jnp.int32)
+    t = jnp.float32(temperature)
+
+    caps_v = caps_t = None
+    if args.fast_eval and prune:
+        import jax
+
+        probe = jnp.asarray(_probe_images(args, images.shape))
+        p_ids, p_mask = _probe_text(args, B, T)
+        out, _, vk = jax.block_until_ready(jax.jit(
+            lambda p, im, qi, qm, t: blip_vqa_encode(
+                p, im, qi, qm, cfg, temperature=t, prune_active=True))(
+                    params, probe, jnp.asarray(p_ids), jnp.asarray(p_mask),
+                    t))
+        caps_v, caps_t = fast_capacity_schedule(
+            np.asarray(vk), np.asarray(out.kept_counts), args.cap_mode)
+
+    def fn(params, images, q_ids, q_mask, a_ids, a_mask, t):
+        out, _, vkept = blip_vqa_encode(
+            params, images, q_ids, q_mask, cfg,
+            temperature=t, prune_active=prune,
+            capacities_v=caps_v, capacities_t=caps_t)
+        best, topk = rank_answers(
+            params["text_decoder"], out.state, a_ids, a_mask, cfg,
+            k=k, pad_token_id=args.pad_id)
+        return best, topk, vkept, out.kept_counts
+
+    save_artifact(
+        args.output_dir, fn, params, (images, q_ids, q_mask, a_ids, a_mask, t),
+        meta={
+            "task": "vqa_rank",
+            "temperature": float(temperature),
+            "mode": "gather" if caps_v is not None else
+                    ("mask" if prune else "dense"),
+            "capacities_vision": None if caps_v is None else list(caps_v),
+            "capacities_text": None if caps_t is None else list(caps_t),
+            "k_test": k,
+            "outputs": "(best answer index [B], topk candidate ids [B,k], "
+                       "vision_kept, text_kept)",
+        },
+        platforms=platforms,
+    )
+    print(f"exported VQA rank serving artifact -> {args.output_dir} "
+          f"(T={temperature}, k={k}, answers={nA}x{La})")
+
+
+def _export_retrieval(args, config, platforms):
+    """BLIP retrieval serving artifacts: ``image_encoder`` (ITC feature +
+    the pruned TokenState the rerank consumes), ``text_encoder`` (ITC
+    feature), and ``itm_rerank`` (the stage-2 scorer,
+    reference compress_retrieval_dtp.py:157-205 — each row pairs text i
+    with image-state i; the server gathers each query's top-k candidates
+    into rows).  The rerank input shapes are derived from the image
+    encoder's traced output so the two artifacts always agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from madtp_tpu.cli.common import build_blip_cfg, fast_capacity_schedule
+    from madtp_tpu.models.blip import (blip_itm_score,
+                                       blip_retrieval_image_features,
+                                       blip_retrieval_text_features,
+                                       load_blip_retrieval)
+    from madtp_tpu.serve import save_artifact
+
+    image_size = config.get("image_size", 384)
+    cfg = build_blip_cfg(config, image_size)
+    if args.pretrained:
+        params, temperature = load_blip_retrieval(args.pretrained, cfg)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        from madtp_tpu.cli.common import init_blip_params
+
+        params = init_blip_params(cfg, 0, heads=("retrieval",))
+        temperature = 1.0
+    if args.temperature is not None:
+        temperature = args.temperature
+    prune = temperature > 0
+
+    B, T = args.batch, args.text_len
+    images = jnp.zeros((B, 3, image_size, image_size), jnp.float32)
+    ids = jnp.zeros((B, T), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    t = jnp.float32(temperature)
+
+    caps_v = caps_t = None
+    if args.fast_eval and prune:
+        from madtp_tpu.models import med as M
+        from madtp_tpu.models.vit import vit_forward
+
+        probe = jnp.asarray(_probe_images(args, images.shape))
+        p_ids, p_mask = _probe_text(args, B, T)
+        p_ids, p_mask = jnp.asarray(p_ids), jnp.asarray(p_mask)
+
+        @jax.jit
+        def probe_fn(params, images, ids, mask, t):
+            # text AND multimodal keep counts (the ITM pass under image
+            # conditioning prunes differently from text mode — the max
+            # covers both, same policy as the retrieval driver's
+            # _make_ft_probe)
+            vstate, _, vk = vit_forward(
+                params["visual_encoder"], images, cfg=cfg.vit,
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True)
+            out_txt = M.med_encoder(
+                params["text_encoder"], ids, mask, cfg.med, mode="text",
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True)
+            out_mm = M.med_encoder(
+                params["text_encoder"], ids, mask, cfg.med,
+                mode="multimodal", encoder_state=vstate,
+                space_dict=params["space_dict"], temperature=t,
+                prune_active=True)
+            return vk, jnp.maximum(out_txt.kept_counts, out_mm.kept_counts)
+
+        vk, tk = jax.block_until_ready(probe_fn(params, probe, p_ids,
+                                                p_mask, t))
+        caps_v, caps_t = fast_capacity_schedule(
+            np.asarray(vk), np.asarray(tk), args.cap_mode)
+
+    def img_fn(params, images, t):
+        feat, state, _ = blip_retrieval_image_features(
+            params, images, cfg, temperature=t, prune_active=prune,
+            capacities=caps_v)
+        return feat, state.x, state.alive
+
+    def txt_fn(params, ids, mask, t):
+        feat, out = blip_retrieval_text_features(
+            params, ids, mask, cfg, temperature=t, prune_active=prune,
+            capacities=caps_t)
+        return feat, out.kept_counts
+
+    from madtp_tpu.prune.dtp import TokenState
+
+    # rerank row shapes come from the image encoder's TRACED output so the
+    # two artifacts can never disagree on the token-buffer dim
+    _, sx_s, sa_s = jax.eval_shape(img_fn, params, images, t)
+    n = args.rerank_batch
+    sx = jnp.zeros((n,) + sx_s.shape[1:], sx_s.dtype)
+    sa = jnp.zeros((n,) + sa_s.shape[1:], sa_s.dtype)
+    r_ids = jnp.zeros((n, T), jnp.int32)
+    r_mask = jnp.ones((n, T), jnp.int32)
+
+    def rerank_fn(params, ids, mask, sx, sa, t):
+        return blip_itm_score(
+            params, ids, mask, TokenState(sx, sa, None), cfg,
+            temperature=t, prune_active=prune, capacities=caps_t)
+
+    meta = {"temperature": float(temperature),
+            "mode": "gather" if caps_v is not None else
+                    ("mask" if prune else "dense"),
+            "capacities_vision": None if caps_v is None else list(caps_v),
+            "capacities_text": None if caps_t is None else list(caps_t)}
+    save_artifact(os.path.join(args.output_dir, "image_encoder"),
+                  img_fn, params, (images, t),
+                  meta={"task": "retrieval_image",
+                        "outputs": "(itc feature [B,E], state_x, state_alive)",
+                        **meta}, platforms=platforms)
+    save_artifact(os.path.join(args.output_dir, "text_encoder"),
+                  txt_fn, params, (ids, mask, t),
+                  meta={"task": "retrieval_text",
+                        "outputs": "(itc feature [B,E], kept_counts)",
+                        **meta}, platforms=platforms)
+    save_artifact(os.path.join(args.output_dir, "itm_rerank"),
+                  rerank_fn, params, (r_ids, r_mask, sx, sa, t),
+                  meta={"task": "retrieval_itm_rerank",
+                        "outputs": "itm match scores [n] (row i = text i vs "
+                                   "image-state i; add the ITC sim like the "
+                                   "reference, compress_retrieval_dtp.py:178)",
+                        **meta}, platforms=platforms)
+    print(f"exported retrieval serving artifacts -> {args.output_dir}"
+          f"/{{image_encoder,text_encoder,itm_rerank}} (T={temperature})")
+
+
 def main():
     import argparse
 
     from madtp_tpu.cli.common import enable_compile_cache, load_config
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--task", required=True, choices=["nlvr", "clip"])
+    p.add_argument("--task", required=True,
+                   choices=["nlvr", "clip", "caption", "vqa", "retrieval"])
     p.add_argument("--config", default="")
     p.add_argument("--pretrained", default="")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--batch", default=32, type=int,
                    help="served batch size (static)")
     p.add_argument("--text_len", default=26, type=int,
-                   help="served text length (nlvr; static)")
+                   help="served text length (static; nlvr/vqa questions/"
+                        "retrieval captions — reference pads to <=35)")
+    # caption beam decode (reference models/blip.py:161-202 defaults)
+    p.add_argument("--prompt_len", default=4, type=int,
+                   help="caption: bos-prefixed prompt token count "
+                        "('[DEC] a picture of' = 4)")
+    p.add_argument("--num_beams", default=3, type=int)
+    p.add_argument("--max_length", default=20, type=int)
+    p.add_argument("--min_length", default=5, type=int)
+    p.add_argument("--eos_id", default=102, type=int,
+                   help="EOS token id (BERT [SEP]=102)")
+    p.add_argument("--pad_id", default=0, type=int)
+    # vqa rank (reference models/blip_vqa.py:156-203, k=128)
+    p.add_argument("--num_answers", default=3128, type=int,
+                   help="vqa: answer-list rows the artifact accepts (static)")
+    p.add_argument("--answer_len", default=10, type=int,
+                   help="vqa: tokenized answer length (static)")
+    p.add_argument("--k_test", default=128, type=int,
+                   help="vqa: rerank shortlist size")
+    p.add_argument("--rerank_batch", default=128, type=int,
+                   help="retrieval: rows per itm_rerank call (one query's "
+                        "k_test candidates = one call at the reference's "
+                        "k_test=128)")
     p.add_argument("--temperature", default=None, type=float,
                    help="override the checkpoint's stored DTP temperature")
     p.add_argument("--fast_eval", action="store_true",
@@ -315,10 +631,9 @@ def main():
         config = load_config(a)
     platforms = [s for s in args.platforms.split(",") if s] or None
 
-    if args.task == "nlvr":
-        _export_nlvr(args, config, platforms)
-    else:
-        _export_clip(args, config, platforms)
+    {"nlvr": _export_nlvr, "clip": _export_clip, "caption": _export_caption,
+     "vqa": _export_vqa, "retrieval": _export_retrieval}[args.task](
+        args, config, platforms)
 
 
 if __name__ == "__main__":

@@ -413,3 +413,122 @@ def test_nlvr_twin_cross_base_golden_full_size(temperature):
         ours_rows = [xm[b, s] for s in range(1, xm.shape[1]) if alive[b, s]]
         match_multiset(ours_rows, list(ref_h[b, 1:]), atol=2e-3,
                        label=f"twin-cross-base b={b}")
+
+
+@pytest.mark.parametrize("temperature", [0.0, 3.5])
+def test_nlvr_driver_surface_golden(temperature, tmp_path):
+    """DRIVER-surface golden (VERDICT r3 item 4): one base-scale NLVR eval
+    batch through the REFERENCE driver's own ``evaluate`` function
+    (/root/reference/compress_nlvr_dtp.py:72-107 — torch CPU, per-batch
+    FLOPs tracing included) vs OUR driver's eval surface
+    (tasks/nlvr.evaluate, exactly what cli/compress_nlvr --evaluate calls)
+    on identical weights, batch, and tokenization: the accuracy AND the
+    Cur_Gflops the controller/checkpoint-gate consume must agree.
+
+    fvcore is not in this env; tests/torch_shims.install_driver_shims
+    provides a FlopCountAnalysis over torch.utils.flop_counter (same
+    matmul/conv MAC-counting convention).  Weights flow through the .pth
+    interchange (export -> reference torch.load AND export -> our
+    load_blip_nlvr), so this also closes the loop at the checkpoint level.
+    """
+    from tests.torch_shims import install_driver_shims
+
+    install_driver_shims()
+    import compress_nlvr_dtp as ref_driver
+    import models.blip_nlvr as ref_nlvr
+
+    from madtp_tpu.ckpt.export import (
+        export_med, export_vit, save_torch_checkpoint,
+    )
+    from madtp_tpu.data.tokenizer_bert import BertWordPieceTokenizer
+    from madtp_tpu.models.blip import BlipConfig, load_blip_nlvr
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+    from madtp_tpu.tasks import nlvr as our_task
+
+    # ---- shared weights via the .pth interchange ----
+    vit_cfg = ViTConfig()  # B/16 @ 384
+    med_cfg = MedConfig(twin_cross=True)
+    cfg = BlipConfig(vit=vit_cfg, med=med_cfg, sd_dim=768)
+    rng = np.random.RandomState(0)
+    H = med_cfg.hidden_size
+    sd = {}
+    sd.update(export_vit(init_vit_params(vit_cfg, rng), patch_size=16))
+    sd.update(export_med(init_med_params(med_cfg, rng), "text_encoder.",
+                         twin_cross=True))
+    sd["space_dict"] = (rng.randn(100, 768) * 0.2).astype(np.float32)
+    sd["cls_head.0.weight"] = (rng.randn(H, H) * 0.02).astype(np.float32)
+    sd["cls_head.0.bias"] = np.zeros(H, np.float32)
+    sd["cls_head.2.weight"] = (rng.randn(2, H) * 0.02).astype(np.float32)
+    sd["cls_head.2.bias"] = np.zeros(2, np.float32)
+    path = str(tmp_path / "nlvr_base.pth")
+    save_torch_checkpoint(path, sd, epoch=0, temperature=temperature)
+
+    # ---- one shared eval batch + tokenizer ----
+    B = 4
+    rng2 = np.random.RandomState(1)
+    img0 = rng2.randn(B, 3, 384, 384).astype(np.float32)
+    img1 = rng2.randn(B, 3, 384, 384).astype(np.float32)
+    sentences = ["the left object is on the mat",
+                 "a red object is in the picture",
+                 "two dog on the right", "the cat is big"]
+    targets = np.asarray([0, 1, 1, 0])
+    tok = BertWordPieceTokenizer.toy(
+        ["the", "a", "left", "right", "is", "on", "object", "picture", "of",
+         "mat", "red", "two", "dog", "cat", "in", "big"])
+
+    # ---- reference side: its own evaluate() ----
+    class TorchTok:
+        enc_token_id = tok.enc_token_id
+
+        def __call__(self, text, padding="longest", return_tensors="pt"):
+            out = tok(list(text), padding="longest")
+
+            class R:
+                input_ids = torch.from_numpy(np.asarray(out["input_ids"]))
+                attention_mask = torch.from_numpy(
+                    np.asarray(out["attention_mask"]))
+
+                def to(self, device):
+                    return self
+
+            return R()
+
+    ref_nlvr.init_tokenizer = lambda: TorchTok()
+    model = ref_nlvr.blip_nlvr(
+        pretrained=path, image_size=384, vit="base", evaluate=True,
+        med_config="/root/reference/configs/med_config.json")
+    loader = [(torch.from_numpy(img0), torch.from_numpy(img1),
+               sentences, torch.from_numpy(targets))]
+    with torch.no_grad():
+        ref_stats, ref_gflops = ref_driver.evaluate(
+            model, loader, "cpu", temperature=temperature)
+
+    # ---- our side: the driver's eval surface on the same .pth ----
+    params, t_loaded = load_blip_nlvr(path, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    assert t_loaded == temperature  # the load-bearing scalar in the .pth
+
+    def tokenize(sents):
+        out = tok(list(sents), padding="longest")
+        return (np.asarray(out["input_ids"]),
+                np.asarray(out["attention_mask"]))
+
+    our_stats, our_gflops = our_task.evaluate(
+        params, lambda: iter([(img0, img1, sentences, targets)]), tokenize,
+        cfg, temperature, prune_active=temperature > 0,
+        enc_token_id=tok.enc_token_id, print_fn=lambda *a: None)
+
+    print(f"[driver-surface T={temperature}] acc ref={ref_stats['acc']} "
+          f"ours={our_stats['acc']}  Cur_Gflops ref={ref_gflops:.2f} "
+          f"ours={our_gflops:.2f} "
+          f"(rel {abs(ref_gflops - our_gflops) / ref_gflops:.3%})")
+    assert our_stats["acc"] == ref_stats["acc"]
+    # the metric the controller and the <5-GFLOPs checkpoint gate consume:
+    # our analytic model vs the reference's traced count (fvcore convention)
+    assert abs(ref_gflops - our_gflops) / ref_gflops < 0.03, (
+        ref_gflops, our_gflops)
+    if temperature == 0.0:
+        # dense point must also sit on the reference's hard-coded baseline
+        # (compress_nlvr_dtp.py:162)
+        assert abs(ref_gflops - 132.54) / 132.54 < 0.03, ref_gflops

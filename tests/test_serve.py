@@ -247,6 +247,132 @@ def test_save_artifact_meta_collision(tmp_path):
     assert m["platforms"] == ["cpu"] and m["task"] == "toy"
 
 
+def _tiny_yaml(tmp_path):
+    import yaml
+
+    p = tmp_path / "tiny.yaml"
+    yaml.safe_dump({"vit": "tiny", "image_size": 64}, p.open("w"))
+    return str(p)
+
+
+def test_export_serving_cli_caption_beam(tmp_path, monkeypatch, capsys):
+    """Caption artifact: the whole jitted beam search (lax.fori_loop +
+    KV cache) exports and reproduces the live decode token-for-token."""
+    from madtp_tpu.cli import export_serving
+    from madtp_tpu.cli.common import build_blip_cfg
+    from madtp_tpu.models.blip import blip_caption_encode_image
+    from madtp_tpu.tasks.caption import beam_generate
+
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "caption", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out), "--batch", "2", "--prompt_len", "3",
+         "--max_length", "8", "--min_length", "2", "--eos_id", "90"])
+    export_serving.main()
+    assert "exported caption serving artifact" in capsys.readouterr().out
+
+    model = load_artifact(str(out))
+    assert model.meta["task"] == "caption" and model.meta["num_beams"] == 3
+
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
+    prompt = jnp.asarray(rng.randint(1, 80, (2, 3)).astype(np.int32))
+    t = jnp.float32(1.0)
+    seqs, vkept = model(images, prompt, t)
+    assert seqs.shape == (2, 8)
+
+    cfg = build_blip_cfg({"vit": "tiny", "image_size": 64}, 64)
+
+    def live(params, images, prompt, t):
+        vstate, _, vk = blip_caption_encode_image(
+            params, images, cfg, temperature=t, prune_active=True)
+        return beam_generate(params["text_decoder"], vstate, prompt, cfg,
+                             num_beams=3, max_length=8, min_length=2,
+                             eos_token_id=90, pad_token_id=0), vk
+
+    want, want_vk = jax.jit(live)(model.params, images, prompt, t)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(vkept), np.asarray(want_vk))
+
+
+def test_export_serving_cli_vqa_rank(tmp_path, monkeypatch, capsys):
+    """VQA rank artifact: answer list is a call-time input — rank against
+    one list, then swap lists WITHOUT re-exporting."""
+    from madtp_tpu.cli import export_serving
+
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "vqa", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out), "--batch", "2", "--text_len", "10",
+         "--num_answers", "12", "--answer_len", "6", "--k_test", "4"])
+    export_serving.main()
+    assert "exported VQA rank" in capsys.readouterr().out
+
+    model = load_artifact(str(out))
+    assert model.meta["k_test"] == 4
+
+    rng = np.random.RandomState(6)
+    images = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
+    q_ids = jnp.asarray(rng.randint(1, 80, (2, 10)).astype(np.int32))
+    q_mask = jnp.ones((2, 10), jnp.int32)
+    a_ids = jnp.asarray(rng.randint(1, 80, (12, 6)).astype(np.int32))
+    a_mask = jnp.ones((12, 6), jnp.int32)
+    t = jnp.float32(1.0)
+    best, topk, vk, tk = model(images, q_ids, q_mask, a_ids, a_mask, t)
+    assert best.shape == (2,) and topk.shape == (2, 4)
+    assert all(int(b) in np.asarray(topk)[i] for i, b in enumerate(best))
+    # swapped answer list -> same graph, (generally) different ranking
+    a2 = jnp.asarray(rng.randint(1, 80, (12, 6)).astype(np.int32))
+    best2, *_ = model(images, q_ids, q_mask, a2, a_mask, t)
+    assert best2.shape == (2,)
+
+
+def test_export_serving_cli_retrieval(tmp_path, monkeypatch, capsys):
+    """Retrieval artifacts: towers + ITM rerank share one weights tree and
+    the rerank consumes the image encoder's state outputs directly."""
+    from madtp_tpu.cli import export_serving
+
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "retrieval", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out), "--batch", "2", "--text_len", "10",
+         "--rerank_batch", "2"])
+    export_serving.main()
+    assert "exported retrieval serving artifacts" in capsys.readouterr().out
+
+    img = load_artifact(str(out / "image_encoder"))
+    txt = load_artifact(str(out / "text_encoder"))
+    rr = load_artifact(str(out / "itm_rerank"))
+
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 80, (2, 10)).astype(np.int32))
+    mask = jnp.ones((2, 10), jnp.int32)
+    t = jnp.float32(1.0)
+    ifeat, sx, sa = img(images, t)
+    tfeat, tkept = txt(ids, mask, t)
+    assert ifeat.shape[0] == 2 and tfeat.shape == ifeat.shape
+    # feed the image states straight into the rerank artifact
+    scores = rr(ids, mask, sx, sa, t)
+    assert np.asarray(scores).shape == (2,)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    # parity with the live ITM step on the same states
+    from madtp_tpu.cli.common import build_blip_cfg
+    from madtp_tpu.models.blip import blip_itm_score
+    from madtp_tpu.prune.dtp import TokenState
+
+    cfg = build_blip_cfg({"vit": "tiny", "image_size": 64}, 64)
+    want = jax.jit(lambda p, i, m, x, a, t: blip_itm_score(
+        p, i, m, TokenState(x, a, None), cfg, temperature=t,
+        prune_active=True))(rr.params, ids, mask, sx, sa, t)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(want),
+                               atol=1e-6)
+
+
 def test_export_serving_cli(tmp_path, monkeypatch, capsys):
     """The CLI end-to-end on a tiny config: artifact written, loadable, and
     the served logits match a fresh forward with the artifact's weights."""

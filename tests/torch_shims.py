@@ -125,3 +125,74 @@ def install():
 
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+
+
+def install_driver_shims():
+    """Extra shims to import a reference DRIVER module (compress_*_dtp.py)
+    rather than just its model modules: ``ruamel_yaml`` (pyyaml stands in),
+    ``fvcore`` (FlopCountAnalysis reimplemented over
+    ``torch.utils.flop_counter`` — both count matmul/conv MACs; torch
+    reports mul+add so the shim halves it), and a stub ``data`` package
+    (the driver imports the dataset factories at module top; they pull
+    torchvision+cv2 which this env lacks and which the eval-function golden
+    never calls)."""
+    install()
+    if "fvcore" in sys.modules and hasattr(sys.modules["fvcore"],
+                                           "_madtp_shim"):
+        return
+    import yaml as _pyyaml
+
+    ry = _mod("ruamel_yaml")
+    ry.load = lambda s, Loader=None, **k: _pyyaml.safe_load(s)
+    ry.dump = lambda obj, stream=None, **k: _pyyaml.safe_dump(obj, stream)
+    ry.Loader = object
+    sys.modules["ruamel_yaml"] = ry
+
+    class FlopCountAnalysis:
+        """fvcore-compatible facade: counts multiply-accumulates of the
+        matmul/conv family ops, like fvcore's default handler set (fvcore
+        reports MACs under the name 'flops'; torch.utils.flop_counter
+        reports 2*MACs, hence the /2)."""
+
+        def __init__(self, model, inputs):
+            self._model, self._inputs = model, inputs
+
+        def unsupported_ops_warnings(self, *a, **k):
+            return self
+
+        def uncalled_modules_warnings(self, *a, **k):
+            return self
+
+        def tracer_warnings(self, *a, **k):
+            return self
+
+        def total(self):
+            import torch
+            from torch.utils.flop_counter import FlopCounterMode
+
+            fc = FlopCounterMode(display=False)
+            with torch.no_grad(), fc:
+                self._model(*self._inputs)
+            return fc.get_total_flops() / 2
+
+    fv = _mod("fvcore")
+    fv._madtp_shim = True
+    fvn = _mod("fvcore.nn")
+    fvn.FlopCountAnalysis = FlopCountAnalysis
+    fvn.flop_count_str = lambda *a, **k: ""
+    fvn.flop_count_table = lambda *a, **k: ""
+    sys.modules["fvcore"] = fv
+    sys.modules["fvcore.nn"] = fvn
+
+    if "data" not in sys.modules:
+        def _unavailable(*a, **k):
+            raise RuntimeError(
+                "reference dataset factories are stubbed (torchvision/cv2 "
+                "not in this env); the driver-surface golden feeds tensors "
+                "directly")
+
+        data = _mod("data")
+        data.create_dataset = _unavailable
+        data.create_sampler = _unavailable
+        data.create_loader = _unavailable
+        sys.modules["data"] = data

@@ -131,6 +131,33 @@ def main(batch=8, image_size=384, text_len=26, reps=3, pipeline=4):
         res["mask_step_xla_bwd_ms"] / res["mask_step_ms"], 3)
     res["fused_bwd_speedup_gather"] = round(
         res["gather_step_xla_bwd_ms"] / res["gather_step_ms"], 3)
+
+    # train throughput + MFU at p=0.5 (VERDICT r3 item 7).  FLOPs per train
+    # step ~= 4x the forward (fwd + ~2x bwd + the remat re-forward of the
+    # block scans); MAC-convention x2 like bench.py's eval MFU.  'samples'
+    # are NLVR pairs (2 images each), matching the eval metric.
+    from madtp_tpu.prune.flops import nlvr_gflops
+
+    g_pruned = nlvr_gflops(cfg.vit, cfg.med, np.asarray(vk), np.asarray(tk),
+                           text_len)
+    g_dense = nlvr_gflops(cfg.vit, cfg.med,
+                          [cfg.vit.num_patches] * cfg.vit.depth,
+                          [text_len - 1] * cfg.med.num_hidden_layers,
+                          text_len)
+    peak_tflops = float(os.environ.get("MADTP_PEAK_TFLOPS", 197.0))
+
+    def train_stats(step_ms, gflops):
+        sps = batch / (step_ms / 1000.0)
+        mfu = (sps * gflops * 4.0 * 2.0 / 1000.0) / peak_tflops
+        return round(sps, 2), round(mfu, 3)
+
+    (res["train_samples_per_sec_gather"],
+     res["train_mfu_gather"]) = train_stats(res["gather_step_ms"], g_pruned)
+    (res["train_samples_per_sec_mask"],
+     res["train_mfu_mask"]) = train_stats(res["mask_step_ms"], g_pruned)
+    (res["train_samples_per_sec_dense"],
+     res["train_mfu_dense"]) = train_stats(res["dense_step_ms"], g_dense)
+    res["train_flops_convention"] = "4x fwd (fwd+bwd+remat), MACs x2"
     print(json.dumps(res, indent=1))
 
 

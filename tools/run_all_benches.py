@@ -29,6 +29,7 @@ sys.path.insert(0, REPO)  # for `from bench import _backend_reachable`
 BENCHES = [
     ("nlvr_headline", [sys.executable, "bench.py"], 1800),
     ("train", [sys.executable, "tools/bench_train.py"], 1800),
+    ("serve", [sys.executable, "tools/bench_serve.py"], 2400),
     ("vqa", [sys.executable, "tools/bench_vqa.py"], 1800),
     ("caption", [sys.executable, "tools/bench_caption.py"], 1800),
     ("retrieval", [sys.executable, "tools/bench_retrieval.py"], 2400),
@@ -112,6 +113,20 @@ def main() -> None:
               f"{json.dumps(entry['result'])[:160] if entry['result'] else entry.get('stderr_tail', '')[:160]}",
               file=sys.stderr, flush=True)
 
+    # headline summary: eval throughput + the train-side number (half of
+    # round 3's wins were training; the sweep surfaces both at a glance)
+    hl = (results.get("nlvr_headline", {}).get("result") or {})
+    tr = (results.get("train", {}).get("result") or {})
+    summary = {
+        "eval_samples_per_sec": hl.get("value"),
+        "eval_vs_dense": hl.get("vs_baseline"),
+        "train_samples_per_sec_gather": tr.get("train_samples_per_sec_gather"),
+        "train_mfu_gather": tr.get("train_mfu_gather"),
+        "train_gather_vs_dense": tr.get("gather_speedup_vs_dense"),
+    }
+    print(f"[sweep summary] {json.dumps(summary)}", file=sys.stderr,
+          flush=True)
+    results["_summary"] = summary
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
