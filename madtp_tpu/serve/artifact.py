@@ -106,17 +106,40 @@ def save_artifact(
 class ServingModel:
     """A loaded artifact: ``model(*inputs)`` runs the exported graph with the
     artifact's weights; ``rebind(params)`` swaps weights (same pytree
-    structure/shapes) without touching the graph."""
+    structure/shapes) without touching the graph.
+
+    Two one-time costs are hoisted out of the call path (both found by the
+    on-chip A/B, tools/bench_serve.py, round 4):
+
+    * the exported call is wrapped in ``jax.jit`` ONCE — bare
+      ``Exported.call`` dispatches eagerly through ``apply_primitive``
+      every invocation (no executable cache);
+    * ``params`` are committed to device ONCE with ``jax.device_put`` —
+      ``load_native`` returns host numpy arrays, and feeding those to a
+      jitted call re-uploads the full weight tree every invocation
+      (~12 s/batch for NLVR base over the tunneled TPU's ~25 MB/s link
+      vs 103 ms live-jit; device-resident params close the gap)."""
 
     exported: Any
     params: Any
     meta: Dict[str, Any]
 
+    def __post_init__(self):
+        import jax
+
+        self._jitted = jax.jit(self.exported.call)
+        self.params = jax.device_put(self.params)
+
     def __call__(self, *inputs):
-        return self.exported.call(self.params, *inputs)
+        return self._jitted(self.params, *inputs)
 
     def rebind(self, params) -> "ServingModel":
-        return ServingModel(self.exported, params, self.meta)
+        m = ServingModel(self.exported, params, self.meta)
+        # share the jit wrapper: its executable cache is keyed on the wrapper
+        # object, so a weight swap reuses the compiled graph (the whole point
+        # of rebind) instead of recompiling under a fresh jax.jit
+        m._jitted = self._jitted
+        return m
 
 
 def load_artifact(art_dir: str) -> ServingModel:
