@@ -74,12 +74,21 @@ def test_artifact_weights_are_inputs_not_constants(tmp_path):
     base = np.asarray(model(images, ids, mask, t))
 
     scaled = jax.tree.map(lambda a: a * 1.5, model.params)
-    swapped = np.asarray(model.rebind(scaled)(images, ids, mask, t))
+    rebound = model.rebind(scaled)
+    swapped = np.asarray(rebound(images, ids, mask, t))
     assert not np.allclose(base, swapped)
     # and the rebound output equals running fn with the scaled weights
     np.testing.assert_allclose(
         swapped, np.asarray(jax.jit(fn)(scaled, images, ids, mask, t)),
         atol=1e-6)
+
+    # serving-path perf invariants (found by the on-chip A/B, round 4):
+    # rebind shares the jit wrapper (same executable cache — a weight swap
+    # must not recompile) and loaded params are device-committed arrays,
+    # not host numpy that a jitted call would re-upload per invocation
+    assert rebound._jitted is model._jitted
+    for leaf in jax.tree.leaves(model.params):
+        assert isinstance(leaf, jax.Array), type(leaf)
 
 
 def test_nlvr_gather_artifact(tmp_path):
