@@ -3,3 +3,11 @@ from madtp_tpu.serve.artifact import (  # noqa: F401
     load_artifact,
     save_artifact,
 )
+
+
+def __getattr__(name):  # lazy: the artifact loader must not drag http in
+    if name in ("ArtifactServer", "ServingClient"):
+        from madtp_tpu.serve import server
+
+        return getattr(server, name)
+    raise AttributeError(name)

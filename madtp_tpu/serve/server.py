@@ -1,0 +1,255 @@
+"""Minimal production HTTP server for a serving artifact.
+
+The reference has NO deployment mode beyond re-running its research stack
+per process (``compress_nlvr_dtp.py:153-157`` re-imports torch+HF+timm and
+re-traces the model just to answer ``--evaluate``).  This module is the
+other half of the TPU-native serving story started by ``serve/artifact.py``:
+a process that loads a ``jax.export`` artifact (no model code, no
+config/tokenizer stack) and serves it over HTTP with the stdlib only.
+
+Wire protocol (all endpoints under one server):
+
+``GET /healthz``
+    ``{"ok": true}`` once the model is warmed up (the exported graph is
+    compiled at startup so the first request never pays the compile).
+``GET /meta``
+    the artifact's ``meta.json`` — including the ``inputs`` spec
+    (per-input shape/dtype) a client needs to build requests.
+``POST /predict``
+    body: an ``.npz`` whose arrays, in file order, are the call inputs
+    (same order as ``meta["inputs"]``).  Arrays are cast to the exported
+    dtype when the kind matches (send float32 for a bfloat16 input);
+    shapes must match exactly — the AOT graph is fixed-shape by design
+    (batching policy belongs to the exporter, see ``cli/export_serving``).
+    response: an ``.npz`` of the output leaves in order, dtype-exact
+    (ml_dtypes like bfloat16 ride as raw bits + a sidecar json key, the
+    same trick as ``ckpt/export.save_native``).
+
+Model calls are serialized with a lock: one process owns the accelerator
+and the exported graph is single-stream; HTTP handling itself is threaded
+so health/meta stay responsive under load.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_ML_KEY = "__ml_dtypes_json__"
+
+
+def encode_arrays(arrays: Sequence) -> bytes:
+    """Positional arrays -> npz bytes; ml_dtypes (bfloat16/fp8, numpy kind
+    'V') ride as uint8 bits + a json key recording the true dtype/shape."""
+    flat = {f"a{i:04d}": np.asarray(a) for i, a in enumerate(arrays)}
+    ml = {}
+    for k, v in flat.items():
+        if v.dtype.kind == "V":
+            ml[k] = [str(v.dtype), list(v.shape)]
+            flat[k] = v.reshape(-1).view(np.uint8)
+    if ml:
+        flat[_ML_KEY] = np.frombuffer(json.dumps(ml).encode(), np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    return buf.getvalue()
+
+
+def decode_arrays(data: bytes) -> List[np.ndarray]:
+    """Inverse of :func:`encode_arrays` (file order preserved)."""
+    with np.load(io.BytesIO(data)) as z:
+        flat = {k: z[k] for k in z.files}
+    ml = {}
+    if _ML_KEY in flat:
+        import ml_dtypes
+
+        for k, (name, shape) in json.loads(
+                flat.pop(_ML_KEY).tobytes().decode()).items():
+            flat[k] = flat[k].view(np.dtype(getattr(
+                ml_dtypes, name))).reshape(shape)
+    return [flat[k] for k in sorted(flat)]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the server object carries the model; handlers are per-request
+    server: "ArtifactServer"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send_json(200, {"ok": self.server.ready})
+        elif self.path == "/meta":
+            self._send_json(200, self.server.model.meta)
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            arrays = decode_arrays(self.rfile.read(n))
+            out = self.server.predict(arrays)
+        except _BadRequest as e:
+            self._send_json(400, {"error": str(e)})
+        except Exception as e:  # surface the failure to the client
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+        else:
+            self._send(200, encode_arrays(out), "application/octet-stream")
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+class ArtifactServer(ThreadingHTTPServer):
+    """Serve one artifact directory.  ``serve_forever()`` blocks; tests use
+    ``start_background()`` + ``shutdown()``."""
+
+    daemon_threads = True
+
+    def __init__(self, art_dir: str, host: str = "127.0.0.1", port: int = 0,
+                 *, warmup: bool = True, verbose: bool = False):
+        from madtp_tpu.serve.artifact import load_artifact
+
+        self.model = load_artifact(art_dir)
+        self.verbose = verbose
+        self.ready = False
+        self._lock = threading.Lock()  # one accelerator, one call stream
+        # flat [shape, dtype] pairs in call order, from meta.json's spec
+        # (written by save_artifact as a pytree of [shape, dtype] leaves)
+        self._inputs = _flat_input_specs(self.model.meta["inputs"])
+        super().__init__((host, port), _Handler)
+        if warmup:
+            self.predict([np.zeros(s, _np_dtype(d)) for s, d in self._inputs])
+        self.ready = True
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.server_address[0]}:{self.server_address[1]}"
+
+    def predict(self, arrays: Sequence[np.ndarray]) -> List[np.ndarray]:
+        import jax
+
+        if len(arrays) != len(self._inputs):
+            raise _BadRequest(
+                f"expected {len(self._inputs)} input arrays "
+                f"(meta['inputs']), got {len(arrays)}")
+        cast = []
+        for i, (a, (shape, dtype)) in enumerate(zip(arrays, self._inputs)):
+            if list(a.shape) != list(shape):
+                raise _BadRequest(
+                    f"input {i}: shape {list(a.shape)} != exported "
+                    f"{list(shape)} (AOT graphs are fixed-shape; re-export "
+                    f"for a different batch)")
+            want = _np_dtype(dtype)
+            if a.dtype != want:
+                if np.dtype(a.dtype).kind != np.dtype(want).kind and not (
+                        np.dtype(a.dtype).kind in "fV"
+                        and np.dtype(want).kind in "fV"):
+                    raise _BadRequest(
+                        f"input {i}: dtype {a.dtype} is not castable to "
+                        f"exported {dtype}")
+                a = a.astype(want)
+            cast.append(a)
+        with self._lock:
+            out = self.model(*cast)
+        return [np.asarray(o) for o in jax.tree.leaves(out)]
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+
+def _flat_input_specs(spec) -> List:
+    """meta['inputs'] is a pytree whose leaves are [shape, dtype] pairs
+    (json-decoded: lists).  Flatten to call order."""
+    out = []
+
+    def walk(node):
+        if (isinstance(node, list) and len(node) == 2
+                and isinstance(node[0], list) and isinstance(node[1], str)
+                and all(isinstance(x, int) for x in node[0])):
+            out.append((node[0], node[1]))
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+        elif isinstance(node, dict):
+            for k in sorted(node):
+                walk(node[k])
+        else:
+            raise ValueError(f"unrecognized input spec node: {node!r}")
+
+    walk(spec)
+    return out
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+class ServingClient:
+    """Stdlib client for :class:`ArtifactServer` (urllib; no deps)."""
+
+    def __init__(self, url: str, timeout: float = 120.0):
+        self.url = url.rstrip("/")
+        self.timeout = timeout
+        self._meta: Optional[dict] = None
+
+    def _get(self, path: str) -> bytes:
+        import urllib.request
+
+        with urllib.request.urlopen(self.url + path,
+                                    timeout=self.timeout) as r:
+            return r.read()
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self._meta = json.loads(self._get("/meta"))
+        return self._meta
+
+    def healthy(self) -> bool:
+        try:
+            return json.loads(self._get("/healthz")).get("ok", False)
+        except OSError:
+            return False
+
+    def predict(self, *arrays) -> List[np.ndarray]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url + "/predict", data=encode_arrays(arrays),
+            headers={"Content-Type": "application/octet-stream"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return decode_arrays(r.read())
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(
+                f"predict failed ({e.code}): "
+                f"{json.loads(e.read()).get('error', '')}") from None

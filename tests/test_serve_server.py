@@ -1,0 +1,150 @@
+"""HTTP serving of artifacts (madtp_tpu/serve/server.py).
+
+The reference's only deployment mode is re-running the research stack per
+process (compress_nlvr_dtp.py:153-157); this is the beyond-reference
+serve-an-artifact-over-HTTP path: export -> ArtifactServer -> ServingClient
+parity, protocol errors, and the dtype-exact npz wire codec."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madtp_tpu.serve import save_artifact
+from madtp_tpu.serve.server import (
+    ArtifactServer,
+    ServingClient,
+    decode_arrays,
+    encode_arrays,
+)
+
+
+def test_wire_codec_roundtrip_dtype_exact():
+    import ml_dtypes
+
+    arrays = [
+        np.arange(6, dtype=np.float32).reshape(2, 3),
+        np.asarray(3, np.int64),
+        np.linspace(-2, 2, 8).astype(ml_dtypes.bfloat16).reshape(2, 4),
+        np.zeros((), np.float32),
+    ]
+    back = decode_arrays(encode_arrays(arrays))
+    assert len(back) == len(arrays)
+    for a, b in zip(arrays, back):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+@pytest.fixture(scope="module")
+def nlvr_server(tmp_path_factory):
+    from tests.test_serve import _tiny_nlvr
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+
+    def fn(params, images, ids, mask, t):
+        logits, (vk, tk) = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=t, prune_active=True)
+        return logits, vk, tk
+
+    t = jnp.float32(1.0)
+    art = str(tmp_path_factory.mktemp("srv") / "nlvr")
+    save_artifact(art, fn, params, (images, ids, mask, t),
+                  meta={"task": "nlvr"})
+    srv = ArtifactServer(art, "127.0.0.1", 0)
+    srv.start_background()
+    want = jax.jit(fn)(params, images, ids, mask, t)
+    yield srv, (images, ids, mask, t), want
+    srv.shutdown()
+
+
+def test_server_predict_parity(nlvr_server):
+    srv, (images, ids, mask, t), want = nlvr_server
+    client = ServingClient(srv.url)
+    assert client.healthy()
+    assert client.meta["task"] == "nlvr"
+    got = client.predict(np.asarray(images), np.asarray(ids),
+                         np.asarray(mask), np.asarray(t))
+    for g, w in zip(got, jax.tree.leaves(want)):
+        np.testing.assert_array_equal(g, np.asarray(w))
+    # temperature is a live input over the wire too
+    alt = client.predict(np.asarray(images), np.asarray(ids),
+                         np.asarray(mask), np.float32(8.0))
+    assert not np.array_equal(alt[1], got[1])
+
+
+def test_server_rejects_bad_requests(nlvr_server):
+    srv, (images, ids, mask, t), _ = nlvr_server
+    client = ServingClient(srv.url)
+    with pytest.raises(RuntimeError, match="expected 4 input arrays"):
+        client.predict(np.asarray(images))
+    with pytest.raises(RuntimeError, match="fixed-shape"):
+        client.predict(np.asarray(images)[:1], np.asarray(ids),
+                       np.asarray(mask), np.asarray(t))
+    with pytest.raises(RuntimeError, match="not castable"):
+        client.predict(np.asarray(images), np.asarray(ids),
+                       np.asarray(mask), np.asarray(3, np.int32))
+
+
+def test_server_concurrent_requests(nlvr_server):
+    import concurrent.futures
+
+    srv, (images, ids, mask, t), want = nlvr_server
+    client = ServingClient(srv.url)
+    args = (np.asarray(images), np.asarray(ids), np.asarray(mask),
+            np.asarray(t))
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(lambda _: client.predict(*args), range(4)))
+    for got in outs:
+        np.testing.assert_array_equal(got[0],
+                                      np.asarray(jax.tree.leaves(want)[0]))
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """python -m madtp_tpu.cli.serve against an export_serving artifact,
+    in a subprocess, forced-CPU — the full user path."""
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from tests.test_serve import _tiny_nlvr
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+
+    def fn(params, images, ids, mask, t):
+        return blip_nlvr_forward(params, images, ids, mask, cfg,
+                                 temperature=t, prune_active=True)[0]
+
+    t = jnp.float32(1.0)
+    art = str(tmp_path / "nlvr")
+    save_artifact(art, fn, params, (images, ids, mask, t), meta={})
+    want = np.asarray(jax.jit(fn)(params, images, ids, mask, t))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['serve','--artifact',%r,'--port','%d'];"
+        "from madtp_tpu.cli.serve import main; main()" % (art, port))
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        client = ServingClient(f"http://127.0.0.1:{port}", timeout=10)
+        deadline = time.time() + 120
+        while time.time() < deadline and not client.healthy():
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "server died:\n" + proc.stdout.read().decode())
+            time.sleep(0.5)
+        assert client.healthy(), "server never became healthy"
+        got = client.predict(np.asarray(images), np.asarray(ids),
+                             np.asarray(mask), np.asarray(t))
+        np.testing.assert_array_equal(got[0], want)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
