@@ -62,6 +62,7 @@ def save_artifact(
     *,
     meta: Optional[Dict[str, Any]] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh: Any = None,
 ) -> str:
     """Export ``fn(params, *inputs)`` to a self-contained serving artifact.
 
@@ -69,7 +70,13 @@ def save_artifact(
     of arrays (saved to ``weights.npz``); ``example_inputs`` fix the served
     input shapes/dtypes (values are only read for shape/dtype).
     ``platforms``: lowering platforms (default: the current backend).
-    Returns ``out_dir``.
+
+    Multi-device (pod-slice) serving: pass ``fn`` ALREADY jitted with
+    ``in_shardings``/``out_shardings`` over a ``jax.sharding.Mesh`` and the
+    ``mesh`` itself — the export preserves the shardings (XLA inserts the
+    collectives) and ``meta.json`` records the mesh axes/shape so
+    :func:`load_artifact` can rebuild an equivalent mesh from the serving
+    host's local devices.  Returns ``out_dir``.
     """
     import jax
     from jax import export as jexport
@@ -78,10 +85,17 @@ def save_artifact(
 
     os.makedirs(out_dir, exist_ok=True)
     args_sds = _shape_dtype_tree((params,) + tuple(example_inputs))
+    # a pre-jitted fn keeps its in/out shardings (sharded export); a plain
+    # callable gets wrapped here
+    jfn = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
     exp = jexport.export(
-        jax.jit(fn),
+        jfn,
         platforms=tuple(platforms) if platforms else None,
     )(*args_sds)
+    if exp.nr_devices > 1 and mesh is None:
+        raise ValueError(
+            f"fn was jitted over {exp.nr_devices} devices — pass the mesh "
+            "so the artifact records its axes for the serving host")
     with open(os.path.join(out_dir, GRAPH_FILE), "wb") as f:
         f.write(exp.serialize())
     save_native(os.path.join(out_dir, WEIGHTS_FILE), params)
@@ -96,7 +110,14 @@ def save_artifact(
         "inputs": spec(args_sds[1:]),
         "platforms": list(exp.platforms),
         "jax_version": jax.__version__,
+        "nr_devices": exp.nr_devices,
     }
+    if mesh is not None:
+        full_meta["mesh"] = {
+            "axis_names": list(mesh.axis_names),
+            "shape": [mesh.devices.shape[i]
+                      for i in range(mesh.devices.ndim)],
+        }
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(full_meta, f, indent=1, default=str)
     return out_dir
@@ -118,23 +139,47 @@ class ServingModel:
       ``load_native`` returns host numpy arrays, and feeding those to a
       jitted call re-uploads the full weight tree every invocation
       (~12 s/batch for NLVR base over the tunneled TPU's ~25 MB/s link
-      vs 103 ms live-jit; device-resident params close the gap)."""
+      vs 103 ms live-jit; device-resident params close the gap).
+
+    For a multi-device artifact (``meta['nr_devices'] > 1``),
+    ``in_shardings`` carries the exported flat input shardings over the
+    serving mesh: params are committed with theirs at load, and every call
+    commits the inputs with theirs (a no-op when the caller already placed
+    them) — a sharded export called with host arrays is an error in
+    jax.export ("called in a context with 1 devices")."""
 
     exported: Any
     params: Any
     meta: Dict[str, Any]
+    in_shardings: Any = None
 
     def __post_init__(self):
         import jax
 
         self._jitted = jax.jit(self.exported.call)
-        self.params = jax.device_put(self.params)
+        if self.in_shardings is None:
+            self.params = jax.device_put(self.params)
+            self._input_shardings = None
+        else:
+            leaves, treedef = jax.tree.flatten(self.params)
+            n = len(leaves)
+            self.params = jax.tree.unflatten(treedef, [
+                jax.device_put(l, s)
+                for l, s in zip(leaves, self.in_shardings[:n])])
+            self._input_shardings = self.in_shardings[n:]
 
     def __call__(self, *inputs):
+        if self._input_shardings is not None:
+            import jax
+
+            leaves, treedef = jax.tree.flatten(inputs)
+            inputs = jax.tree.unflatten(treedef, [
+                jax.device_put(l, s)
+                for l, s in zip(leaves, self._input_shardings)])
         return self._jitted(self.params, *inputs)
 
     def rebind(self, params) -> "ServingModel":
-        m = ServingModel(self.exported, params, self.meta)
+        m = ServingModel(self.exported, params, self.meta, self.in_shardings)
         # share the jit wrapper: its executable cache is keyed on the wrapper
         # object, so a weight swap reuses the compiled graph (the whole point
         # of rebind) instead of recompiling under a fresh jax.jit
@@ -142,9 +187,14 @@ class ServingModel:
         return m
 
 
-def load_artifact(art_dir: str) -> ServingModel:
+def load_artifact(art_dir: str, mesh: Any = None) -> ServingModel:
     """Load a ``save_artifact`` directory.  Imports no model code — only the
-    jax runtime and the npz reader."""
+    jax runtime and the npz reader.
+
+    Multi-device artifacts: pass a ``jax.sharding.Mesh`` matching the
+    exported axes (names + shape), or let the loader rebuild one from
+    ``meta['mesh']`` over the first ``nr_devices`` local devices."""
+    import jax
     from jax import export as jexport
 
     from madtp_tpu.ckpt.export import load_native
@@ -154,4 +204,23 @@ def load_artifact(art_dir: str) -> ServingModel:
     params, _ = load_native(os.path.join(art_dir, WEIGHTS_FILE))
     with open(os.path.join(art_dir, META_FILE)) as f:
         meta = json.load(f)
-    return ServingModel(exp, params, meta)
+    shardings = None
+    if exp.nr_devices > 1:
+        if mesh is None:
+            mm = meta.get("mesh")
+            if not mm:
+                raise ValueError(
+                    f"artifact was exported for {exp.nr_devices} devices "
+                    "but records no mesh — pass mesh= explicitly")
+            devs = jax.devices()
+            if len(devs) < exp.nr_devices:
+                raise ValueError(
+                    f"artifact needs {exp.nr_devices} devices; this host "
+                    f"has {len(devs)}")
+            from jax.sharding import Mesh
+
+            mesh = Mesh(
+                np.array(devs[: exp.nr_devices]).reshape(mm["shape"]),
+                tuple(mm["axis_names"]))
+        shardings = exp.in_shardings_jax(mesh)
+    return ServingModel(exp, params, meta, shardings)

@@ -91,6 +91,67 @@ def test_artifact_weights_are_inputs_not_constants(tmp_path):
         assert isinstance(leaf, jax.Array), type(leaf)
 
 
+def test_sharded_artifact_multidevice(tmp_path):
+    """Pod-slice serving: export the eval step pjit'ed over a 4x2
+    (data, model) mesh — shardings ride inside the artifact (XLA inserted
+    the collectives at export) — reload with the mesh REBUILT from
+    meta.json, and match the single-device result.  The reference's only
+    multi-GPU mode is torchrun re-tracing per process."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from madtp_tpu.models.blip import blip_nlvr_forward
+    from madtp_tpu.parallel.mesh import (
+        make_mesh,
+        model_parallel_param_shardings,
+    )
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr(B=4)
+
+    def fn(params, images, ids, mask, t):
+        logits, (vk, tk) = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=t, prune_active=True)
+        return logits, vk, tk
+
+    t = jnp.float32(1.0)
+    mesh = make_mesh(n_data=4, n_model=2)
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jf = jax.jit(fn, in_shardings=(
+        model_parallel_param_shardings(mesh, params), data, data, data, repl))
+
+    art = str(tmp_path / "nlvr_pod")
+    save_artifact(art, jf, params, (images, ids, mask, t),
+                  meta={"task": "nlvr"}, mesh=mesh)
+    model = load_artifact(art)  # mesh auto-rebuilt from meta
+    assert model.meta["nr_devices"] == 8
+    assert model.meta["mesh"] == {"axis_names": ["data", "model"],
+                                  "shape": [4, 2]}
+    # params actually live across the mesh
+    assert any(len(leaf.sharding.device_set) == 8
+               for leaf in jax.tree.leaves(model.params))
+
+    got = model(np.asarray(images), np.asarray(ids), np.asarray(mask),
+                np.asarray(t))
+    want = jax.jit(fn)(params, images, ids, mask, t)
+    np.testing.assert_allclose(np.asarray(got[0]),
+                               np.asarray(want[0]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+    # rebind keeps the shardings and the compiled graph
+    rebound = model.rebind(jax.tree.map(lambda a: a * 1.5, model.params))
+    assert rebound._jitted is model._jitted
+    out2 = rebound(np.asarray(images), np.asarray(ids), np.asarray(mask),
+                   np.asarray(t))
+    assert not np.allclose(np.asarray(out2[0]), np.asarray(got[0]))
+
+    # a single-device export must refuse a mesh-less multi-device fn
+    import pytest
+
+    with pytest.raises(ValueError, match="pass the mesh"):
+        save_artifact(str(tmp_path / "bad"), jf, params,
+                      (images, ids, mask, t))
+
+
 def test_nlvr_gather_artifact(tmp_path):
     """Gather fast path (static capacities) exports and matches the live
     jitted step."""
