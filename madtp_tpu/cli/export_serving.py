@@ -166,6 +166,10 @@ def _export_nlvr(args, config, platforms):
             "capacities_vision": None if caps_v is None else list(caps_v),
             "capacities_text": None if caps_t is None else list(caps_t),
             "outputs": "(logits [B,2], vision_kept, text_kept)",
+            # sub-batch serving (serve/server.py): images stack the pair as
+            # TWO n-row blocks (reference compress_nlvr_dtp.py:43)
+            "batching": {"batch": B, "inputs": [2, 1, 1, 0],
+                         "outputs": [1, 0, 0]},
         },
         platforms=platforms,
     )
@@ -256,12 +260,16 @@ def _export_clip(args, config, platforms):
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn, params, (images, t),
                   meta={"task": "clip_image",
-                        "outputs": "(features [B,E], kept_counts)", **meta},
+                        "outputs": "(features [B,E], kept_counts)",
+                        "batching": {"batch": B, "inputs": [1, 0],
+                                     "outputs": [1, 0]}, **meta},
                   platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "text_encoder"),
                   txt_fn, params, (text, t),
                   meta={"task": "clip_text",
-                        "outputs": "(features [B,E], kept_counts)", **meta},
+                        "outputs": "(features [B,E], kept_counts)",
+                        "batching": {"batch": B, "inputs": [1, 0],
+                                     "outputs": [1, 0]}, **meta},
                   platforms=platforms)
     print(f"exported CLIP serving artifacts -> {args.output_dir}"
           f"/{{image_encoder,text_encoder}} (T={temperature})")
@@ -342,6 +350,8 @@ def _export_caption(args, config, platforms):
             "min_length": args.min_length, "eos_id": args.eos_id,
             "pad_id": args.pad_id,
             "outputs": "(sequences [B,max_length] incl. prompt, vision_kept)",
+            "batching": {"batch": B, "inputs": [1, 1, 0],
+                         "outputs": [1, 0]},
         },
         platforms=platforms,
     )
@@ -424,6 +434,9 @@ def _export_vqa(args, config, platforms):
             "k_test": k,
             "outputs": "(best answer index [B], topk candidate ids [B,k], "
                        "vision_kept, text_kept)",
+            # the answer list is NOT batched (inputs 3/4)
+            "batching": {"batch": B, "inputs": [1, 1, 1, 0, 0, 0],
+                         "outputs": [1, 1, 0, 0]},
         },
         platforms=platforms,
     )
@@ -541,11 +554,15 @@ def _export_retrieval(args, config, platforms):
                   img_fn, params, (images, t),
                   meta={"task": "retrieval_image",
                         "outputs": "(itc feature [B,E], state_x, state_alive)",
+                        "batching": {"batch": B, "inputs": [1, 0],
+                                     "outputs": [1, 1, 1]},
                         **meta}, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "text_encoder"),
                   txt_fn, params, (ids, mask, t),
                   meta={"task": "retrieval_text",
                         "outputs": "(itc feature [B,E], kept_counts)",
+                        "batching": {"batch": B, "inputs": [1, 1, 0],
+                                     "outputs": [1, 0]},
                         **meta}, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "itm_rerank"),
                   rerank_fn, params, (r_ids, r_mask, sx, sa, t),
@@ -553,6 +570,8 @@ def _export_retrieval(args, config, platforms):
                         "outputs": "itm match scores [n] (row i = text i vs "
                                    "image-state i; add the ITC sim like the "
                                    "reference, compress_retrieval_dtp.py:178)",
+                        "batching": {"batch": n, "inputs": [1, 1, 1, 1, 0],
+                                     "outputs": [1]},
                         **meta}, platforms=platforms)
     print(f"exported retrieval serving artifacts -> {args.output_dir}"
           f"/{{image_encoder,text_encoder,itm_rerank}} (T={temperature})")

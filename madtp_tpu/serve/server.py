@@ -18,9 +18,13 @@ Wire protocol (all endpoints under one server):
 ``POST /predict``
     body: an ``.npz`` whose arrays, in file order, are the call inputs
     (same order as ``meta["inputs"]``).  Arrays are cast to the exported
-    dtype when the kind matches (send float32 for a bfloat16 input);
-    shapes must match exactly — the AOT graph is fixed-shape by design
-    (batching policy belongs to the exporter, see ``cli/export_serving``).
+    dtype when the kind matches (send float32 for a bfloat16 input).
+    The AOT graph is fixed-shape; when the artifact records a
+    ``batching`` spec (every ``cli/export_serving`` task does), requests
+    may carry any sub-batch n <= the exported batch — batched inputs are
+    padded to the exported shape by edge replication and the batched
+    outputs sliced back to n (sound: DTP is row-independent in both
+    modes).  Without the spec, shapes must match exactly.
     response: an ``.npz`` of the output leaves in order, dtype-exact
     (ml_dtypes like bfloat16 ride as raw bits + a sidecar json key, the
     same trick as ``ckpt/export.save_native``).
@@ -153,9 +157,14 @@ class ArtifactServer(ThreadingHTTPServer):
             raise _BadRequest(
                 f"expected {len(self._inputs)} input arrays "
                 f"(meta['inputs']), got {len(arrays)}")
-        cast = []
+        bat = self.model.meta.get("batching")
+        cast, n = [], None
         for i, (a, (shape, dtype)) in enumerate(zip(arrays, self._inputs)):
-            if list(a.shape) != list(shape):
+            mult = bat["inputs"][i] if bat else 0
+            if mult:
+                a, n = self._fit_batched(i, np.asarray(a), shape,
+                                         mult, bat["batch"], n)
+            elif list(a.shape) != list(shape):
                 raise _BadRequest(
                     f"input {i}: shape {list(a.shape)} != exported "
                     f"{list(shape)} (AOT graphs are fixed-shape; re-export "
@@ -172,7 +181,39 @@ class ArtifactServer(ThreadingHTTPServer):
             cast.append(a)
         with self._lock:
             out = self.model(*cast)
-        return [np.asarray(o) for o in jax.tree.leaves(out)]
+        leaves = [np.asarray(o) for o in jax.tree.leaves(out)]
+        if bat and n is not None and n != bat["batch"]:
+            leaves = [o[: n * m] if m else o
+                      for o, m in zip(leaves, bat["outputs"])]
+        return leaves
+
+    @staticmethod
+    def _fit_batched(i, a, shape, mult, batch, n):
+        """Sub-batch support: a batched input holds ``mult`` equal blocks of
+        n rows (n <= exported batch); pad each block to the exported batch
+        by edge replication.  Sound because DTP is row-independent in both
+        modes (mask: per-sample alive masks on a fixed buffer; gather:
+        static per-sample capacities) — padding rows cannot change real
+        rows' outputs; padded outputs are sliced off by ``predict``."""
+        if a.ndim != len(shape) or list(a.shape[1:]) != list(shape[1:]):
+            raise _BadRequest(
+                f"input {i}: trailing dims {list(a.shape)} != exported "
+                f"{list(shape)}")
+        rows, rem = divmod(a.shape[0], mult)
+        if rem or not 1 <= rows <= batch:
+            raise _BadRequest(
+                f"input {i}: leading dim {a.shape[0]} must be n*{mult} "
+                f"with 1 <= n <= {batch} (exported batch)")
+        if n is not None and rows != n:
+            raise _BadRequest(
+                f"input {i}: sub-batch {rows} disagrees with {n} from "
+                f"earlier inputs")
+        if rows < batch:
+            blocks = [a[j * rows: (j + 1) * rows] for j in range(mult)]
+            pad = [np.concatenate(
+                [b, np.repeat(b[-1:], batch - rows, axis=0)]) for b in blocks]
+            a = pad[0] if mult == 1 else np.concatenate(pad)
+        return a, rows
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.serve_forever, daemon=True)

@@ -51,8 +51,13 @@ def nlvr_server(tmp_path_factory):
 
     t = jnp.float32(1.0)
     art = str(tmp_path_factory.mktemp("srv") / "nlvr")
+    B = ids.shape[0]
     save_artifact(art, fn, params, (images, ids, mask, t),
-                  meta={"task": "nlvr"})
+                  meta={"task": "nlvr",
+                        # what cli/export_serving._export_nlvr records:
+                        # images stack the pair as two n-row blocks
+                        "batching": {"batch": B, "inputs": [2, 1, 1, 0],
+                                     "outputs": [1, 0, 0]}})
     srv = ArtifactServer(art, "127.0.0.1", 0)
     srv.start_background()
     want = jax.jit(fn)(params, images, ids, mask, t)
@@ -80,12 +85,36 @@ def test_server_rejects_bad_requests(nlvr_server):
     client = ServingClient(srv.url)
     with pytest.raises(RuntimeError, match="expected 4 input arrays"):
         client.predict(np.asarray(images))
-    with pytest.raises(RuntimeError, match="fixed-shape"):
-        client.predict(np.asarray(images)[:1], np.asarray(ids),
+    with pytest.raises(RuntimeError, match="disagrees"):
+        # images say n=1 (2 rows / mult 2) but ids still carry the full batch
+        client.predict(np.asarray(images)[:2], np.asarray(ids),
                        np.asarray(mask), np.asarray(t))
     with pytest.raises(RuntimeError, match="not castable"):
         client.predict(np.asarray(images), np.asarray(ids),
                        np.asarray(mask), np.asarray(3, np.int32))
+    with pytest.raises(RuntimeError, match="trailing dims"):
+        client.predict(np.asarray(images)[:, :, :8, :], np.asarray(ids),
+                       np.asarray(mask), np.asarray(t))
+
+
+def test_server_sub_batch(nlvr_server):
+    """A 1-sample request against the batch-2 artifact: padded to the
+    exported shape (NLVR's image pair = two n-row blocks), outputs sliced
+    back, values equal to the full-batch run's row 0 (DTP is
+    row-independent in mask mode)."""
+    srv, (images, ids, mask, t), want = nlvr_server
+    client = ServingClient(srv.url)
+    B = np.asarray(ids).shape[0]
+    im = np.asarray(images)
+    # sample 0's image pair: row 0 (block 0) and row B (block 1)
+    sub = client.predict(np.stack([im[0], im[B]]), np.asarray(ids)[:1],
+                         np.asarray(mask)[:1], np.asarray(t))
+    full = jax.tree.leaves(want)
+    assert sub[0].shape == (1, 2)
+    np.testing.assert_allclose(sub[0][0], np.asarray(full[0])[0],
+                               rtol=0, atol=1e-5)
+    # unbatched outputs (kept counts) pass through unsliced
+    assert sub[1].shape == np.asarray(full[1]).shape
 
 
 def test_server_concurrent_requests(nlvr_server):
