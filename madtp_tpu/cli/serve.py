@@ -24,6 +24,9 @@ def main():
     p.add_argument("--port", default=8765, type=int)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the startup compile (first request pays it)")
+    p.add_argument("--no_aggregate", action="store_true",
+                   help="disable request aggregation (each request runs "
+                        "its own padded device call)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="log one line per request")
     args = p.parse_args()
@@ -33,7 +36,8 @@ def main():
 
     enable_compile_cache()
     srv = ArtifactServer(args.artifact, args.host, args.port,
-                         warmup=not args.no_warmup, verbose=args.verbose)
+                         warmup=not args.no_warmup, verbose=args.verbose,
+                         aggregate=not args.no_aggregate)
     task = srv.model.meta.get("task", "?")
     print(f"SERVING task={task} ready on {srv.url}", flush=True)
     try:

@@ -101,6 +101,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, {"ok": self.server.ready})
         elif self.path == "/meta":
             self._send_json(200, self.server.model.meta)
+        elif self.path == "/stats":
+            self._send_json(200, self.server.stats)
         else:
             self._send_json(404, {"error": f"no route {self.path}"})
 
@@ -124,14 +126,34 @@ class _BadRequest(ValueError):
     pass
 
 
+class _Pending:
+    """One queued request awaiting the dispatcher."""
+
+    __slots__ = ("arrays", "n", "event", "result", "error")
+
+    def __init__(self, arrays, n):
+        self.arrays, self.n = arrays, n
+        self.event = threading.Event()
+        self.result = self.error = None
+
+
 class ArtifactServer(ThreadingHTTPServer):
     """Serve one artifact directory.  ``serve_forever()`` blocks; tests use
-    ``start_background()`` + ``shutdown()``."""
+    ``start_background()`` + ``shutdown()``.
+
+    Requests on artifacts with a ``batching`` spec flow through a dispatcher
+    thread that packs whatever is queued into ONE device call (natural
+    dynamic batching: while a call is in flight, arriving sub-batch requests
+    accumulate and ride the next call together — no artificial latency
+    window).  Requests can merge only when their unbatched inputs (e.g. the
+    DTP temperature, a VQA answer list) are equal; others wait for a later
+    call.  ``stats`` counts requests vs device calls."""
 
     daemon_threads = True
 
     def __init__(self, art_dir: str, host: str = "127.0.0.1", port: int = 0,
-                 *, warmup: bool = True, verbose: bool = False):
+                 *, warmup: bool = True, verbose: bool = False,
+                 aggregate: bool = True, request_timeout: float = 600.0):
         from madtp_tpu.serve.artifact import load_artifact
 
         self.model = load_artifact(art_dir)
@@ -141,29 +163,82 @@ class ArtifactServer(ThreadingHTTPServer):
         # flat [shape, dtype] pairs in call order, from meta.json's spec
         # (written by save_artifact as a pytree of [shape, dtype] leaves)
         self._inputs = _flat_input_specs(self.model.meta["inputs"])
+        self._bat = self.model.meta.get("batching")
+        self._aggregate = bool(aggregate and self._bat)
+        self._request_timeout = request_timeout
+        self.stats = {"requests": 0, "calls": 0, "merged": 0}
+        self._queue: List[_Pending] = []
+        self._cond = threading.Condition()
+        self._closing = False
+        self._dispatcher = None
         super().__init__((host, port), _Handler)
         if warmup:
-            self.predict([np.zeros(s, _np_dtype(d)) for s, d in self._inputs])
+            self._call([np.zeros(s, _np_dtype(d)) for s, d in self._inputs])
+        if self._aggregate:
+            self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                                daemon=True)
+            self._dispatcher.start()
         self.ready = True
 
     @property
     def url(self) -> str:
         return f"http://{self.server_address[0]}:{self.server_address[1]}"
 
-    def predict(self, arrays: Sequence[np.ndarray]) -> List[np.ndarray]:
-        import jax
+    def shutdown(self):
+        with self._cond:
+            self._closing = True
+            self._cond.notify_all()
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=30)
+        super().shutdown()
 
+    # ---- request path ----------------------------------------------------
+
+    def predict(self, arrays: Sequence[np.ndarray]) -> List[np.ndarray]:
+        cast, n = self._validate_cast(arrays)
+        self.stats["requests"] += 1
+        if not self._aggregate:
+            return self._run_padded([_Pending(cast, n)])[0]
+        p = _Pending(cast, n)
+        with self._cond:
+            self._queue.append(p)
+            self._cond.notify()
+        if not p.event.wait(self._request_timeout):
+            raise RuntimeError("predict timed out in the dispatch queue")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _validate_cast(self, arrays):
+        """Shape/dtype validation + dtype cast; batched inputs stay at their
+        sub-batch n (padding happens at dispatch).  Returns (cast, n) with
+        n=None when the artifact has no batching spec (exact shapes)."""
         if len(arrays) != len(self._inputs):
             raise _BadRequest(
                 f"expected {len(self._inputs)} input arrays "
                 f"(meta['inputs']), got {len(arrays)}")
-        bat = self.model.meta.get("batching")
+        bat = self._bat
         cast, n = [], None
         for i, (a, (shape, dtype)) in enumerate(zip(arrays, self._inputs)):
+            a = np.asarray(a)
             mult = bat["inputs"][i] if bat else 0
             if mult:
-                a, n = self._fit_batched(i, np.asarray(a), shape,
-                                         mult, bat["batch"], n)
+                if (a.ndim != len(shape)
+                        or list(a.shape[1:]) != list(shape[1:])):
+                    raise _BadRequest(
+                        f"input {i}: trailing dims {list(a.shape)} != "
+                        f"exported {list(shape)}")
+                rows, rem = divmod(a.shape[0], mult)
+                if rem or not 1 <= rows <= bat["batch"]:
+                    raise _BadRequest(
+                        f"input {i}: leading dim {a.shape[0]} must be "
+                        f"n*{mult} with 1 <= n <= {bat['batch']} "
+                        f"(exported batch)")
+                if n is not None and rows != n:
+                    raise _BadRequest(
+                        f"input {i}: sub-batch {rows} disagrees with {n} "
+                        f"from earlier inputs")
+                n = rows
             elif list(a.shape) != list(shape):
                 raise _BadRequest(
                     f"input {i}: shape {list(a.shape)} != exported "
@@ -179,41 +254,107 @@ class ArtifactServer(ThreadingHTTPServer):
                         f"exported {dtype}")
                 a = a.astype(want)
             cast.append(a)
-        with self._lock:
-            out = self.model(*cast)
-        leaves = [np.asarray(o) for o in jax.tree.leaves(out)]
-        if bat and n is not None and n != bat["batch"]:
-            leaves = [o[: n * m] if m else o
-                      for o, m in zip(leaves, bat["outputs"])]
-        return leaves
+        return cast, n
 
-    @staticmethod
-    def _fit_batched(i, a, shape, mult, batch, n):
-        """Sub-batch support: a batched input holds ``mult`` equal blocks of
-        n rows (n <= exported batch); pad each block to the exported batch
-        by edge replication.  Sound because DTP is row-independent in both
-        modes (mask: per-sample alive masks on a fixed buffer; gather:
-        static per-sample capacities) — padding rows cannot change real
-        rows' outputs; padded outputs are sliced off by ``predict``."""
-        if a.ndim != len(shape) or list(a.shape[1:]) != list(shape[1:]):
-            raise _BadRequest(
-                f"input {i}: trailing dims {list(a.shape)} != exported "
-                f"{list(shape)}")
-        rows, rem = divmod(a.shape[0], mult)
-        if rem or not 1 <= rows <= batch:
-            raise _BadRequest(
-                f"input {i}: leading dim {a.shape[0]} must be n*{mult} "
-                f"with 1 <= n <= {batch} (exported batch)")
-        if n is not None and rows != n:
-            raise _BadRequest(
-                f"input {i}: sub-batch {rows} disagrees with {n} from "
-                f"earlier inputs")
-        if rows < batch:
-            blocks = [a[j * rows: (j + 1) * rows] for j in range(mult)]
-            pad = [np.concatenate(
-                [b, np.repeat(b[-1:], batch - rows, axis=0)]) for b in blocks]
-            a = pad[0] if mult == 1 else np.concatenate(pad)
-        return a, rows
+    # ---- dispatch --------------------------------------------------------
+
+    def _dispatch_loop(self):
+        while True:
+            with self._cond:
+                while not self._queue and not self._closing:
+                    self._cond.wait()
+                if self._closing:
+                    for p in self._queue:
+                        p.error = RuntimeError("server shutting down")
+                        p.event.set()
+                    self._queue.clear()
+                    return
+                group = self._take_group_locked()
+            try:
+                results = self._run_padded(group)
+                for p, r in zip(group, results):
+                    p.result = r
+            except Exception as e:  # noqa: BLE001 — delivered to the client
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+    def _take_group_locked(self) -> List[_Pending]:
+        """Pop the head request plus every queued request that fits the
+        remaining batch rows AND carries equal unbatched inputs (merging
+        across different temperatures/answer lists would change results)."""
+        bat = self._bat
+        group = [self._queue.pop(0)]
+        rows = group[0].n
+        i = 0
+        while i < len(self._queue):
+            q = self._queue[i]
+            if rows + q.n <= bat["batch"] and all(
+                    m or np.array_equal(a, b)
+                    for m, a, b in zip(bat["inputs"], q.arrays,
+                                       group[0].arrays)):
+                group.append(self._queue.pop(i))
+                rows += q.n
+            else:
+                i += 1
+        self.stats["merged"] += len(group) - 1
+        return group
+
+    def _run_padded(self, group: List[_Pending]) -> List[List[np.ndarray]]:
+        """Pack the group's rows into one exported-shape call and split the
+        outputs back per request.  Padding replicates the last real row —
+        sound because DTP is row-independent in both modes (mask:
+        per-sample alive masks on a fixed buffer; gather: static per-sample
+        capacities): pad rows cannot change real rows' outputs."""
+        bat = self._bat
+        if bat is None or group[0].n is None:
+            packed = group[0].arrays  # exact-shape artifact, single request
+        else:
+            B = bat["batch"]
+            rows = sum(p.n for p in group)
+            packed = []
+            for i, mult in enumerate(bat["inputs"]):
+                if not mult:
+                    packed.append(group[0].arrays[i])
+                    continue
+                blocks = []
+                for j in range(mult):
+                    parts = [p.arrays[i][j * p.n: (j + 1) * p.n]
+                             for p in group]
+                    if rows < B:
+                        parts.append(np.repeat(parts[-1][-1:], B - rows,
+                                               axis=0))
+                    blocks.append(np.concatenate(parts))
+                packed.append(blocks[0] if mult == 1
+                              else np.concatenate(blocks))
+        leaves = self._call(packed)
+        if bat is None or group[0].n is None:
+            return [leaves]
+        results, off = [], 0
+        for p in group:
+            out = []
+            for o, m in zip(leaves, bat["outputs"]):
+                if not m:
+                    out.append(o)
+                else:
+                    B = bat["batch"]
+                    out.append(np.concatenate(
+                        [o[j * B + off: j * B + off + p.n]
+                         for j in range(m)]) if m > 1
+                        else o[off: off + p.n])
+            results.append(out)
+            off += p.n
+        return results
+
+    def _call(self, arrays) -> List[np.ndarray]:
+        import jax
+
+        with self._lock:
+            out = self.model(*arrays)
+        self.stats["calls"] += 1
+        return [np.asarray(o) for o in jax.tree.leaves(out)]
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.serve_forever, daemon=True)

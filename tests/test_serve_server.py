@@ -131,6 +131,79 @@ def test_server_concurrent_requests(nlvr_server):
                                       np.asarray(jax.tree.leaves(want)[0]))
 
 
+def test_dispatcher_merges_compatible_requests(nlvr_server):
+    """Unit-level: two 1-sample requests with equal unbatched inputs pack
+    into ONE device call whose per-request outputs equal their solo runs;
+    a request with a different temperature refuses to merge."""
+    from madtp_tpu.serve.server import _Pending
+
+    srv, (images, ids, mask, t), _ = nlvr_server
+    B = np.asarray(ids).shape[0]
+    im, idn, mkn = np.asarray(images), np.asarray(ids), np.asarray(mask)
+
+    def one_sample(j, temp):
+        return srv._validate_cast(
+            [np.stack([im[j], im[B + j]]), idn[j:j + 1], mkn[j:j + 1],
+             np.asarray(temp, np.float32)])
+
+    p0 = _Pending(*one_sample(0, 1.0))
+    p1 = _Pending(*one_sample(1, 1.0))
+    p2 = _Pending(*one_sample(0, 8.0))  # different temperature: no merge
+
+    srv._queue = [p0, p1, p2]
+    with srv._cond:
+        group = srv._take_group_locked()
+    assert group == [p0, p1] and srv._queue == [p2]
+
+    calls_before = srv.stats["calls"]
+    merged = srv._run_padded(group)
+    assert srv.stats["calls"] == calls_before + 1  # ONE call for both
+    solo0 = srv._run_padded([_Pending(*one_sample(0, 1.0))])[0]
+    solo1 = srv._run_padded([_Pending(*one_sample(1, 1.0))])[0]
+    np.testing.assert_allclose(merged[0][0], solo0[0], atol=1e-5)
+    np.testing.assert_allclose(merged[1][0], solo1[0], atol=1e-5)
+    srv._queue.clear()
+
+
+def test_live_aggregation_under_load(nlvr_server):
+    """End-to-end: hold the device lock so queued 1-sample requests pile
+    up, release, and check every response is correct and at least one
+    device call served more than one request."""
+    import concurrent.futures
+    import time
+
+    srv, (images, ids, mask, t), want = nlvr_server
+    client = ServingClient(srv.url)
+    B = np.asarray(ids).shape[0]
+    im, idn, mkn = np.asarray(images), np.asarray(ids), np.asarray(mask)
+
+    def one(j):
+        return client.predict(np.stack([im[j], im[B + j]]), idn[j:j + 1],
+                              mkn[j:j + 1], np.asarray(t))
+
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        srv._lock.acquire()
+        try:
+            futs = [ex.submit(one, 0)]  # dispatcher grabs this, blocks
+            deadline = time.time() + 10
+            while not (srv._queue == [] and time.time() < deadline):
+                time.sleep(0.02)  # wait until the head request left the queue
+                if not srv._queue:
+                    break
+            futs += [ex.submit(one, 0), ex.submit(one, 1)]
+            while len(srv._queue) < 2 and time.time() < deadline:
+                time.sleep(0.02)  # both follow-ups queued behind the lock
+        finally:
+            srv._lock.release()
+        outs = [f.result(timeout=60) for f in futs]
+
+    full = np.asarray(jax.tree.leaves(want)[0])
+    np.testing.assert_allclose(outs[0][0][0], full[0], atol=1e-5)
+    np.testing.assert_allclose(outs[1][0][0], full[0], atol=1e-5)
+    np.testing.assert_allclose(outs[2][0][0], full[1], atol=1e-5)
+    assert srv.stats["merged"] >= 1
+
+
 def test_serve_cli_end_to_end(tmp_path):
     """python -m madtp_tpu.cli.serve against an export_serving artifact,
     in a subprocess, forced-CPU — the full user path."""
