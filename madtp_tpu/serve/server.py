@@ -196,7 +196,8 @@ class ArtifactServer(ThreadingHTTPServer):
 
     def predict(self, arrays: Sequence[np.ndarray]) -> List[np.ndarray]:
         cast, n = self._validate_cast(arrays)
-        self.stats["requests"] += 1
+        with self._cond:  # counters share the dispatch lock
+            self.stats["requests"] += 1
         if not self._aggregate:
             return self._run_padded([_Pending(cast, n)])[0]
         p = _Pending(cast, n)
@@ -353,7 +354,7 @@ class ArtifactServer(ThreadingHTTPServer):
 
         with self._lock:
             out = self.model(*arrays)
-        self.stats["calls"] += 1
+            self.stats["calls"] += 1
         return [np.asarray(o) for o in jax.tree.leaves(out)]
 
     def start_background(self) -> threading.Thread:
