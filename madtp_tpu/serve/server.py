@@ -164,7 +164,9 @@ class ArtifactServer(ThreadingHTTPServer):
         # (written by save_artifact as a pytree of [shape, dtype] leaves)
         self._inputs = _flat_input_specs(self.model.meta["inputs"])
         self._bat = self.model.meta.get("batching")
-        self._aggregate = bool(aggregate and self._bat)
+        # a spec with no batched inputs has nothing to merge on
+        self._aggregate = bool(aggregate and self._bat
+                               and any(self._bat["inputs"]))
         self._request_timeout = request_timeout
         self.stats = {"requests": 0, "calls": 0, "merged": 0}
         self._queue: List[_Pending] = []
@@ -433,6 +435,10 @@ class ServingClient:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return decode_arrays(r.read())
         except urllib.error.HTTPError as e:
-            raise RuntimeError(
-                f"predict failed ({e.code}): "
-                f"{json.loads(e.read()).get('error', '')}") from None
+            body = e.read()
+            try:
+                detail = json.loads(body).get("error", "")
+            except ValueError:  # non-JSON body (e.g. a proxy in the path)
+                detail = body[:500].decode(errors="replace")
+            raise RuntimeError(f"predict failed ({e.code}): {detail}") \
+                from None

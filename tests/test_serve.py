@@ -482,3 +482,20 @@ def test_export_serving_cli(tmp_path, monkeypatch, capsys):
             model.params, images, ids, mask, t)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                atol=1e-6)
+
+    # the CLI-recorded batching spec drives sub-batch serving correctly:
+    # a 1-sample request through ArtifactServer (NLVR's image pair = rows
+    # 0 and B of the stacked input) equals the full-batch run's row 0
+    assert model.meta["batching"] == {"batch": 2, "inputs": [2, 1, 1, 0],
+                                      "outputs": [1, 0, 0]}
+    from madtp_tpu.serve.server import ArtifactServer
+
+    srv = ArtifactServer(str(out), warmup=False, aggregate=False)
+    try:
+        im = np.asarray(images)
+        sub = srv.predict([np.stack([im[0], im[2]]), np.asarray(ids)[:1],
+                           np.asarray(mask)[:1], np.asarray(t)])
+        assert sub[0].shape == (1, 2)
+        np.testing.assert_allclose(sub[0][0], np.asarray(want)[0], atol=1e-5)
+    finally:
+        srv.server_close()
