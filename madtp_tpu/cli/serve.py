@@ -19,7 +19,10 @@ import argparse
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--artifact", required=True,
-                   help="artifact directory from cli/export_serving")
+                   help="artifact directory from cli/export_serving — "
+                        "either one artifact or a parent whose subdirs are "
+                        "artifacts (clip/retrieval exports); multiple "
+                        "artifacts route as POST /predict/<name>")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8765, type=int)
     p.add_argument("--no_warmup", action="store_true",
@@ -38,8 +41,9 @@ def main():
     srv = ArtifactServer(args.artifact, args.host, args.port,
                          warmup=not args.no_warmup, verbose=args.verbose,
                          aggregate=not args.no_aggregate)
-    task = srv.model.meta.get("task", "?")
-    print(f"SERVING task={task} ready on {srv.url}", flush=True)
+    names = ", ".join(f"{n}={rt.model.meta.get('task', '?')}"
+                      for n, rt in srv.runtimes.items())
+    print(f"SERVING {names} ready on {srv.url}", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -1,21 +1,29 @@
-"""Minimal production HTTP server for a serving artifact.
+"""Minimal production HTTP server for serving artifacts.
 
 The reference has NO deployment mode beyond re-running its research stack
 per process (``compress_nlvr_dtp.py:153-157`` re-imports torch+HF+timm and
 re-traces the model just to answer ``--evaluate``).  This module is the
 other half of the TPU-native serving story started by ``serve/artifact.py``:
-a process that loads a ``jax.export`` artifact (no model code, no
-config/tokenizer stack) and serves it over HTTP with the stdlib only.
+a process that loads ``jax.export`` artifacts (no model code, no
+config/tokenizer stack) and serves them over HTTP with the stdlib only.
 
-Wire protocol (all endpoints under one server):
+One server hosts MANY artifacts — required in practice because one process
+owns the accelerator while a task pipeline spans several exported units
+(retrieval = image_encoder + text_encoder + itm_rerank; CLIP = two towers).
+All models share one device lock; each gets its own dispatch queue.
+
+Wire protocol (``<name>`` may be omitted when one artifact is served):
 
 ``GET /healthz``
-    ``{"ok": true}`` once the model is warmed up (the exported graph is
+    ``{"ok": true}`` once every model is warmed up (exported graphs are
     compiled at startup so the first request never pays the compile).
-``GET /meta``
+``GET /meta[/<name>]``
     the artifact's ``meta.json`` — including the ``inputs`` spec
-    (per-input shape/dtype) a client needs to build requests.
-``POST /predict``
+    (per-input shape/dtype) a client needs to build requests.  With
+    several artifacts and no name: ``{name: meta}``.
+``GET /stats[/<name>]``
+    request/device-call/merge counters (per model, or ``{name: stats}``).
+``POST /predict[/<name>]``
     body: an ``.npz`` whose arrays, in file order, are the call inputs
     (same order as ``meta["inputs"]``).  Arrays are cast to the exported
     dtype when the kind matches (send float32 for a bfloat16 input).
@@ -29,18 +37,23 @@ Wire protocol (all endpoints under one server):
     (ml_dtypes like bfloat16 ride as raw bits + a sidecar json key, the
     same trick as ``ckpt/export.save_native``).
 
-Model calls are serialized with a lock: one process owns the accelerator
-and the exported graph is single-stream; HTTP handling itself is threaded
-so health/meta stay responsive under load.
+Requests on artifacts with a ``batching`` spec flow through a per-model
+dispatcher thread that packs whatever is queued into ONE device call
+(natural dynamic batching: while a call is in flight, arriving sub-batch
+requests accumulate and ride the next call together — no artificial
+latency window).  Requests can merge only when their unbatched inputs
+(e.g. the DTP temperature, a VQA answer list) are equal; others wait for
+a later call.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -67,7 +80,6 @@ def decode_arrays(data: bytes) -> List[np.ndarray]:
     """Inverse of :func:`encode_arrays` (file order preserved)."""
     with np.load(io.BytesIO(data)) as z:
         flat = {k: z[k] for k in z.files}
-    ml = {}
     if _ML_KEY in flat:
         import ml_dtypes
 
@@ -79,7 +91,7 @@ def decode_arrays(data: bytes) -> List[np.ndarray]:
 
 
 class _Handler(BaseHTTPRequestHandler):
-    # the server object carries the model; handlers are per-request
+    # the server object carries the models; handlers are per-request
     server: "ArtifactServer"
 
     def log_message(self, fmt, *args):  # quiet by default
@@ -96,24 +108,54 @@ class _Handler(BaseHTTPRequestHandler):
     def _send_json(self, code: int, obj):
         self._send(code, json.dumps(obj).encode(), "application/json")
 
+    def _route(self, prefix: str) -> Optional["_ModelRuntime"]:
+        """Resolve /prefix or /prefix/<name>; None means 'all' for GETs."""
+        rest = self.path[len(prefix):]
+        if rest in ("", "/"):
+            return self.server.default  # may be None (several artifacts)
+        name = rest.lstrip("/")
+        rt = self.server.runtimes.get(name)
+        if rt is None:
+            raise _BadRoute(
+                f"unknown artifact {name!r}; serving "
+                f"{sorted(self.server.runtimes)}")
+        return rt
+
     def do_GET(self):
-        if self.path == "/healthz":
-            self._send_json(200, {"ok": self.server.ready})
-        elif self.path == "/meta":
-            self._send_json(200, self.server.model.meta)
-        elif self.path == "/stats":
-            self._send_json(200, self.server.stats)
-        else:
-            self._send_json(404, {"error": f"no route {self.path}"})
+        try:
+            if self.path == "/healthz":
+                self._send_json(200, {"ok": self.server.ready})
+            elif self.path.startswith("/meta"):
+                rt = self._route("/meta")
+                self._send_json(200, rt.model.meta if rt else {
+                    n: r.model.meta
+                    for n, r in self.server.runtimes.items()})
+            elif self.path.startswith("/stats"):
+                rt = self._route("/stats")
+                self._send_json(200, rt.stats if rt else {
+                    n: r.stats for n, r in self.server.runtimes.items()})
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+        except _BadRoute as e:
+            self._send_json(404, {"error": str(e)})
 
     def do_POST(self):
-        if self.path != "/predict":
+        if not self.path.startswith("/predict"):
             self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            rt = self._route("/predict")
+            if rt is None:
+                raise _BadRoute(
+                    "several artifacts are served — POST /predict/<name>, "
+                    f"one of {sorted(self.server.runtimes)}")
+        except _BadRoute as e:
+            self._send_json(404, {"error": str(e)})
             return
         try:
             n = int(self.headers.get("Content-Length", "0"))
             arrays = decode_arrays(self.rfile.read(n))
-            out = self.server.predict(arrays)
+            out = rt.predict(arrays)
         except _BadRequest as e:
             self._send_json(400, {"error": str(e)})
         except Exception as e:  # surface the failure to the client
@@ -123,6 +165,10 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class _BadRequest(ValueError):
+    pass
+
+
+class _BadRoute(ValueError):
     pass
 
 
@@ -137,29 +183,16 @@ class _Pending:
         self.result = self.error = None
 
 
-class ArtifactServer(ThreadingHTTPServer):
-    """Serve one artifact directory.  ``serve_forever()`` blocks; tests use
-    ``start_background()`` + ``shutdown()``.
+class _ModelRuntime:
+    """One loaded artifact + its dispatch queue.  The device lock is shared
+    across all runtimes of a server (one process, one accelerator)."""
 
-    Requests on artifacts with a ``batching`` spec flow through a dispatcher
-    thread that packs whatever is queued into ONE device call (natural
-    dynamic batching: while a call is in flight, arriving sub-batch requests
-    accumulate and ride the next call together — no artificial latency
-    window).  Requests can merge only when their unbatched inputs (e.g. the
-    DTP temperature, a VQA answer list) are equal; others wait for a later
-    call.  ``stats`` counts requests vs device calls."""
-
-    daemon_threads = True
-
-    def __init__(self, art_dir: str, host: str = "127.0.0.1", port: int = 0,
-                 *, warmup: bool = True, verbose: bool = False,
-                 aggregate: bool = True, request_timeout: float = 600.0):
+    def __init__(self, art_dir: str, device_lock: threading.Lock, *,
+                 aggregate: bool, request_timeout: float):
         from madtp_tpu.serve.artifact import load_artifact
 
         self.model = load_artifact(art_dir)
-        self.verbose = verbose
-        self.ready = False
-        self._lock = threading.Lock()  # one accelerator, one call stream
+        self._device_lock = device_lock
         # flat [shape, dtype] pairs in call order, from meta.json's spec
         # (written by save_artifact as a pytree of [shape, dtype] leaves)
         self._inputs = _flat_input_specs(self.model.meta["inputs"])
@@ -173,28 +206,24 @@ class ArtifactServer(ThreadingHTTPServer):
         self._cond = threading.Condition()
         self._closing = False
         self._dispatcher = None
-        super().__init__((host, port), _Handler)
-        if warmup:
-            self._call([np.zeros(s, _np_dtype(d)) for s, d in self._inputs])
+
+    def warmup(self):
+        self._call([np.zeros(s, _np_dtype(d)) for s, d in self._inputs])
+
+    def start(self):
         if self._aggregate:
             self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                                 daemon=True)
             self._dispatcher.start()
-        self.ready = True
 
-    @property
-    def url(self) -> str:
-        return f"http://{self.server_address[0]}:{self.server_address[1]}"
-
-    def shutdown(self):
+    def close(self):
         with self._cond:
             self._closing = True
             self._cond.notify_all()
         if self._dispatcher is not None:
             self._dispatcher.join(timeout=30)
-        super().shutdown()
 
-    # ---- request path ----------------------------------------------------
+    # ---- request path ------------------------------------------------
 
     def predict(self, arrays: Sequence[np.ndarray]) -> List[np.ndarray]:
         cast, n = self._validate_cast(arrays)
@@ -259,7 +288,7 @@ class ArtifactServer(ThreadingHTTPServer):
             cast.append(a)
         return cast, n
 
-    # ---- dispatch --------------------------------------------------------
+    # ---- dispatch ------------------------------------------------------
 
     def _dispatch_loop(self):
         while True:
@@ -354,10 +383,91 @@ class ArtifactServer(ThreadingHTTPServer):
     def _call(self, arrays) -> List[np.ndarray]:
         import jax
 
-        with self._lock:
+        with self._device_lock:
             out = self.model(*arrays)
             self.stats["calls"] += 1
         return [np.asarray(o) for o in jax.tree.leaves(out)]
+
+
+def discover_artifacts(path: str) -> Dict[str, str]:
+    """``path`` is either one artifact dir (has graph.jaxexport) -> its
+    basename maps to it, or a parent whose immediate subdirs are artifacts
+    (what ``export_serving`` writes for clip/retrieval) -> one entry per
+    subdir."""
+    from madtp_tpu.serve.artifact import GRAPH_FILE
+
+    if os.path.exists(os.path.join(path, GRAPH_FILE)):
+        return {os.path.basename(os.path.normpath(path)): path}
+    subs = {
+        d: os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if os.path.exists(os.path.join(path, d, GRAPH_FILE))
+    }
+    if not subs:
+        raise ValueError(
+            f"{path} is neither an artifact dir (no graph.jaxexport) nor "
+            "a parent of artifact dirs")
+    return subs
+
+
+class ArtifactServer(ThreadingHTTPServer):
+    """Serve one or more artifact directories.  ``artifacts`` is a single
+    path (artifact dir OR parent of artifact dirs — both auto-discovered)
+    or an explicit ``{name: dir}`` mapping.  ``serve_forever()`` blocks;
+    tests use ``start_background()`` + ``shutdown()``."""
+
+    daemon_threads = True
+
+    def __init__(self, artifacts: Union[str, Dict[str, str]],
+                 host: str = "127.0.0.1", port: int = 0,
+                 *, warmup: bool = True, verbose: bool = False,
+                 aggregate: bool = True, request_timeout: float = 600.0):
+        if isinstance(artifacts, str):
+            artifacts = discover_artifacts(artifacts)
+        self.verbose = verbose
+        self.ready = False
+        self._lock = threading.Lock()  # one accelerator, one call stream
+        self.runtimes = {
+            name: _ModelRuntime(d, self._lock, aggregate=aggregate,
+                                request_timeout=request_timeout)
+            for name, d in artifacts.items()
+        }
+        # unambiguous target for name-less routes and the python API
+        self.default = (next(iter(self.runtimes.values()))
+                        if len(self.runtimes) == 1 else None)
+        super().__init__((host, port), _Handler)
+        for rt in self.runtimes.values():
+            if warmup:
+                rt.warmup()
+            rt.start()
+        self.ready = True
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.server_address[0]}:{self.server_address[1]}"
+
+    # single-artifact python API (and back-compat): delegate to default
+    @property
+    def model(self):
+        return self.default.model
+
+    @property
+    def stats(self):
+        return self.default.stats
+
+    def predict(self, arrays: Sequence[np.ndarray],
+                name: Optional[str] = None) -> List[np.ndarray]:
+        rt = self.runtimes[name] if name else self.default
+        if rt is None:
+            raise ValueError(
+                f"several artifacts are served — pass name=, one of "
+                f"{sorted(self.runtimes)}")
+        return rt.predict(arrays)
+
+    def shutdown(self):
+        for rt in self.runtimes.values():
+            rt.close()
+        super().shutdown()
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.serve_forever, daemon=True)
@@ -398,11 +508,15 @@ def _np_dtype(name: str) -> np.dtype:
 
 
 class ServingClient:
-    """Stdlib client for :class:`ArtifactServer` (urllib; no deps)."""
+    """Stdlib client for :class:`ArtifactServer` (urllib; no deps).
+    ``name`` selects an artifact on a multi-artifact server (or per call:
+    ``predict(*arrays, name="itm_rerank")``)."""
 
-    def __init__(self, url: str, timeout: float = 120.0):
+    def __init__(self, url: str, timeout: float = 120.0,
+                 name: Optional[str] = None):
         self.url = url.rstrip("/")
         self.timeout = timeout
+        self.name = name
         self._meta: Optional[dict] = None
 
     def _get(self, path: str) -> bytes:
@@ -412,11 +526,18 @@ class ServingClient:
                                     timeout=self.timeout) as r:
             return r.read()
 
+    def _suffix(self, name: Optional[str]) -> str:
+        name = name or self.name
+        return f"/{name}" if name else ""
+
     @property
     def meta(self) -> dict:
         if self._meta is None:
-            self._meta = json.loads(self._get("/meta"))
+            self._meta = json.loads(self._get("/meta" + self._suffix(None)))
         return self._meta
+
+    def stats(self, name: Optional[str] = None) -> dict:
+        return json.loads(self._get("/stats" + self._suffix(name)))
 
     def healthy(self) -> bool:
         try:
@@ -424,12 +545,14 @@ class ServingClient:
         except OSError:
             return False
 
-    def predict(self, *arrays) -> List[np.ndarray]:
+    def predict(self, *arrays, name: Optional[str] = None
+                ) -> List[np.ndarray]:
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            self.url + "/predict", data=encode_arrays(arrays),
+            self.url + "/predict" + self._suffix(name),
+            data=encode_arrays(arrays),
             headers={"Content-Type": "application/octet-stream"})
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:

@@ -141,8 +141,10 @@ def test_dispatcher_merges_compatible_requests(nlvr_server):
     B = np.asarray(ids).shape[0]
     im, idn, mkn = np.asarray(images), np.asarray(ids), np.asarray(mask)
 
+    rt = srv.default
+
     def one_sample(j, temp):
-        return srv._validate_cast(
+        return rt._validate_cast(
             [np.stack([im[j], im[B + j]]), idn[j:j + 1], mkn[j:j + 1],
              np.asarray(temp, np.float32)])
 
@@ -150,19 +152,19 @@ def test_dispatcher_merges_compatible_requests(nlvr_server):
     p1 = _Pending(*one_sample(1, 1.0))
     p2 = _Pending(*one_sample(0, 8.0))  # different temperature: no merge
 
-    srv._queue = [p0, p1, p2]
-    with srv._cond:
-        group = srv._take_group_locked()
-    assert group == [p0, p1] and srv._queue == [p2]
+    rt._queue = [p0, p1, p2]
+    with rt._cond:
+        group = rt._take_group_locked()
+    assert group == [p0, p1] and rt._queue == [p2]
 
-    calls_before = srv.stats["calls"]
-    merged = srv._run_padded(group)
-    assert srv.stats["calls"] == calls_before + 1  # ONE call for both
-    solo0 = srv._run_padded([_Pending(*one_sample(0, 1.0))])[0]
-    solo1 = srv._run_padded([_Pending(*one_sample(1, 1.0))])[0]
+    calls_before = rt.stats["calls"]
+    merged = rt._run_padded(group)
+    assert rt.stats["calls"] == calls_before + 1  # ONE call for both
+    solo0 = rt._run_padded([_Pending(*one_sample(0, 1.0))])[0]
+    solo1 = rt._run_padded([_Pending(*one_sample(1, 1.0))])[0]
     np.testing.assert_allclose(merged[0][0], solo0[0], atol=1e-5)
     np.testing.assert_allclose(merged[1][0], solo1[0], atol=1e-5)
-    srv._queue.clear()
+    rt._queue.clear()
 
 
 def test_live_aggregation_under_load(nlvr_server):
@@ -181,17 +183,20 @@ def test_live_aggregation_under_load(nlvr_server):
         return client.predict(np.stack([im[j], im[B + j]]), idn[j:j + 1],
                               mkn[j:j + 1], np.asarray(t))
 
+    rt = srv.default
     with concurrent.futures.ThreadPoolExecutor(3) as ex:
         srv._lock.acquire()
         try:
+            req0 = rt.stats["requests"]
             futs = [ex.submit(one, 0)]  # dispatcher grabs this, blocks
             deadline = time.time() + 10
-            while not (srv._queue == [] and time.time() < deadline):
-                time.sleep(0.02)  # wait until the head request left the queue
-                if not srv._queue:
-                    break
+            # wait until the head request arrived AND left the queue (the
+            # dispatcher holds it, blocked on the device lock)
+            while not (rt.stats["requests"] > req0
+                       and not rt._queue) and time.time() < deadline:
+                time.sleep(0.02)
             futs += [ex.submit(one, 0), ex.submit(one, 1)]
-            while len(srv._queue) < 2 and time.time() < deadline:
+            while len(rt._queue) < 2 and time.time() < deadline:
                 time.sleep(0.02)  # both follow-ups queued behind the lock
         finally:
             srv._lock.release()
@@ -202,6 +207,64 @@ def test_live_aggregation_under_load(nlvr_server):
     np.testing.assert_allclose(outs[1][0][0], full[0], atol=1e-5)
     np.testing.assert_allclose(outs[2][0][0], full[1], atol=1e-5)
     assert srv.stats["merged"] >= 1
+
+
+def test_multi_artifact_server(tmp_path):
+    """One server process hosts several artifacts (a task pipeline spans
+    units — retrieval: 3, CLIP: 2 — while one process owns the device):
+    auto-discovery of a parent dir, /predict/<name> routing, per-name
+    meta/stats, nameless POST refused with the name list."""
+    from tests.test_serve import _tiny_nlvr
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+
+    def logits_fn(params, images, ids, mask, t):
+        return blip_nlvr_forward(params, images, ids, mask, cfg,
+                                 temperature=t, prune_active=True)[0]
+
+    def kept_fn(params, images, ids, mask, t):
+        return blip_nlvr_forward(params, images, ids, mask, cfg,
+                                 temperature=t, prune_active=True)[1][0]
+
+    t = jnp.float32(1.0)
+    parent = tmp_path / "units"
+    save_artifact(str(parent / "logits"), logits_fn, params,
+                  (images, ids, mask, t), meta={"task": "nlvr_logits"})
+    save_artifact(str(parent / "kept"), kept_fn, params,
+                  (images, ids, mask, t), meta={"task": "nlvr_kept"})
+
+    srv = ArtifactServer(str(parent))
+    srv.start_background()
+    try:
+        assert sorted(srv.runtimes) == ["kept", "logits"]
+        client = ServingClient(srv.url)
+        metas = client.meta  # nameless GET on multi-artifact: {name: meta}
+        assert metas["logits"]["task"] == "nlvr_logits"
+        assert metas["kept"]["task"] == "nlvr_kept"
+
+        args = (np.asarray(images), np.asarray(ids), np.asarray(mask),
+                np.asarray(t))
+        got_l = client.predict(*args, name="logits")
+        got_k = client.predict(*args, name="kept")
+        want_l = jax.jit(logits_fn)(params, images, ids, mask, t)
+        want_k = jax.jit(kept_fn)(params, images, ids, mask, t)
+        np.testing.assert_array_equal(got_l[0], np.asarray(want_l))
+        np.testing.assert_array_equal(got_k[0], np.asarray(want_k))
+
+        # per-name stats; a bound client pins its artifact
+        assert client.stats("logits")["requests"] == 1
+        bound = ServingClient(srv.url, name="kept")
+        np.testing.assert_array_equal(bound.predict(*args)[0],
+                                      np.asarray(want_k))
+        assert client.stats("kept")["requests"] == 2
+
+        with pytest.raises(RuntimeError, match="POST /predict/<name>"):
+            client.predict(*args)
+        with pytest.raises(RuntimeError, match="unknown artifact"):
+            client.predict(*args, name="nope")
+    finally:
+        srv.shutdown()
 
 
 def test_serve_cli_end_to_end(tmp_path):
