@@ -267,6 +267,57 @@ def test_multi_artifact_server(tmp_path):
         srv.shutdown()
 
 
+def test_retrieval_pipeline_over_http(tmp_path, monkeypatch, capsys):
+    """The full two-stage retrieval rank composed over the wire: a CLI
+    retrieval export (3 units) served by ONE process, driven end-to-end —
+    ITC features from both towers, top-1 by similarity, image STATES routed
+    back through the ITM rerank unit — and equal to the same pipeline on
+    the in-process artifacts (which are parity-tested vs the live step)."""
+    from tests.test_serve import _tiny_yaml
+    from madtp_tpu.cli import export_serving
+    from madtp_tpu.serve import load_artifact
+
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "retrieval", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out), "--batch", "2", "--text_len", "10",
+         "--rerank_batch", "2"])
+    export_serving.main()
+    capsys.readouterr()
+
+    rng = np.random.RandomState(11)
+    images = rng.randn(2, 3, 64, 64).astype(np.float32)
+    ids = rng.randint(1, 80, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    t = np.float32(1.0)
+
+    srv = ArtifactServer(str(out))
+    srv.start_background()
+    try:
+        client = ServingClient(srv.url)
+        ifeat, sx, sa = client.predict(images, t, name="image_encoder")
+        tfeat, _ = client.predict(ids, mask, t, name="text_encoder")
+        sims = tfeat @ ifeat.T
+        top1 = sims.argmax(axis=1)
+        # stage 2: pair text i with its top-1 image's pruned token state
+        scores = client.predict(ids, mask, sx[top1], sa[top1], t,
+                                name="itm_rerank")[0]
+        assert scores.shape == (2,) and np.isfinite(scores).all()
+
+        img = load_artifact(str(out / "image_encoder"))
+        txt = load_artifact(str(out / "text_encoder"))
+        rr = load_artifact(str(out / "itm_rerank"))
+        ifeat2, sx2, sa2 = (np.asarray(x) for x in img(images, t))
+        tfeat2 = np.asarray(txt(ids, mask, t)[0])
+        top1_2 = (tfeat2 @ ifeat2.T).argmax(axis=1)
+        np.testing.assert_array_equal(top1, top1_2)
+        want = np.asarray(rr(ids, mask, sx2[top1_2], sa2[top1_2], t))
+        np.testing.assert_allclose(scores, want, atol=1e-6)
+    finally:
+        srv.shutdown()
+
+
 def test_serve_cli_end_to_end(tmp_path):
     """python -m madtp_tpu.cli.serve against an export_serving artifact,
     in a subprocess, forced-CPU — the full user path."""
