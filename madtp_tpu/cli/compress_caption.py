@@ -9,9 +9,10 @@ Evaluation decodes with beam search (num_beams=3, max_length=20, min_length=5,
 prompt "a picture of ") over the pruned image tokens and writes per-image
 caption JSON (reference eval loop ``:61-105``).  Scoring against COCO ground
 truth uses :mod:`madtp_tpu.eval.caption_metrics` (Bleu_1..4 / METEOR /
-ROUGE_L / CIDEr, offline; SPICE needs Java — the checkpoint gate below sums
-CIDEr + METEOR_offline, mirroring the reference's two-metric CIDEr+SPICE
-gate, and is logged as such).
+ROUGE_L / CIDEr / SPICE, all offline clean-room scorers; the checkpoint
+gate below sums CIDEr + SPICE_offline, the reference's two-metric
+CIDEr+SPICE gate with the scene-graph scorer of eval/spice.py standing in
+for the Java pipeline, and is logged as such).
 """
 
 from __future__ import annotations
@@ -466,15 +467,15 @@ def main():
         cur_g = sync_gflops(cur_g)
         log = {"epoch": epoch, "Cur_Gflops": round(cur_g, 2),
                "train_loss": f"{logger.meters['loss'].global_avg:.4f}"}
-        # Best-checkpoint gate: CIDEr + METEOR_offline, mirroring the
-        # reference's TWO-metric CIDEr+SPICE sum
-        # (compress_caption_dtp.py:303; SPICE needs a Java scene-graph
-        # parser — eval/caption_metrics.py — so the offline METEOR stands
-        # in as the second, tie-breaking metric).  Deviation from the
-        # reference gate quantified in tools/measure_gate_deviation.py:
-        # a second metric can only flip checkpoints tied on CIDEr (0 flips
-        # in 1454 pairs with |dCIDEr| >= 0.05; 0.52% of gate pairs, all
-        # CIDEr-ties).
+        # Best-checkpoint gate: CIDEr + SPICE_offline, the reference's
+        # TWO-metric CIDEr+SPICE sum (compress_caption_dtp.py:303) with
+        # the clean-room scene-graph scorer standing in for the Java
+        # SPICE pipeline (eval/spice.py — same tuple-F1 formula, rule
+        # parser + built-in synonyms instead of Stanford parser +
+        # WordNet).  Deviation from the reference gate quantified in
+        # tools/measure_gate_deviation.py: a second content metric can
+        # only flip checkpoints tied on CIDEr (0 flips in 1454 pairs
+        # with |dCIDEr| >= 0.05; 0.52% of gate pairs, all CIDEr-ties).
         gt_root = config.get("coco_gt_root", "")
         gt_path = os.path.join(gt_root, "gt.json")
         if not os.path.exists(gt_path):
@@ -486,8 +487,8 @@ def main():
 
             scores = coco_caption_scores(results, _json.load(open(gt_path)))
             log.update({k: round(v, 4) for k, v in scores.items()})
-            metric = scores["CIDEr"] + scores["METEOR_offline"]
-            log["ckpt_gate"] = "CIDEr+METEOR_offline (reference: CIDEr+SPICE)"
+            metric = scores["CIDEr"] + scores["SPICE_offline"]
+            log["ckpt_gate"] = "CIDEr+SPICE_offline (reference: CIDEr+SPICE)"
         else:
             metric = 0.0
         if (metric >= best and cur_g - target < 5.0

@@ -28,6 +28,8 @@ import math
 from collections import Counter
 from typing import Dict, List, Sequence
 
+from madtp_tpu.eval.spice import spice
+
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
     return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
@@ -347,4 +349,9 @@ def coco_caption_scores(results: List[dict], gt: Dict[str, List[str]]):
         "METEOR_offline": meteor(cands, refs, ids),
         "ROUGE_L": rouge_l(cands, refs, ids),
         "CIDEr": cider_d(cands, refs, ids),
+        # clean-room scene-graph metric (rule-based parser + built-in
+        # synonym table standing in for Stanford parser + WordNet) — see
+        # eval/spice.py docstring; key says _offline for the same reason
+        # METEOR's does
+        "SPICE_offline": spice(cands, refs, ids),
     }

@@ -1,9 +1,9 @@
 """Caption driver best-checkpoint gate on a real fixture.
 
 The reference gates its best checkpoint on the CIDEr+SPICE SUM
-(compress_caption_dtp.py:303); ours sums CIDEr + METEOR_offline (SPICE
-needs a Java scene-graph parser — eval/caption_metrics.py module
-docstring; deviation quantified in tools/measure_gate_deviation.py).
+(compress_caption_dtp.py:303); ours sums CIDEr + SPICE_offline (the
+clean-room scene-graph scorer, eval/spice.py, standing in for the Java
+pipeline; deviation quantified in tools/measure_gate_deviation.py).
 This pins the two-metric gate end-to-end: one fixture compression epoch
 must score the val captions with both metrics, log the gate identity,
 and export the reference-interchange ``checkpoint_best.pth``.
@@ -37,8 +37,8 @@ def test_caption_driver_two_metric_gate(tmp_path, monkeypatch):
     main()
 
     log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))][-1]
-    assert log["ckpt_gate"] == "CIDEr+METEOR_offline (reference: CIDEr+SPICE)"
-    assert "CIDEr" in log and "METEOR_offline" in log
+    assert log["ckpt_gate"] == "CIDEr+SPICE_offline (reference: CIDEr+SPICE)"
+    assert "CIDEr" in log and "SPICE_offline" in log
     # gate passes on epoch 0 (best starts at -1; fixture GFLOPs are far
     # below the budget) -> the reference-interchange artifact exists
     assert os.path.exists(os.path.join(out, "checkpoint_best.pth"))

@@ -1,19 +1,24 @@
 """Quantify the caption best-checkpoint gate deviation (VERDICT r2 #8).
 
 The reference gates the best caption checkpoint on ``CIDEr + SPICE``
-(/root/reference/compress_caption_dtp.py:303); this repo gates on CIDEr
-alone because SPICE's Java scene-graph parser cannot ship here
-(cli/compress_caption.py:413-429).  SPICE itself cannot run in this
-environment, so the deviation is quantified structurally: the two gates
-disagree on a pair of epochs iff the secondary metric's delta opposes and
-outweighs the CIDEr delta (|dS| > |dC| with opposite sign).  We measure
-that joint delta distribution with METEOR_offline standing in for the
-secondary content metric — on COCO leaderboards SPICE and METEOR have
-near-identical magnitude and spread (SPICE ~0.21-0.24, METEOR ~0.28-0.31,
-deltas of competing checkpoints both ~0.001-0.01 vs CIDEr deltas
-~0.01-0.10), and both are content-overlap metrics that track each other;
-the stand-in biases the flip rate UP if anything, since METEOR_offline
-(exact+stem matchers only) is noisier than jar METEOR.
+(/root/reference/compress_caption_dtp.py:303); this repo gates on
+CIDEr + SPICE_offline (eval/spice.py — the published tuple-F1 formula
+over a clean-room parser; the jar's Stanford parser + WordNet cannot
+ship here).  The jar itself cannot run in this environment, so the
+residual deviation is quantified structurally: two gates disagree on a
+pair of epochs iff the secondary metric's delta opposes and outweighs
+the CIDEr delta (|dS| > |dC| with opposite sign).  We measure that
+joint delta distribution three ways:
+  * CIDEr alone vs CIDEr+SPICE_offline — how much the second metric
+    changes decisions at all (it can only act at CIDEr ties);
+  * CIDEr+SPICE_offline vs CIDEr+METEOR_offline — substituting a
+    DIFFERENT content metric as the secondary; this bounds the
+    sensitivity of the gate to which content metric stands in for jar
+    SPICE (on COCO leaderboards SPICE and METEOR have near-identical
+    magnitude/spread and track each other, so jar-SPICE substitution
+    sits inside this envelope);
+  * the sequential `metric > best` trajectory gate for both of the
+    above.
 
 Protocol (pure CPU, deterministic):
   * 64 synthetic images x 5 templated reference captions.
@@ -86,7 +91,8 @@ def main():
     for q in qs:       # have tiny metric deltas = converged-epoch jitter
         for rep in range(4):
             scores = coco_caption_scores(candidate_set(gt, q, rng), gt)
-            pt = (float(q), scores["CIDEr"], scores["METEOR_offline"])
+            pt = (float(q), scores["CIDEr"], scores["METEOR_offline"],
+                  scores["SPICE_offline"])
             all_points.append(pt)
             if rep == 0:
                 points.append(pt)
@@ -97,13 +103,19 @@ def main():
     band_n = [0] * len(bands)
     band_flips = [0] * len(bands)
     n_pairs, flips = 0, 0
+    sub_flips = 0   # (C+SPICE_offline) vs (C+METEOR_offline)
+    sub_tied = 0    # ... and the pair was CIDEr-tied (<0.05)
     gaps = []
-    for (qa, ca, ma), (qb, cb, mb) in itertools.combinations(all_points, 2):
-        dc, dm = ca - cb, ma - mb
+    for (qa, ca, ma, sa), (qb, cb, mb, sb) in \
+            itertools.combinations(all_points, 2):
+        dc, dm, ds = ca - cb, ma - mb, sa - sb
         n_pairs += 1
         gaps.append(abs(dc))
-        flip = np.sign(dc) != np.sign(dc + dm)
+        flip = np.sign(dc) != np.sign(dc + ds)
         flips += flip
+        sflip = np.sign(dc + ds) != np.sign(dc + dm)
+        sub_flips += sflip
+        sub_tied += sflip and abs(dc) < 0.05
         for i, (lo, hi) in enumerate(bands):
             if lo <= abs(dc) < hi:
                 band_n[i] += 1
@@ -115,11 +127,11 @@ def main():
     # differ only by corruption-draw jitter — the near-tied regime where
     # the gates can actually diverge.
     by_rung = {}
-    for q, c, m in all_points:
-        by_rung.setdefault(round(q, 4), []).append((c, m))
+    for q, c, m, sp in all_points:
+        by_rung.setdefault(round(q, 4), []).append((c, m, sp))
     qkeys = sorted(by_rung)
     traj_rng = np.random.RandomState(1)
-    disagree = 0
+    disagree = sub_disagree = 0
     n_traj = 200
     for _ in range(n_traj):
         idx, path = 0, []
@@ -130,19 +142,23 @@ def main():
             path.append(reps[traj_rng.randint(len(reps))])
         def best_epoch(key):
             best, at = -1.0, -1
-            for ep, (c, m) in enumerate(path):
-                v = c if key == "cider" else c + m
+            for ep, (c, m, sp) in enumerate(path):
+                v = {"cider": c, "spice": c + sp, "meteor": c + m}[key]
                 if v > best:
                     best, at = v, ep
             return at
-        if best_epoch("cider") != best_epoch("both"):
+        if best_epoch("cider") != best_epoch("spice"):
             disagree += 1
+        if best_epoch("spice") != best_epoch("meteor"):
+            sub_disagree += 1
 
     out = {
         "ladder_cider_range": [round(points[0][1], 3),
                                round(points[-1][1], 3)],
         "ladder_meteor_range": [round(points[0][2], 3),
                                 round(points[-1][2], 3)],
+        "ladder_spice_range": [round(points[0][3], 3),
+                               round(points[-1][3], 3)],
         "pairs": n_pairs,
         "pairwise_flip_rate": round(flips / n_pairs, 4),
         "flip_rate_by_cider_gap": {
@@ -151,8 +167,13 @@ def main():
             for i, (lo, hi) in enumerate(bands)
         },
         "median_abs_cider_gap": round(float(np.median(gaps)), 4),
+        "secondary_substitution_flip_rate": round(sub_flips / n_pairs, 4),
+        "secondary_substitution_flips_cider_tied": int(sub_tied),
+        "secondary_substitution_flips_total": int(sub_flips),
         "trajectories": n_traj,
         "traj_best_epoch_disagree_rate": round(disagree / n_traj, 4),
+        "traj_secondary_substitution_disagree_rate": round(
+            sub_disagree / n_traj, 4),
     }
     print(json.dumps(out))
 
