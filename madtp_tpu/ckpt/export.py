@@ -128,6 +128,45 @@ def save_torch_checkpoint(path: str, state_dict: Dict[str, np.ndarray],
     torch.save({"model": sd, "epoch": epoch, "temperature": temperature}, path)
 
 
+ML_DTYPES_KEY = "__ml_dtypes_json__"
+
+
+def encode_ml_dtypes(flat: dict) -> dict:
+    """npz cannot represent ml_dtypes (bfloat16/fp8: numpy kind 'V' — the
+    round trip silently degrades to void |V2); store the raw bits as uint8
+    and record the true dtype/shape under ``ML_DTYPES_KEY`` for
+    :func:`decode_ml_dtypes` to view back.  One codec shared by the native
+    checkpoint format (save_native) and the serving wire protocol
+    (serve/server.encode_arrays) so dtype-handling fixes cannot diverge.
+    Returns a new dict; the input is not mutated."""
+    import json
+
+    out = dict(flat)
+    ml_kinds = {}
+    for k, v in out.items():
+        if v.dtype.kind == "V":
+            ml_kinds[k] = [str(v.dtype), list(v.shape)]
+            out[k] = v.reshape(-1).view(np.uint8)  # flatten: 0-d can't view
+    if ml_kinds:
+        out[ML_DTYPES_KEY] = np.frombuffer(
+            json.dumps(ml_kinds).encode(), np.uint8)
+    return out
+
+
+def decode_ml_dtypes(flat: dict) -> dict:
+    """Inverse of :func:`encode_ml_dtypes` (pops the sentinel key)."""
+    import json
+
+    out = dict(flat)
+    if ML_DTYPES_KEY in out:
+        import ml_dtypes
+
+        for k, (name, shape) in json.loads(
+                out.pop(ML_DTYPES_KEY).tobytes().decode()).items():
+            out[k] = out[k].view(getattr(ml_dtypes, name)).reshape(shape)
+    return out
+
+
 def save_native(path: str, tree, extras: dict | None = None):
     """Native checkpoint (numpy npz of the flat tree; extras embedded as a
     json string so the checkpoint is ONE file) — unlike the reference,
@@ -142,18 +181,8 @@ def save_native(path: str, tree, extras: dict | None = None):
 
     from madtp_tpu.core.tree import flatten_tree
 
-    flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
-    # npz cannot represent ml_dtypes (bfloat16/fp8: numpy kind 'V' — the
-    # round trip silently degrades to void |V2); store the raw bits as
-    # uint8 and record the true dtype name for load_native to view back
-    ml_kinds = {}
-    for k, v in flat.items():
-        if v.dtype.kind == "V":
-            ml_kinds[k] = [str(v.dtype), list(v.shape)]
-            flat[k] = v.reshape(-1).view(np.uint8)  # flatten: 0-d can't view
-    if ml_kinds:
-        flat["__ml_dtypes_json__"] = np.frombuffer(
-            json.dumps(ml_kinds).encode(), np.uint8)
+    flat = encode_ml_dtypes(
+        {k: np.asarray(v) for k, v in flatten_tree(tree).items()})
     if extras is not None:
         flat["__extras_json__"] = np.frombuffer(
             json.dumps(extras).encode(), np.uint8)
@@ -177,12 +206,7 @@ def load_native(path: str, *, require_extras: bool = False):
 
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
-    if "__ml_dtypes_json__" in flat:
-        import ml_dtypes
-
-        for k, (name, shape) in json.loads(
-                flat.pop("__ml_dtypes_json__").tobytes().decode()).items():
-            flat[k] = flat[k].view(getattr(ml_dtypes, name)).reshape(shape)
+    flat = decode_ml_dtypes(flat)
     extras = {}
     jpath = os.path.splitext(path)[0] + ".json"
     if "__extras_json__" in flat:

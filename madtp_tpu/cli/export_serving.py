@@ -94,6 +94,17 @@ def _probe_text(args, batch, text_len, tokenize=None):
             np.ones((batch, text_len), np.int32))
 
 
+def _param_subtree(params, *keys):
+    """The top-level param entries one exported unit actually reads.
+
+    Multi-unit exports (retrieval: 3 artifacts, CLIP: 2) are served by ONE
+    process, so shipping the full tree per unit would multiply disk, the
+    host->device weight upload and HBM residency by the unit count; a
+    missing key fails loudly at trace time inside save_artifact, so the
+    lists cannot silently go stale (the roundtrip tests call every unit)."""
+    return {k: params[k] for k in keys if k in params}
+
+
 def _export_nlvr(args, config, platforms):
     import jax.numpy as jnp
 
@@ -257,15 +268,23 @@ def _export_clip(args, config, platforms):
             "mode": "gather" if caps_v is not None else
                     ("mask" if prune else "dense"),
             "capacities_vision": None if caps_v is None else list(caps_v)}
+    # per-unit param subtrees: one server hosts both towers, so each
+    # artifact ships only the weights its fn reads (see _export_retrieval)
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
-                  img_fn, params, (images, t),
+                  img_fn,
+                  _param_subtree(params, "visual", "space_dict"),
+                  (images, t),
                   meta={"task": "clip_image",
                         "outputs": "(features [B,E], kept_counts)",
                         "batching": {"batch": B, "inputs": [1, 0],
                                      "outputs": [1, 0]}, **meta},
                   platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "text_encoder"),
-                  txt_fn, params, (text, t),
+                  txt_fn,
+                  _param_subtree(params, "token_embedding",
+                                 "positional_embedding", "blocks",
+                                 "ln_final", "text_projection", "space_dict"),
+                  (text, t),
                   meta={"task": "clip_text",
                         "outputs": "(features [B,E], kept_counts)",
                         "batching": {"batch": B, "inputs": [1, 0],
@@ -550,22 +569,35 @@ def _export_retrieval(args, config, platforms):
                     ("mask" if prune else "dense"),
             "capacities_vision": None if caps_v is None else list(caps_v),
             "capacities_text": None if caps_t is None else list(caps_t)}
+    # each unit ships ONLY the param subtree its fn reads — one server
+    # hosts all three, so a shared full tree would triple weights.npz on
+    # disk, the host->device upload (the serving bottleneck over slow
+    # links, serve/artifact.py) and the HBM residency
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
-                  img_fn, params, (images, t),
+                  img_fn,
+                  _param_subtree(params, "visual_encoder", "space_dict",
+                                 "vision_proj"),
+                  (images, t),
                   meta={"task": "retrieval_image",
                         "outputs": "(itc feature [B,E], state_x, state_alive)",
                         "batching": {"batch": B, "inputs": [1, 0],
                                      "outputs": [1, 1, 1]},
                         **meta}, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "text_encoder"),
-                  txt_fn, params, (ids, mask, t),
+                  txt_fn,
+                  _param_subtree(params, "text_encoder", "space_dict",
+                                 "text_proj"),
+                  (ids, mask, t),
                   meta={"task": "retrieval_text",
                         "outputs": "(itc feature [B,E], kept_counts)",
                         "batching": {"batch": B, "inputs": [1, 1, 0],
                                      "outputs": [1, 0]},
                         **meta}, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "itm_rerank"),
-                  rerank_fn, params, (r_ids, r_mask, sx, sa, t),
+                  rerank_fn,
+                  _param_subtree(params, "text_encoder", "space_dict",
+                                 "itm_head"),
+                  (r_ids, r_mask, sx, sa, t),
                   meta={"task": "retrieval_itm_rerank",
                         "outputs": "itm match scores [n] (row i = text i vs "
                                    "image-state i; add the ITC sim like the "

@@ -30,20 +30,25 @@ Wire protocol (``<name>`` may be omitted when one artifact is served):
     The AOT graph is fixed-shape; when the artifact records a
     ``batching`` spec (every ``cli/export_serving`` task does), requests
     may carry any sub-batch n <= the exported batch — batched inputs are
-    padded to the exported shape by edge replication and the batched
-    outputs sliced back to n (sound: DTP is row-independent in both
-    modes).  Without the spec, shapes must match exactly.
+    padded to the exported shape by replicating the request's own rows
+    (exact: replicas cannot change the batch-max keep counts that couple
+    DTP rows) and the batched outputs sliced back to n.  Without the
+    spec, shapes must match exactly.
     response: an ``.npz`` of the output leaves in order, dtype-exact
     (ml_dtypes like bfloat16 ride as raw bits + a sidecar json key, the
     same trick as ``ckpt/export.save_native``).
 
-Requests on artifacts with a ``batching`` spec flow through a per-model
-dispatcher thread that packs whatever is queued into ONE device call
-(natural dynamic batching: while a call is in flight, arriving sub-batch
-requests accumulate and ride the next call together — no artificial
-latency window).  Requests can merge only when their unbatched inputs
-(e.g. the DTP temperature, a VQA answer list) are equal; others wait for
-a later call.
+Requests on artifacts whose ``batching`` spec declares
+``row_independent: true`` flow through a per-model dispatcher thread that
+packs whatever is queued into ONE device call (natural dynamic batching:
+while a call is in flight, arriving sub-batch requests accumulate and
+ride the next call together — no artificial latency window).  Requests
+can merge only when their unbatched inputs (e.g. the DTP temperature, a
+VQA answer list) are equal; others wait for a later call.  Artifacts
+WITHOUT the flag (all standard DTP task exports — their keep counts are
+batch-coupled, reference semantics) never merge distinct requests: each
+request gets its own padded call, so its outputs are exactly what it
+would get served alone.
 """
 
 from __future__ import annotations
@@ -57,20 +62,16 @@ from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
-_ML_KEY = "__ml_dtypes_json__"
-
-
 def encode_arrays(arrays: Sequence) -> bytes:
     """Positional arrays -> npz bytes; ml_dtypes (bfloat16/fp8, numpy kind
-    'V') ride as uint8 bits + a json key recording the true dtype/shape."""
-    flat = {f"a{i:04d}": np.asarray(a) for i, a in enumerate(arrays)}
-    ml = {}
-    for k, v in flat.items():
-        if v.dtype.kind == "V":
-            ml[k] = [str(v.dtype), list(v.shape)]
-            flat[k] = v.reshape(-1).view(np.uint8)
-    if ml:
-        flat[_ML_KEY] = np.frombuffer(json.dumps(ml).encode(), np.uint8)
+    'V') ride as uint8 bits + a json key recording the true dtype/shape —
+    the SAME codec as the native checkpoint format
+    (ckpt/export.encode_ml_dtypes), shared so wire and checkpoint dtype
+    handling cannot diverge."""
+    from madtp_tpu.ckpt.export import encode_ml_dtypes
+
+    flat = encode_ml_dtypes(
+        {f"a{i:04d}": np.asarray(a) for i, a in enumerate(arrays)})
     buf = io.BytesIO()
     np.savez(buf, **flat)
     return buf.getvalue()
@@ -78,15 +79,11 @@ def encode_arrays(arrays: Sequence) -> bytes:
 
 def decode_arrays(data: bytes) -> List[np.ndarray]:
     """Inverse of :func:`encode_arrays` (file order preserved)."""
+    from madtp_tpu.ckpt.export import decode_ml_dtypes
+
     with np.load(io.BytesIO(data)) as z:
         flat = {k: z[k] for k in z.files}
-    if _ML_KEY in flat:
-        import ml_dtypes
-
-        for k, (name, shape) in json.loads(
-                flat.pop(_ML_KEY).tobytes().decode()).items():
-            flat[k] = flat[k].view(np.dtype(getattr(
-                ml_dtypes, name))).reshape(shape)
+    flat = decode_ml_dtypes(flat)
     return [flat[k] for k in sorted(flat)]
 
 
@@ -154,10 +151,28 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", "0"))
-            arrays = decode_arrays(self.rfile.read(n))
+            if n <= 0:
+                raise _BadRequest(
+                    "empty body (Content-Length required; chunked encoding "
+                    "is not supported — send the npz with a length)")
+            cap = rt.max_body_bytes()
+            if n > cap:
+                self._send_json(413, {"error": (
+                    f"body of {n} bytes exceeds this artifact's input "
+                    f"budget ({cap} bytes) — the process that owns the "
+                    "accelerator refuses to buffer it")})
+                return
+            try:
+                arrays = decode_arrays(self.rfile.read(n))
+            except Exception as e:  # noqa: BLE001 — any parse failure is
+                raise _BadRequest(  # the client's malformed payload
+                    f"body is not a decodable npz: "
+                    f"{type(e).__name__}: {e}") from None
             out = rt.predict(arrays)
         except _BadRequest as e:
             self._send_json(400, {"error": str(e)})
+        except _Unavailable as e:
+            self._send_json(503, {"error": str(e)})
         except Exception as e:  # surface the failure to the client
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
         else:
@@ -170,6 +185,10 @@ class _BadRequest(ValueError):
 
 class _BadRoute(ValueError):
     pass
+
+
+class _Unavailable(RuntimeError):
+    """Mapped to HTTP 503: queue timeout under overload, or shutdown."""
 
 
 class _Pending:
@@ -197,9 +216,19 @@ class _ModelRuntime:
         # (written by save_artifact as a pytree of [shape, dtype] leaves)
         self._inputs = _flat_input_specs(self.model.meta["inputs"])
         self._bat = self.model.meta.get("batching")
-        # a spec with no batched inputs has nothing to merge on
+        # Cross-request merging is ONLY sound when the exporter declares the
+        # step row-independent (batching.row_independent).  DTP keep counts
+        # are batch-COUPLED in both modes (topk_num = max over the batch,
+        # prune/dtp.py:172,:286 — reference semantics), so merging two
+        # requests into one batch changes both requests' keep counts and
+        # outputs; none of the standard cli/export_serving tasks set the
+        # flag.  Sub-batch PADDING (self-replication of a request's own
+        # rows) stays available regardless: replicas of existing rows can
+        # never change a batch max, so padding is exact.  A spec with no
+        # batched inputs has nothing to merge on either.
         self._aggregate = bool(aggregate and self._bat
-                               and any(self._bat["inputs"]))
+                               and any(self._bat["inputs"])
+                               and self._bat.get("row_independent"))
         self._request_timeout = request_timeout
         self.stats = {"requests": 0, "calls": 0, "merged": 0}
         self._queue: List[_Pending] = []
@@ -225,6 +254,15 @@ class _ModelRuntime:
 
     # ---- request path ------------------------------------------------
 
+    def max_body_bytes(self) -> int:
+        """Upper bound for a request body: the exported input sizes (the
+        npz is uncompressed, so wire bytes ~ raw bytes + headers) with 2x
+        headroom — one oversized/malicious Content-Length must not OOM the
+        process that owns the accelerator."""
+        total = sum(int(np.prod(s)) * _np_dtype(d).itemsize
+                    for s, d in self._inputs)
+        return 2 * total + 65536
+
     def predict(self, arrays: Sequence[np.ndarray]) -> List[np.ndarray]:
         cast, n = self._validate_cast(arrays)
         with self._cond:  # counters share the dispatch lock
@@ -233,10 +271,22 @@ class _ModelRuntime:
             return self._run_padded([_Pending(cast, n)])[0]
         p = _Pending(cast, n)
         with self._cond:
+            if self._closing:
+                raise _Unavailable("server shutting down")
             self._queue.append(p)
             self._cond.notify()
         if not p.event.wait(self._request_timeout):
-            raise RuntimeError("predict timed out in the dispatch queue")
+            with self._cond:
+                # still queued: withdraw it so the dispatcher doesn't burn
+                # a device call on a request nobody is waiting for (if it's
+                # already in flight the result is simply discarded)
+                try:
+                    self._queue.remove(p)
+                except ValueError:
+                    pass
+            raise _Unavailable(
+                f"predict timed out after {self._request_timeout}s in the "
+                "dispatch queue (server overloaded)")
         if p.error is not None:
             raise p.error
         return p.result
@@ -337,9 +387,12 @@ class _ModelRuntime:
     def _run_padded(self, group: List[_Pending]) -> List[List[np.ndarray]]:
         """Pack the group's rows into one exported-shape call and split the
         outputs back per request.  Padding replicates the last real row —
-        sound because DTP is row-independent in both modes (mask:
-        per-sample alive masks on a fixed buffer; gather: static per-sample
-        capacities): pad rows cannot change real rows' outputs."""
+        exact in both DTP modes because replicas of rows already in the
+        batch cannot change the batch-max keep counts
+        (prune/dtp.py:172,:286) that couple rows.  Multi-request groups
+        only exist when the artifact declared row_independent (see
+        __init__): for batch-coupled steps, merging distinct requests
+        WOULD change their outputs."""
         bat = self._bat
         if bat is None or group[0].n is None:
             packed = group[0].arrays  # exact-shape artifact, single request
@@ -517,7 +570,7 @@ class ServingClient:
         self.url = url.rstrip("/")
         self.timeout = timeout
         self.name = name
-        self._meta: Optional[dict] = None
+        self._meta: Dict[str, dict] = {}  # cached per artifact name
 
     def _get(self, path: str) -> bytes:
         import urllib.request
@@ -530,11 +583,19 @@ class ServingClient:
         name = name or self.name
         return f"/{name}" if name else ""
 
+    def meta_for(self, name: Optional[str] = None) -> dict:
+        """Meta of one artifact (or the {name: meta} mapping when the
+        server hosts several and no name is given).  Cached per name, so
+        setting ``self.name`` after a nameless fetch still works."""
+        key = name or self.name or ""
+        if key not in self._meta:
+            self._meta[key] = json.loads(
+                self._get("/meta" + self._suffix(name)))
+        return self._meta[key]
+
     @property
     def meta(self) -> dict:
-        if self._meta is None:
-            self._meta = json.loads(self._get("/meta" + self._suffix(None)))
-        return self._meta
+        return self.meta_for(None)
 
     def stats(self, name: Optional[str] = None) -> dict:
         return json.loads(self._get("/stats" + self._suffix(name)))

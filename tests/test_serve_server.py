@@ -97,11 +97,47 @@ def test_server_rejects_bad_requests(nlvr_server):
                        np.asarray(mask), np.asarray(t))
 
 
+def test_server_rejects_malformed_and_oversized_bodies(nlvr_server):
+    """Client mistakes must map to 4xx, not 500: garbage npz -> 400,
+    empty body -> 400, and a huge Content-Length -> 413 BEFORE the server
+    buffers it (one bad client must not OOM the process that owns the
+    accelerator)."""
+    import http.client
+
+    srv, *_ = nlvr_server
+    host, port = srv.server_address
+
+    def post(body: bytes, claim_len=None):
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        try:
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length",
+                           str(len(body) if claim_len is None else claim_len))
+            conn.endheaders()
+            if body:
+                conn.send(body)
+            r = conn.getresponse()
+            return r.status, r.read()
+        finally:
+            conn.close()
+
+    code, body = post(b"this is not an npz archive")
+    assert code == 400 and b"npz" in body
+    code, _ = post(b"")
+    assert code == 400
+    cap = srv.default.max_body_bytes()
+    code, body = post(b"x", claim_len=cap + 1)
+    assert code == 413 and b"budget" in body
+
+
 def test_server_sub_batch(nlvr_server):
     """A 1-sample request against the batch-2 artifact: padded to the
-    exported shape (NLVR's image pair = two n-row blocks), outputs sliced
-    back, values equal to the full-batch run's row 0 (DTP is
-    row-independent in mask mode)."""
+    exported shape (NLVR's image pair = two n-row blocks) by replicating
+    the request's OWN rows, outputs sliced back.  Self-replication cannot
+    change DTP's batch-max keep counts, so the result is BIT-equal to the
+    same sample run as a full batch of itself — i.e. exactly what the
+    request would get served alone (batch-1 semantics, NOT the row it
+    would get inside someone else's batch)."""
     srv, (images, ids, mask, t), want = nlvr_server
     client = ServingClient(srv.url)
     B = np.asarray(ids).shape[0]
@@ -109,12 +145,17 @@ def test_server_sub_batch(nlvr_server):
     # sample 0's image pair: row 0 (block 0) and row B (block 1)
     sub = client.predict(np.stack([im[0], im[B]]), np.asarray(ids)[:1],
                          np.asarray(mask)[:1], np.asarray(t))
-    full = jax.tree.leaves(want)
     assert sub[0].shape == (1, 2)
-    np.testing.assert_allclose(sub[0][0], np.asarray(full[0])[0],
-                               rtol=0, atol=1e-5)
+    # ground truth: the artifact's own full-shape call on the self-padded
+    # batch (the exact packing _run_padded performs)
+    padded_imgs = np.concatenate([np.repeat(im[0:1], B, axis=0),
+                                  np.repeat(im[B:B + 1], B, axis=0)])
+    want_solo = srv.default._call([
+        padded_imgs, np.repeat(np.asarray(ids)[:1], B, axis=0),
+        np.repeat(np.asarray(mask)[:1], B, axis=0), np.asarray(t)])
+    np.testing.assert_array_equal(sub[0][0], want_solo[0][0])
     # unbatched outputs (kept counts) pass through unsliced
-    assert sub[1].shape == np.asarray(full[1]).shape
+    assert sub[1].shape == np.asarray(jax.tree.leaves(want)[1]).shape
 
 
 def test_server_concurrent_requests(nlvr_server):
@@ -131,29 +172,52 @@ def test_server_concurrent_requests(nlvr_server):
                                       np.asarray(jax.tree.leaves(want)[0]))
 
 
-def test_dispatcher_merges_compatible_requests(nlvr_server):
+@pytest.fixture(scope="module")
+def rowind_server(tmp_path_factory):
+    """A genuinely row-independent artifact (pure elementwise step) whose
+    batching spec declares row_independent — the ONLY kind the dispatcher
+    may merge distinct requests on (DTP task exports are batch-coupled and
+    never set the flag; see test_dtp_batch_coupling_motivates_merge_gate)."""
+    params = {"w": jnp.asarray(np.linspace(0.5, 2.0, 4).astype(np.float32))}
+
+    def fn(params, x, t):
+        return x * params["w"] + t
+
+    B = 4
+    x = jnp.zeros((B, 4), jnp.float32)
+    t = jnp.float32(0.0)
+    art = str(tmp_path_factory.mktemp("srv_ri") / "rowind")
+    save_artifact(art, fn, params, (x, t),
+                  meta={"task": "rowind",
+                        "batching": {"batch": B, "inputs": [1, 0],
+                                     "outputs": [1],
+                                     "row_independent": True}})
+    srv = ArtifactServer(art, "127.0.0.1", 0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_dispatcher_merges_compatible_requests(rowind_server):
     """Unit-level: two 1-sample requests with equal unbatched inputs pack
     into ONE device call whose per-request outputs equal their solo runs;
-    a request with a different temperature refuses to merge."""
+    a request with a different scalar input refuses to merge."""
     from madtp_tpu.serve.server import _Pending
 
-    srv, (images, ids, mask, t), _ = nlvr_server
-    B = np.asarray(ids).shape[0]
-    im, idn, mkn = np.asarray(images), np.asarray(ids), np.asarray(mask)
-
+    srv = rowind_server
     rt = srv.default
+    assert rt._aggregate  # the flag enables the dispatcher
 
-    def one_sample(j, temp):
-        return rt._validate_cast(
-            [np.stack([im[j], im[B + j]]), idn[j:j + 1], mkn[j:j + 1],
-             np.asarray(temp, np.float32)])
+    def one_sample(seed, temp):
+        x = np.random.RandomState(seed).randn(1, 4).astype(np.float32)
+        return rt._validate_cast([x, np.asarray(temp, np.float32)])
 
     p0 = _Pending(*one_sample(0, 1.0))
     p1 = _Pending(*one_sample(1, 1.0))
-    p2 = _Pending(*one_sample(0, 8.0))  # different temperature: no merge
+    p2 = _Pending(*one_sample(2, 8.0))  # different scalar: no merge
 
-    rt._queue = [p0, p1, p2]
     with rt._cond:
+        rt._queue.extend([p0, p1, p2])
         group = rt._take_group_locked()
     assert group == [p0, p1] and rt._queue == [p2]
 
@@ -162,26 +226,27 @@ def test_dispatcher_merges_compatible_requests(nlvr_server):
     assert rt.stats["calls"] == calls_before + 1  # ONE call for both
     solo0 = rt._run_padded([_Pending(*one_sample(0, 1.0))])[0]
     solo1 = rt._run_padded([_Pending(*one_sample(1, 1.0))])[0]
-    np.testing.assert_allclose(merged[0][0], solo0[0], atol=1e-5)
-    np.testing.assert_allclose(merged[1][0], solo1[0], atol=1e-5)
+    np.testing.assert_array_equal(merged[0][0], solo0[0])
+    np.testing.assert_array_equal(merged[1][0], solo1[0])
     rt._queue.clear()
 
 
-def test_live_aggregation_under_load(nlvr_server):
-    """End-to-end: hold the device lock so queued 1-sample requests pile
-    up, release, and check every response is correct and at least one
-    device call served more than one request."""
+def test_live_aggregation_under_load(rowind_server):
+    """End-to-end on the row-independent artifact: hold the device lock so
+    queued 1-sample requests pile up, release, and check every response is
+    correct and at least one device call served more than one request."""
     import concurrent.futures
     import time
 
-    srv, (images, ids, mask, t), want = nlvr_server
+    srv = rowind_server
     client = ServingClient(srv.url)
-    B = np.asarray(ids).shape[0]
-    im, idn, mkn = np.asarray(images), np.asarray(ids), np.asarray(mask)
+    w = np.linspace(0.5, 2.0, 4).astype(np.float32)
 
-    def one(j):
-        return client.predict(np.stack([im[j], im[B + j]]), idn[j:j + 1],
-                              mkn[j:j + 1], np.asarray(t))
+    def one(seed):
+        x = np.random.RandomState(seed).randn(1, 4).astype(np.float32)
+        out = client.predict(x, np.asarray(0.5, np.float32))[0]
+        np.testing.assert_allclose(out, x * w + 0.5, atol=1e-6)
+        return out
 
     rt = srv.default
     with concurrent.futures.ThreadPoolExecutor(3) as ex:
@@ -195,18 +260,82 @@ def test_live_aggregation_under_load(nlvr_server):
             while not (rt.stats["requests"] > req0
                        and not rt._queue) and time.time() < deadline:
                 time.sleep(0.02)
-            futs += [ex.submit(one, 0), ex.submit(one, 1)]
+            futs += [ex.submit(one, 1), ex.submit(one, 2)]
             while len(rt._queue) < 2 and time.time() < deadline:
                 time.sleep(0.02)  # both follow-ups queued behind the lock
         finally:
             srv._lock.release()
-        outs = [f.result(timeout=60) for f in futs]
+        for f in futs:
+            f.result(timeout=60)  # asserts inside one()
 
-    full = np.asarray(jax.tree.leaves(want)[0])
-    np.testing.assert_allclose(outs[0][0][0], full[0], atol=1e-5)
-    np.testing.assert_allclose(outs[1][0][0], full[0], atol=1e-5)
-    np.testing.assert_allclose(outs[2][0][0], full[1], atol=1e-5)
     assert srv.stats["merged"] >= 1
+
+
+def test_dtp_batch_coupling_motivates_merge_gate(nlvr_server):
+    """DTP keep counts are batch-COUPLED (topk_num = max over the batch,
+    prune/dtp.py:172/:286 — reference semantics): the same sample's output
+    depends on which companions ride the batch.  This is WHY the server
+    must never merge distinct requests on a DTP artifact — if this test
+    ever fails (rows made independent), the merge gate can be revisited."""
+    from tests.test_serve import _tiny_nlvr
+    from madtp_tpu.models.blip import blip_nlvr_forward
+
+    cfg, params, images, ids, mask, _ = _tiny_nlvr()
+    B = np.asarray(ids).shape[0]
+    im = np.asarray(images)
+
+    @jax.jit
+    def fn(params, images, ids, mask, t):
+        return blip_nlvr_forward(params, images, ids, mask, cfg,
+                                 temperature=t, prune_active=True)
+
+    t = jnp.float32(1.0)
+
+    def with_companion(comp_img):
+        # batch = [sample0, companion]; NLVR images stack pair blocks
+        imgs = np.concatenate([im[0:1], comp_img[0:1],
+                               im[B:B + 1], comp_img[1:2]])
+        logits, (vk, tk) = fn(params, jnp.asarray(imgs),
+                              ids[:2], mask[:2], t)
+        return np.asarray(logits)[0], np.asarray(vk), np.asarray(tk)
+
+    quiet = np.zeros_like(im[:2])            # companion that prunes hard
+    loud = 5.0 * np.asarray(
+        np.random.RandomState(3).randn(*im[:2].shape), np.float32)
+    l_quiet, vk_q, tk_q = with_companion(quiet)
+    l_loud, vk_l, tk_l = with_companion(loud)
+    coupled = (not np.array_equal(l_quiet, l_loud)
+               or not np.array_equal(vk_q, vk_l)
+               or not np.array_equal(tk_q, tk_l))
+    assert coupled, (
+        "DTP rows became batch-independent — the server's merge gate "
+        "(row_independent flag) may be relaxable now")
+
+
+def test_coupled_artifact_never_merges(nlvr_server):
+    """A DTP artifact (no row_independent flag) must NOT merge distinct
+    requests: no dispatcher thread, merged counter stays 0, and every
+    concurrent 1-sample response is BIT-equal to its solo run."""
+    import concurrent.futures
+
+    srv, (images, ids, mask, t), _ = nlvr_server
+    rt = srv.default
+    assert not rt._aggregate and rt._dispatcher is None
+    client = ServingClient(srv.url)
+    B = np.asarray(ids).shape[0]
+    im, idn, mkn = np.asarray(images), np.asarray(ids), np.asarray(mask)
+
+    def one(j):
+        return client.predict(np.stack([im[j], im[B + j]]), idn[j:j + 1],
+                              mkn[j:j + 1], np.asarray(t))
+
+    solo = [one(0), one(1)]
+    merged_before = rt.stats["merged"]
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(one, [0, 1, 0, 1]))
+    for got, j in zip(outs, [0, 1, 0, 1]):
+        np.testing.assert_array_equal(got[0], solo[j][0])
+    assert rt.stats["merged"] == merged_before == 0
 
 
 def test_multi_artifact_server(tmp_path):
