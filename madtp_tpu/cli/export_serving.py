@@ -27,6 +27,12 @@ exports the calibrated gather fast path (capacities from mask-mode probe
 batches — synthetic images by default, or ``--probe_npz`` with a real batch
 for production calibration; drift is quantified in
 tests/test_calibration_drift.py).
+
+``--row_independent`` (nlvr/clip/retrieval) exports per-row batch-1 DTP
+semantics: every row computes as if served alone (the batch-max keep-count
+coupling of reference batched eval is traded away), which lets the HTTP
+server merge different requests into one device call (dynamic batching —
+serve/server.py gates merging on the recorded flag).
 """
 
 from __future__ import annotations
@@ -92,6 +98,70 @@ def _probe_text(args, batch, text_len, tokenize=None):
           "probe text for production calibration")
     return (np.zeros((batch, text_len), np.int32),
             np.ones((batch, text_len), np.int32))
+
+
+def _rowind_wrap(fn, batching):
+    """Per-row (batch-1) semantics: wrap a batched step so every row is
+    computed as if it were its OWN batch — each DTP batch-max reduction
+    (prune/dtp.py:172,:286) sees one sample, so a row's output no longer
+    depends on its co-tenants.  That is exactly the property the serving
+    dispatcher needs to merge different requests into one device call
+    (serve/server.py: merging is gated on ``batching.row_independent``),
+    and it matches what each request would get served alone at batch 1.
+
+    Mechanically: inputs keep their exported block layout (block k of a
+    mult-m input is rows ``[k*B, (k+1)*B)``); each row's blocks are
+    re-stacked and the step is ``jax.vmap``-ed over rows (XLA still
+    batches the matmuls; only the cross-row reductions disappear).
+    Outputs that were per-batch scalars/vectors (e.g. kept counts) become
+    per-row — the returned spec marks them batched (mult 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    in_mults = list(batching["inputs"])
+    out_mults = list(batching["outputs"])
+
+    def wrapped(params, *inputs):
+        rows = None
+        mapped = []
+        for a, m in zip(inputs, in_mults):
+            if m:
+                rows = a.shape[0] // m
+                mapped.append(jnp.stack(
+                    [a[k * rows:(k + 1) * rows] for k in range(m)], axis=1))
+            else:
+                mapped.append(a)
+        in_axes = (None,) + tuple(0 if m else None for m in in_mults)
+        # a batch-1 call sees each mult-m input as its m blocks of one row
+        # — which is exactly the [m, ...] slice vmap hands us
+        outs = jax.vmap(lambda p, *rws: fn(p, *rws),
+                        in_axes=in_axes)(params, *mapped)
+        leaves, treedef = jax.tree.flatten(outs)
+        fixed = []
+        for o, mo in zip(leaves, out_mults):
+            if mo:  # [rows, mo, ...] -> block layout [mo*rows, ...]
+                fixed.append(jnp.moveaxis(o, 1, 0)
+                             .reshape((mo * rows,) + o.shape[2:]))
+            else:   # formerly per-batch, now per-row: [rows, ...]
+                fixed.append(o)
+        return jax.tree.unflatten(treedef, fixed)
+
+    return wrapped
+
+
+def _apply_row_independent(args, fn, meta):
+    """``--row_independent``: swap in the vmapped step and update the
+    batching spec (all outputs become batched; flag recorded so the server
+    enables dynamic-batch merging)."""
+    if not getattr(args, "row_independent", False):
+        return fn, meta
+    bat = dict(meta["batching"])
+    wrapped = _rowind_wrap(fn, bat)
+    bat["outputs"] = [m if m else 1 for m in bat["outputs"]]
+    bat["row_independent"] = True
+    note = " [row-independent: per-row batch-1 DTP semantics]"
+    return wrapped, {**meta, "batching": bat,
+                     "outputs": meta.get("outputs", "") + note}
 
 
 def _param_subtree(params, *keys):
@@ -167,23 +237,21 @@ def _export_nlvr(args, config, platforms):
                 temperature=t, prune_active=prune)
             return logits, vk, tk
 
-    save_artifact(
-        args.output_dir, fn, params, (images, ids, mask, t),
-        meta={
-            "task": "nlvr",
-            "temperature": float(temperature),
-            "mode": "gather" if caps_v is not None else
-                    ("mask" if prune else "dense"),
-            "capacities_vision": None if caps_v is None else list(caps_v),
-            "capacities_text": None if caps_t is None else list(caps_t),
-            "outputs": "(logits [B,2], vision_kept, text_kept)",
-            # sub-batch serving (serve/server.py): images stack the pair as
-            # TWO n-row blocks (reference compress_nlvr_dtp.py:43)
-            "batching": {"batch": B, "inputs": [2, 1, 1, 0],
-                         "outputs": [1, 0, 0]},
-        },
-        platforms=platforms,
-    )
+    fn, meta = _apply_row_independent(args, fn, {
+        "task": "nlvr",
+        "temperature": float(temperature),
+        "mode": "gather" if caps_v is not None else
+                ("mask" if prune else "dense"),
+        "capacities_vision": None if caps_v is None else list(caps_v),
+        "capacities_text": None if caps_t is None else list(caps_t),
+        "outputs": "(logits [B,2], vision_kept, text_kept)",
+        # sub-batch serving (serve/server.py): images stack the pair as
+        # TWO n-row blocks (reference compress_nlvr_dtp.py:43)
+        "batching": {"batch": B, "inputs": [2, 1, 1, 0],
+                     "outputs": [1, 0, 0]},
+    })
+    save_artifact(args.output_dir, fn, params, (images, ids, mask, t),
+                  meta=meta, platforms=platforms)
     print(f"exported NLVR serving artifact -> {args.output_dir} "
           f"(T={temperature}, mode="
           f"{'gather' if caps_v is not None else 'mask' if prune else 'dense'})")
@@ -270,26 +338,26 @@ def _export_clip(args, config, platforms):
             "capacities_vision": None if caps_v is None else list(caps_v)}
     # per-unit param subtrees: one server hosts both towers, so each
     # artifact ships only the weights its fn reads (see _export_retrieval)
+    img_fn, img_meta = _apply_row_independent(args, img_fn, {
+        "task": "clip_image",
+        "outputs": "(features [B,E], kept_counts)",
+        "batching": {"batch": B, "inputs": [1, 0], "outputs": [1, 0]},
+        **meta})
+    txt_fn, txt_meta = _apply_row_independent(args, txt_fn, {
+        "task": "clip_text",
+        "outputs": "(features [B,E], kept_counts)",
+        "batching": {"batch": B, "inputs": [1, 0], "outputs": [1, 0]},
+        **meta})
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn,
                   _param_subtree(params, "visual", "space_dict"),
-                  (images, t),
-                  meta={"task": "clip_image",
-                        "outputs": "(features [B,E], kept_counts)",
-                        "batching": {"batch": B, "inputs": [1, 0],
-                                     "outputs": [1, 0]}, **meta},
-                  platforms=platforms)
+                  (images, t), meta=img_meta, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "text_encoder"),
                   txt_fn,
                   _param_subtree(params, "token_embedding",
                                  "positional_embedding", "blocks",
                                  "ln_final", "text_projection", "space_dict"),
-                  (text, t),
-                  meta={"task": "clip_text",
-                        "outputs": "(features [B,E], kept_counts)",
-                        "batching": {"batch": B, "inputs": [1, 0],
-                                     "outputs": [1, 0]}, **meta},
-                  platforms=platforms)
+                  (text, t), meta=txt_meta, platforms=platforms)
     print(f"exported CLIP serving artifacts -> {args.output_dir}"
           f"/{{image_encoder,text_encoder}} (T={temperature})")
 
@@ -573,38 +641,40 @@ def _export_retrieval(args, config, platforms):
     # hosts all three, so a shared full tree would triple weights.npz on
     # disk, the host->device upload (the serving bottleneck over slow
     # links, serve/artifact.py) and the HBM residency
+    img_fn, img_meta = _apply_row_independent(args, img_fn, {
+        "task": "retrieval_image",
+        "outputs": "(itc feature [B,E], state_x, state_alive)",
+        "batching": {"batch": B, "inputs": [1, 0], "outputs": [1, 1, 1]},
+        **meta})
+    txt_fn, txt_meta = _apply_row_independent(args, txt_fn, {
+        "task": "retrieval_text",
+        "outputs": "(itc feature [B,E], kept_counts)",
+        "batching": {"batch": B, "inputs": [1, 1, 0], "outputs": [1, 0]},
+        **meta})
+    rerank_fn, rr_meta = _apply_row_independent(args, rerank_fn, {
+        "task": "retrieval_itm_rerank",
+        "outputs": "itm match scores [n] (row i = text i vs "
+                   "image-state i; add the ITC sim like the "
+                   "reference, compress_retrieval_dtp.py:178)",
+        "batching": {"batch": n, "inputs": [1, 1, 1, 1, 0],
+                     "outputs": [1]},
+        **meta})
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn,
                   _param_subtree(params, "visual_encoder", "space_dict",
                                  "vision_proj"),
-                  (images, t),
-                  meta={"task": "retrieval_image",
-                        "outputs": "(itc feature [B,E], state_x, state_alive)",
-                        "batching": {"batch": B, "inputs": [1, 0],
-                                     "outputs": [1, 1, 1]},
-                        **meta}, platforms=platforms)
+                  (images, t), meta=img_meta, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "text_encoder"),
                   txt_fn,
                   _param_subtree(params, "text_encoder", "space_dict",
                                  "text_proj"),
-                  (ids, mask, t),
-                  meta={"task": "retrieval_text",
-                        "outputs": "(itc feature [B,E], kept_counts)",
-                        "batching": {"batch": B, "inputs": [1, 1, 0],
-                                     "outputs": [1, 0]},
-                        **meta}, platforms=platforms)
+                  (ids, mask, t), meta=txt_meta, platforms=platforms)
     save_artifact(os.path.join(args.output_dir, "itm_rerank"),
                   rerank_fn,
                   _param_subtree(params, "text_encoder", "space_dict",
                                  "itm_head"),
                   (r_ids, r_mask, sx, sa, t),
-                  meta={"task": "retrieval_itm_rerank",
-                        "outputs": "itm match scores [n] (row i = text i vs "
-                                   "image-state i; add the ITC sim like the "
-                                   "reference, compress_retrieval_dtp.py:178)",
-                        "batching": {"batch": n, "inputs": [1, 1, 1, 1, 0],
-                                     "outputs": [1]},
-                        **meta}, platforms=platforms)
+                  meta=rr_meta, platforms=platforms)
     print(f"exported retrieval serving artifacts -> {args.output_dir}"
           f"/{{image_encoder,text_encoder,itm_rerank}} (T={temperature})")
 
@@ -661,6 +731,16 @@ def main():
                         "--fast_eval TEXT capacity calibration (nlvr)")
     p.add_argument("--bert_vocab", default="",
                    help="BERT vocab.txt for --probe_sentences tokenization")
+    p.add_argument("--row_independent", action="store_true",
+                   help="nlvr/clip/retrieval: export per-row (batch-1) DTP "
+                        "semantics — every row computes as if served alone, "
+                        "so the HTTP server may merge different requests "
+                        "into one device call (dynamic batching; "
+                        "serve/server.py).  Batched evals couple rows via "
+                        "the batch-max keep count (reference semantics); "
+                        "this trades that coupling away.  If the TPU export "
+                        "trips on vmapping the fused kernel, retry with "
+                        "MADTP_NO_FUSED_ATTN=1.")
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms (e.g. 'tpu,cpu'; "
                         "default: current backend)")

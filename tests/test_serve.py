@@ -499,3 +499,92 @@ def test_export_serving_cli(tmp_path, monkeypatch, capsys):
         np.testing.assert_allclose(sub[0][0], np.asarray(want)[0], atol=1e-5)
     finally:
         srv.server_close()
+
+
+def test_export_serving_row_independent(tmp_path, monkeypatch, capsys):
+    """--row_independent NLVR artifact: per-row batch-1 DTP semantics.
+
+    (a) each served row is BIT-equal to the base step run on that sample
+        ALONE (batch 1) — a row's result no longer depends on co-tenants;
+    (b) the artifact's spec flags row_independent, so the HTTP dispatcher
+        may merge distinct requests: two merged 1-sample requests return
+        exactly their solo results in ONE device call."""
+    from madtp_tpu.cli import export_serving
+    from madtp_tpu.cli.common import build_blip_cfg
+    from madtp_tpu.models.blip import blip_nlvr_forward
+    from madtp_tpu.serve.server import ArtifactServer, ServingClient
+
+    out = tmp_path / "artifact"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "nlvr", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out), "--batch", "2", "--text_len", "12",
+         "--row_independent"])
+    export_serving.main()
+    capsys.readouterr()
+
+    model = load_artifact(str(out))
+    bat = model.meta["batching"]
+    assert bat["row_independent"] is True
+    assert bat["outputs"] == [1, 1, 1]  # kept counts are per-row now
+
+    blip_cfg = build_blip_cfg({"vit": "tiny", "image_size": 64}, 64,
+                              twin_cross=True)
+    rng = np.random.RandomState(9)
+    images = rng.randn(4, 3, 64, 64).astype(np.float32)
+    ids = rng.randint(1, 100, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    t = np.float32(model.meta["temperature"])
+
+    logits, vk, tk = (np.asarray(o) for o in model(
+        jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask),
+        jnp.float32(t)))
+
+    base = jax.jit(lambda p, im, i, m, tt: blip_nlvr_forward(
+        p, im, i, m, blip_cfg, temperature=tt, prune_active=True))
+    for j in range(2):
+        solo_imgs = jnp.asarray(np.stack([images[j], images[2 + j]]))
+        want, (wvk, wtk) = base(model.params, solo_imgs,
+                                jnp.asarray(ids[j:j + 1]),
+                                jnp.asarray(mask[j:j + 1]), jnp.float32(t))
+        np.testing.assert_array_equal(logits[j], np.asarray(want)[0])
+        np.testing.assert_array_equal(vk[j], np.asarray(wvk))
+        np.testing.assert_array_equal(tk[j], np.asarray(wtk))
+
+    srv = ArtifactServer(str(out))
+    srv.start_background()
+    try:
+        rt = srv.default
+        assert rt._aggregate  # merging enabled by the flag
+        client = ServingClient(srv.url)
+
+        def one(j):
+            return client.predict(
+                np.stack([images[j], images[2 + j]]), ids[j:j + 1],
+                mask[j:j + 1], t)
+
+        solo = [one(0), one(1)]
+        # force a merge: hold the device lock so both requests queue
+        import concurrent.futures
+        import time
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            srv._lock.acquire()
+            try:
+                req0 = rt.stats["requests"]
+                futs = [ex.submit(one, 0)]
+                deadline = time.time() + 10
+                while not (rt.stats["requests"] > req0
+                           and not rt._queue) and time.time() < deadline:
+                    time.sleep(0.02)
+                futs.append(ex.submit(one, 1))
+                while len(rt._queue) < 1 and time.time() < deadline:
+                    time.sleep(0.02)
+            finally:
+                srv._lock.release()
+            outs = [f.result(timeout=60) for f in futs]
+        for got, want in zip(outs, solo):
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+    finally:
+        srv.shutdown()
