@@ -133,9 +133,29 @@ def _rowind_wrap(fn, batching):
                 mapped.append(a)
         in_axes = (None,) + tuple(0 if m else None for m in in_mults)
         # a batch-1 call sees each mult-m input as its m blocks of one row
-        # — which is exactly the [m, ...] slice vmap hands us
-        outs = jax.vmap(lambda p, *rws: fn(p, *rws),
-                        in_axes=in_axes)(params, *mapped)
+        # — which is exactly the [m, ...] slice vmap hands us.
+        # Kernel dispatch is trace-time (ops/attention.py), and Mosaic
+        # cannot lower the squeezed-batch BlockSpecs that vmap's batching
+        # rule produces for pallas_call (measured on-chip, r4:
+        # "Pallas TPU lowering ... trivial index_map" ValueError), so the
+        # vmapped trace takes the pure-XLA scoring path.  Measured cost at
+        # batch-8 mask-mode serving shapes (tools/bench_rowind.py): 1.01x
+        # vs the XLA batched step (per-row semantics are free), 1.9x vs
+        # the fused-kernel batched path (the kernel is what's given up —
+        # a kernel batching rule that folds vmap's row axis into the grid
+        # would close this; future work).
+        import os
+
+        old = os.environ.get("MADTP_NO_FUSED_ATTN")
+        os.environ["MADTP_NO_FUSED_ATTN"] = "1"
+        try:
+            outs = jax.vmap(lambda p, *rws: fn(p, *rws),
+                            in_axes=in_axes)(params, *mapped)
+        finally:
+            if old is None:
+                os.environ.pop("MADTP_NO_FUSED_ATTN", None)
+            else:
+                os.environ["MADTP_NO_FUSED_ATTN"] = old
         leaves, treedef = jax.tree.flatten(outs)
         fixed = []
         for o, mo in zip(leaves, out_mults):
@@ -738,9 +758,14 @@ def main():
                         "into one device call (dynamic batching; "
                         "serve/server.py).  Batched evals couple rows via "
                         "the batch-max keep count (reference semantics); "
-                        "this trades that coupling away.  If the TPU export "
-                        "trips on vmapping the fused kernel, retry with "
-                        "MADTP_NO_FUSED_ATTN=1.")
+                        "this trades that coupling away.  The vmapped trace "
+                        "takes the pure-XLA scoring path (Mosaic cannot "
+                        "lower vmapped pallas_call blocks).  Measured cost "
+                        "(tools/bench_rowind.py, batch-8 mask mode): 1.01x "
+                        "vs the XLA batched step — row independence itself "
+                        "is free — but 1.9x vs the fused-kernel batched "
+                        "path; worth it under many small concurrent "
+                        "requests, not for full-batch clients.")
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms (e.g. 'tpu,cpu'; "
                         "default: current backend)")

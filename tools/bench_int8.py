@@ -47,9 +47,11 @@ def timeit(f, args_list, reps=3):
     return best * 1000
 
 
-def raw(n=4096, links=24):
+def raw(n=4096, links=8, loops=4):
     """Chained square matmuls; requant between links is a shift (int8) or a
-    clip (bf16) so the chain stays in-dtype.  Effective rate ~= MXU rate."""
+    clip (bf16) so the chain stays in-dtype.  Effective rate ~= MXU rate.
+    Weights are ARGUMENTS (never close over arrays in jit on this backend —
+    constants upload to the remote compile service, CLAUDE.md)."""
     rng = np.random.RandomState(0)
     w8 = [jnp.asarray(rng.randint(-8, 8, (n, n), dtype=np.int8))
           for _ in range(links)]
@@ -57,26 +59,29 @@ def raw(n=4096, links=24):
                        ).astype(jnp.bfloat16) for _ in range(links)]
 
     @jax.jit
-    def chain8(x):
-        for w in w8:
-            y = jax.lax.dot_general(
-                x, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            x = jax.lax.shift_right_arithmetic(y, 10).astype(jnp.int8)
+    def chain8(x, ws):
+        for _ in range(loops):
+            for w in ws:
+                y = jax.lax.dot_general(
+                    x, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                x = jax.lax.shift_right_arithmetic(y, 10).astype(jnp.int8)
         return x
 
     @jax.jit
-    def chain16(x):
-        for w in w16:
-            x = jnp.clip(x @ w, -3, 3)
+    def chain16(x, ws):
+        for _ in range(loops):
+            for w in ws:
+                x = jnp.clip(x @ w, -3, 3)
         return x
 
     xs8 = [jnp.asarray(rng.randint(-8, 8, (n, n), dtype=np.int8))
            for _ in range(4)]
     xs16 = [jnp.asarray((rng.randn(n, n) * 0.1).astype(np.float32)
                         ).astype(jnp.bfloat16) for _ in range(4)]
-    ms8 = timeit(chain8, [(x,) for x in xs8])
-    ms16 = timeit(chain16, [(x,) for x in xs16])
+    links = links * loops  # effective links per call
+    ms8 = timeit(chain8, [(x, w8) for x in xs8])
+    ms16 = timeit(chain16, [(x, w16) for x in xs16])
     ops = 2.0 * n * n * n * links
     t8, t16 = ops / (ms8 / 1e3) / 1e12, ops / (ms16 / 1e3) / 1e12
     print(f"raw n={n} links={links}: int8 {ms8:.2f}ms ({t8:.1f} TOPS)  "
@@ -115,13 +120,15 @@ def ffn(M=32 * 384, D=768, F=3072):
     b1j, b2j = jnp.asarray(b1).astype(jnp.bfloat16), jnp.asarray(b2).astype(jnp.bfloat16)
     q1j, s1j, q2j, s2j = map(jnp.asarray, (q1, s1, q2, s2))
 
+    b1j2, b2j2 = jnp.asarray(b1), jnp.asarray(b2)
+
     @jax.jit
-    def f16(x):
+    def f16(x, w1j, b1j, w2j, b2j):
         h = jax.nn.gelu(x @ w1j + b1j)
         return h @ w2j + b2j
 
     @jax.jit
-    def f8(x):
+    def f8(x, q1j, s1j, q2j, s2j, b1, b2):
         xq, sx = _quant_rows(x)
         y = jax.lax.dot_general(xq, q1j, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -134,10 +141,12 @@ def ffn(M=32 * 384, D=768, F=3072):
 
     xs = [jnp.asarray((rng.randn(M, D) * 0.5).astype(np.float32)
                       ).astype(jnp.bfloat16) for _ in range(8)]
-    ms16 = timeit(f16, [(x,) for x in xs])
-    ms8 = timeit(f8, [(x,) for x in xs])
-    a = np.asarray(f8(xs[0]), np.float32)
-    b = np.asarray(f16(xs[0]), np.float32)
+    a16 = (w1j, b1j, w2j, b2j)
+    a8 = (q1j, s1j, q2j, s2j, b1j2, b2j2)
+    ms16 = timeit(f16, [(x,) + a16 for x in xs])
+    ms8 = timeit(f8, [(x,) + a8 for x in xs])
+    a = np.asarray(f8(xs[0], *a8), np.float32)
+    b = np.asarray(f16(xs[0], *a16), np.float32)
     rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
     print(f"ffn M={M} D={D} F={F}: w8a8 {ms8:.2f}ms  bf16 {ms16:.2f}ms  "
           f"speedup={ms16 / ms8:.2f}x  rel|d|max={rel:.3f}")
@@ -154,18 +163,18 @@ def wonly(M=32 * 384, D=768, F=3072):
     q1j, s1j = jnp.asarray(q1), jnp.asarray(s1)
 
     @jax.jit
-    def f16(x):
+    def f16(x, w1j):
         return x @ w1j
 
     @jax.jit
-    def f8(x):
+    def f8(x, q1j, s1j):
         w = (q1j.astype(jnp.bfloat16) * s1j.astype(jnp.bfloat16))
         return x @ w
 
     xs = [jnp.asarray((rng.randn(M, D) * 0.5).astype(np.float32)
                       ).astype(jnp.bfloat16) for _ in range(8)]
-    ms16 = timeit(f16, [(x,) for x in xs])
-    ms8 = timeit(f8, [(x,) for x in xs])
+    ms16 = timeit(f16, [(x, w1j) for x in xs])
+    ms8 = timeit(f8, [(x, q1j, s1j) for x in xs])
     print(f"wonly M={M} D={D} F={F}: int8-w {ms8:.2f}ms  bf16 {ms16:.2f}ms  "
           f"ratio={ms16 / ms8:.2f}x")
     return {"wonly_ms": round(ms8, 2), "wonly_bf16_ms": round(ms16, 2)}
