@@ -100,88 +100,25 @@ def _probe_text(args, batch, text_len, tokenize=None):
             np.ones((batch, text_len), np.int32))
 
 
-def _rowind_wrap(fn, batching):
-    """Per-row (batch-1) semantics: wrap a batched step so every row is
-    computed as if it were its OWN batch — each DTP batch-max reduction
-    (prune/dtp.py:172,:286) sees one sample, so a row's output no longer
-    depends on its co-tenants.  That is exactly the property the serving
-    dispatcher needs to merge different requests into one device call
-    (serve/server.py: merging is gated on ``batching.row_independent``),
-    and it matches what each request would get served alone at batch 1.
+def _mark_row_independent(meta, outputs):
+    """--row_independent bookkeeping: per-row outputs mults + the flag the
+    serving dispatcher gates dynamic-batch merging on (serve/server.py).
 
-    Mechanically: inputs keep their exported block layout (block k of a
-    mult-m input is rows ``[k*B, (k+1)*B)``); each row's blocks are
-    re-stacked and the step is ``jax.vmap``-ed over rows (XLA still
-    batches the matmuls; only the cross-row reductions disappear).
-    Outputs that were per-batch scalars/vectors (e.g. kept counts) become
-    per-row — the returned spec marks them batched (mult 1)."""
-    import jax
-    import jax.numpy as jnp
-
-    in_mults = list(batching["inputs"])
-    out_mults = list(batching["outputs"])
-
-    def wrapped(params, *inputs):
-        rows = None
-        mapped = []
-        for a, m in zip(inputs, in_mults):
-            if m:
-                rows = a.shape[0] // m
-                mapped.append(jnp.stack(
-                    [a[k * rows:(k + 1) * rows] for k in range(m)], axis=1))
-            else:
-                mapped.append(a)
-        in_axes = (None,) + tuple(0 if m else None for m in in_mults)
-        # a batch-1 call sees each mult-m input as its m blocks of one row
-        # — which is exactly the [m, ...] slice vmap hands us.
-        # Kernel dispatch is trace-time (ops/attention.py), and Mosaic
-        # cannot lower the squeezed-batch BlockSpecs that vmap's batching
-        # rule produces for pallas_call (measured on-chip, r4:
-        # "Pallas TPU lowering ... trivial index_map" ValueError), so the
-        # vmapped trace takes the pure-XLA scoring path.  Measured cost at
-        # batch-8 mask-mode serving shapes (tools/bench_rowind.py): 1.01x
-        # vs the XLA batched step (per-row semantics are free), 1.9x vs
-        # the fused-kernel batched path (the kernel is what's given up —
-        # a kernel batching rule that folds vmap's row axis into the grid
-        # would close this; future work).
-        import os
-
-        old = os.environ.get("MADTP_NO_FUSED_ATTN")
-        os.environ["MADTP_NO_FUSED_ATTN"] = "1"
-        try:
-            outs = jax.vmap(lambda p, *rws: fn(p, *rws),
-                            in_axes=in_axes)(params, *mapped)
-        finally:
-            if old is None:
-                os.environ.pop("MADTP_NO_FUSED_ATTN", None)
-            else:
-                os.environ["MADTP_NO_FUSED_ATTN"] = old
-        leaves, treedef = jax.tree.flatten(outs)
-        fixed = []
-        for o, mo in zip(leaves, out_mults):
-            if mo:  # [rows, mo, ...] -> block layout [mo*rows, ...]
-                fixed.append(jnp.moveaxis(o, 1, 0)
-                             .reshape((mo * rows,) + o.shape[2:]))
-            else:   # formerly per-batch, now per-row: [rows, ...]
-                fixed.append(o)
-        return jax.tree.unflatten(treedef, fixed)
-
-    return wrapped
-
-
-def _apply_row_independent(args, fn, meta):
-    """``--row_independent``: swap in the vmapped step and update the
-    batching spec (all outputs become batched; flag recorded so the server
-    enables dynamic-batch merging)."""
-    if not getattr(args, "row_independent", False):
-        return fn, meta
+    The per-row semantics themselves are NATIVE: the model fns take
+    ``row_independent=True`` (prune/dtp.py) — each row keeps its OWN
+    threshold count instead of the batch max, so a row's output never
+    depends on its co-tenants, while the fused Pallas scoring kernel stays
+    engaged (the batch coupling lives in the DTP glue, not the kernel).
+    An earlier vmap-based implementation lost the kernel (Mosaic cannot
+    lower the squeezed-batch BlockSpecs vmap produces for pallas_call;
+    measured 1.9x slower, tools/bench_rowind.py) — the native flag keeps
+    full batched-path speed."""
     bat = dict(meta["batching"])
-    wrapped = _rowind_wrap(fn, bat)
-    bat["outputs"] = [m if m else 1 for m in bat["outputs"]]
+    bat["outputs"] = list(outputs)
     bat["row_independent"] = True
-    note = " [row-independent: per-row batch-1 DTP semantics]"
-    return wrapped, {**meta, "batching": bat,
-                     "outputs": meta.get("outputs", "") + note}
+    note = " [row-independent: per-row DTP decisions]"
+    return {**meta, "batching": bat,
+            "outputs": meta.get("outputs", "") + note}
 
 
 def _param_subtree(params, *keys):
@@ -249,15 +186,17 @@ def _export_nlvr(args, config, platforms):
         _, vk, tk = jax.block_until_ready(step(params, probe, p_ids, p_mask, t))
         caps_v, caps_t = fast_capacity_schedule(
             np.asarray(vk), np.asarray(tk), args.cap_mode)
-        fn = make_eval_step(cfg, True, tuple(caps_v), tuple(caps_t))
+        fn = make_eval_step(cfg, True, tuple(caps_v), tuple(caps_t),
+                            row_independent=args.row_independent)
     else:
         def fn(params, images, ids, mask, t):
             logits, (vk, tk) = blip_nlvr_forward(
                 params, images, ids, mask, cfg,
-                temperature=t, prune_active=prune)
+                temperature=t, prune_active=prune,
+                row_independent=args.row_independent)
             return logits, vk, tk
 
-    fn, meta = _apply_row_independent(args, fn, {
+    meta = {
         "task": "nlvr",
         "temperature": float(temperature),
         "mode": "gather" if caps_v is not None else
@@ -269,7 +208,17 @@ def _export_nlvr(args, config, platforms):
         # TWO n-row blocks (reference compress_nlvr_dtp.py:43)
         "batching": {"batch": B, "inputs": [2, 1, 1, 0],
                      "outputs": [1, 0, 0]},
-    })
+    }
+    if args.row_independent:
+        base_fn = fn
+
+        def fn(params, images, ids, mask, t):
+            logits, vk, tk = base_fn(params, images, ids, mask, t)
+            # per-row kept counts, batch-leading for the slicing spec:
+            # vision [L, 2B] -> [2B, L] (two pair blocks), text -> [B, L]
+            return logits, vk.T, tk.T
+
+        meta = _mark_row_independent(meta, [1, 2, 1])
     save_artifact(args.output_dir, fn, params, (images, ids, mask, t),
                   meta=meta, platforms=platforms)
     print(f"exported NLVR serving artifact -> {args.output_dir} "
@@ -337,20 +286,22 @@ def _export_clip(args, config, platforms):
         caps_v, _ = fast_capacity_schedule(np.asarray(vk), None, args.cap_mode)
         caps_v = tuple(caps_v)
 
+    ri = args.row_independent
+
     def img_fn(params, images, t):
         feats, _, kept = clip_encode_image(
             params, images, cfg,
             space_dict=params.get(sd_key) if sd_key else None,
             temperature=t, prune_active=prune and not cfg.is_resnet,
-            capacities=caps_v)
-        return feats, kept
+            capacities=caps_v, row_independent=ri)
+        return (feats, kept.T) if ri else (feats, kept)
 
     def txt_fn(params, text, t):
         feats, _, kept = clip_encode_text(
             params, text, cfg,
             space_dict=params.get(sd_key) if sd_key else None,
-            temperature=t, prune_active=prune)
-        return feats, kept
+            temperature=t, prune_active=prune, row_independent=ri)
+        return (feats, kept.T) if ri else (feats, kept)
 
     meta = {"temperature": float(temperature),
             "mode": "gather" if caps_v is not None else
@@ -358,16 +309,22 @@ def _export_clip(args, config, platforms):
             "capacities_vision": None if caps_v is None else list(caps_v)}
     # per-unit param subtrees: one server hosts both towers, so each
     # artifact ships only the weights its fn reads (see _export_retrieval)
-    img_fn, img_meta = _apply_row_independent(args, img_fn, {
+    img_meta = {
         "task": "clip_image",
         "outputs": "(features [B,E], kept_counts)",
         "batching": {"batch": B, "inputs": [1, 0], "outputs": [1, 0]},
-        **meta})
-    txt_fn, txt_meta = _apply_row_independent(args, txt_fn, {
+        **meta}
+    txt_meta = {
         "task": "clip_text",
         "outputs": "(features [B,E], kept_counts)",
         "batching": {"batch": B, "inputs": [1, 0], "outputs": [1, 0]},
-        **meta})
+        **meta}
+    if ri:
+        # RN towers run unpruned and return an EMPTY kept array — it stays
+        # an unbatched output (mult 0)
+        img_meta = _mark_row_independent(
+            img_meta, [1, 0 if cfg.is_resnet else 1])
+        txt_meta = _mark_row_independent(txt_meta, [1, 1])
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn,
                   _param_subtree(params, "visual", "space_dict"),
@@ -624,17 +581,19 @@ def _export_retrieval(args, config, platforms):
         caps_v, caps_t = fast_capacity_schedule(
             np.asarray(vk), np.asarray(tk), args.cap_mode)
 
+    ri = args.row_independent
+
     def img_fn(params, images, t):
         feat, state, _ = blip_retrieval_image_features(
             params, images, cfg, temperature=t, prune_active=prune,
-            capacities=caps_v)
+            capacities=caps_v, row_independent=ri)
         return feat, state.x, state.alive
 
     def txt_fn(params, ids, mask, t):
         feat, out = blip_retrieval_text_features(
             params, ids, mask, cfg, temperature=t, prune_active=prune,
-            capacities=caps_t)
-        return feat, out.kept_counts
+            capacities=caps_t, row_independent=ri)
+        return feat, (out.kept_counts.T if ri else out.kept_counts)
 
     from madtp_tpu.prune.dtp import TokenState
 
@@ -650,7 +609,8 @@ def _export_retrieval(args, config, platforms):
     def rerank_fn(params, ids, mask, sx, sa, t):
         return blip_itm_score(
             params, ids, mask, TokenState(sx, sa, None), cfg,
-            temperature=t, prune_active=prune, capacities=caps_t)
+            temperature=t, prune_active=prune, capacities=caps_t,
+            row_independent=ri)
 
     meta = {"temperature": float(temperature),
             "mode": "gather" if caps_v is not None else
@@ -661,24 +621,28 @@ def _export_retrieval(args, config, platforms):
     # hosts all three, so a shared full tree would triple weights.npz on
     # disk, the host->device upload (the serving bottleneck over slow
     # links, serve/artifact.py) and the HBM residency
-    img_fn, img_meta = _apply_row_independent(args, img_fn, {
+    img_meta = {
         "task": "retrieval_image",
         "outputs": "(itc feature [B,E], state_x, state_alive)",
         "batching": {"batch": B, "inputs": [1, 0], "outputs": [1, 1, 1]},
-        **meta})
-    txt_fn, txt_meta = _apply_row_independent(args, txt_fn, {
+        **meta}
+    txt_meta = {
         "task": "retrieval_text",
         "outputs": "(itc feature [B,E], kept_counts)",
         "batching": {"batch": B, "inputs": [1, 1, 0], "outputs": [1, 0]},
-        **meta})
-    rerank_fn, rr_meta = _apply_row_independent(args, rerank_fn, {
+        **meta}
+    rr_meta = {
         "task": "retrieval_itm_rerank",
         "outputs": "itm match scores [n] (row i = text i vs "
                    "image-state i; add the ITC sim like the "
                    "reference, compress_retrieval_dtp.py:178)",
         "batching": {"batch": n, "inputs": [1, 1, 1, 1, 0],
                      "outputs": [1]},
-        **meta})
+        **meta}
+    if ri:
+        img_meta = _mark_row_independent(img_meta, [1, 1, 1])
+        txt_meta = _mark_row_independent(txt_meta, [1, 1])
+        rr_meta = _mark_row_independent(rr_meta, [1])
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn,
                   _param_subtree(params, "visual_encoder", "space_dict",

@@ -72,13 +72,19 @@ def blip_nlvr_forward(
     dropout_rng=None,
     capacities_v=None,
     capacities_t=None,
+    row_independent: bool = False,
 ):
     """Reference models/blip_nlvr.py:63-100.  Returns logits [B,2] at eval or
     (loss_ori, loss_fdt, logits) at train.
 
     ``capacities_v``/``capacities_t`` (static tuples) switch both towers to
     the gather fast path — identical DTP decisions, physically compacted to
-    the calibrated per-layer schedule (eval --fast_eval and --fast_train)."""
+    the calibrated per-layer schedule (eval --fast_eval and --fast_train).
+
+    ``row_independent`` (serving mode): per-row DTP — NOTE the vision tower
+    runs on the [2B] image stack, so each IMAGE of a pair prunes on its own
+    counts (a batch-1 live call couples the pair through the batch max);
+    kept counts become per-row ([L, 2B] vision / [L, B] text)."""
     B = text_ids.shape[0]
     r_v = r_t = None
     if dropout_rng is not None:
@@ -87,7 +93,7 @@ def blip_nlvr_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, dropout_rng=r_v,
-        capacities=capacities_v,
+        capacities=capacities_v, row_independent=row_independent,
     )
     st0, st1 = _split_state(vstate, B)
     out = M.med_encoder(
@@ -95,7 +101,7 @@ def blip_nlvr_forward(
         mode="multimodal", encoder_state=st0, encoder_state1=st1,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, dropout_rng=r_t,
-        capacities=capacities_t,
+        capacities=capacities_t, row_independent=row_independent,
     )
     hidden = out.state.x[:, 0, :]
     h = jax.nn.relu(linear(params["cls_head"]["fc1"], hidden))
@@ -196,13 +202,14 @@ def blip_vqa_encode(
 
 def blip_retrieval_image_features(params, images, cfg: BlipConfig, *,
                                   temperature=0.0, prune_active=False,
-                                  capacities=None):
+                                  capacities=None, row_independent=False):
     """Image tower + projection (reference models/blip_retrieval.py:103-105).
     Returns (feat [B,E] L2-normalized, TokenState for ITM rerank, sd_img_ft)."""
     vstate, sd_img_ft, _ = vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, capacities=capacities,
+        row_independent=row_independent,
     )
     feat = linear(params["vision_proj"], vstate.x[:, 0, :])
     feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
@@ -211,14 +218,14 @@ def blip_retrieval_image_features(params, images, cfg: BlipConfig, *,
 
 def blip_retrieval_text_features(params, text_ids, text_mask, cfg: BlipConfig, *,
                                  temperature=0.0, prune_active=False,
-                                 capacities=None):
+                                 capacities=None, row_independent=False):
     """Text tower in 'text' mode + projection
     (reference models/blip_retrieval.py:110-114)."""
     out = M.med_encoder(
         params["text_encoder"], text_ids, text_mask, cfg.med,
         mode="text", space_dict=params["space_dict"],
         temperature=temperature, prune_active=prune_active,
-        capacities=capacities,
+        capacities=capacities, row_independent=row_independent,
     )
     feat = linear(params["text_proj"], out.state.x[:, 0, :])
     feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
@@ -227,7 +234,7 @@ def blip_retrieval_text_features(params, text_ids, text_mask, cfg: BlipConfig, *
 
 def blip_itm_score(params, text_ids, text_mask, image_state: TokenState,
                    cfg: BlipConfig, *, temperature=0.0, prune_active=False,
-                   capacities=None):
+                   capacities=None, row_independent=False):
     """ITM head over the multimodal encoder's CLS (reference
     compress_retrieval_dtp.py:166-178): returns logits[:, 1] as the match
     score."""
@@ -236,6 +243,7 @@ def blip_itm_score(params, text_ids, text_mask, image_state: TokenState,
         mode="multimodal", encoder_state=image_state,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, capacities=capacities,
+        row_independent=row_independent,
     )
     logits = linear(params["itm_head"], out.state.x[:, 0, :])
     return logits[:, 1]

@@ -57,6 +57,7 @@ def clip_block(
     space_dict: Optional[jnp.ndarray],
     prune_active: bool,
     max_keep,
+    row_independent: bool = False,
 ):
     """ResidualAttentionBlock (reference clip/model.py:236-261):
     MAG (pre-attention) -> x += attn(ln_1(x)) -> DTP -> x += mlp(ln_2(x)).
@@ -89,14 +90,15 @@ def clip_block(
     x = x + linear(p["attn"]["out_proj"], out)
     state = TokenState(x, alive, bias)
 
-    kept = jnp.sum(alive[0, 1:])
+    kept = (jnp.sum(alive[:, 1:], axis=1) if row_independent
+            else jnp.sum(alive[0, 1:]))
     if prune_active:
         signals = DTPSignals(
             cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
         )
         state, kept = dtp_prune(
             state, signals, temperature, merge_slot, variant="clip",
-            max_keep=max_keep,
+            max_keep=max_keep, row_independent=row_independent,
         )
 
     x, alive, bias = state
@@ -106,7 +108,8 @@ def clip_block(
 
 
 def _tower(params_blocks, state, *, num_layers, num_heads, temperature,
-           causal, space_dict, prune_active, max_keep, P0, sd_shape):
+           causal, space_dict, prune_active, max_keep, P0, sd_shape,
+           row_independent=False):
     def body(carry, layer):
         state, sd_all = carry
         p, idx = layer
@@ -119,6 +122,7 @@ def _tower(params_blocks, state, *, num_layers, num_heads, temperature,
             space_dict=space_dict,
             prune_active=prune_active,
             max_keep=max_keep,
+            row_independent=row_independent,
         )
         if sd_ft is not None:
             sd_all = sd_all + sd_ft
@@ -137,7 +141,8 @@ def _tower(params_blocks, state, *, num_layers, num_heads, temperature,
 
 
 def _tower_gather(params_blocks, state, *, num_layers, num_heads, temperature,
-                  space_dict, max_keep, capacities, sd_shape):
+                  space_dict, max_keep, capacities, sd_shape,
+                  row_independent=False):
     """Gather fast path for a NON-CAUSAL tower (vision only): identical DTP
     decisions to :func:`_tower`, physically compacted per layer to the
     static calibrated capacity schedule (cf. models/vit.py
@@ -174,7 +179,7 @@ def _tower_gather(params_blocks, state, *, num_layers, num_heads, temperature,
         cap = min(capacities[i], state.x.shape[1])
         state, kept, _ovf = dtp_prune_gather(
             state, signals, temperature, cap, variant="clip",
-            max_keep=max_keep)
+            max_keep=max_keep, row_independent=row_independent)
         x, alive, bias = state
         x = x + mlp({"fc1": p["mlp"]["c_fc"], "fc2": p["mlp"]["c_proj"]},
                     layer_norm(p["ln_2"], x, LN_EPS), act=quick_gelu)
@@ -186,6 +191,7 @@ def _tower_gather(params_blocks, state, *, num_layers, num_heads, temperature,
 def clip_encode_image(
     params, images, cfg: CLIPConfig, *, space_dict=None, temperature=0.0,
     prune_active=False, capacities=None, return_state=False,
+    row_independent=False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Vision tower (reference clip/model.py:275-313).
     Returns (features [B,E], sd_img_ft_all, kept_counts);
@@ -233,6 +239,7 @@ def clip_encode_image(
             num_layers=cfg.vision_layers, num_heads=cfg.vision_heads,
             temperature=temperature, space_dict=space_dict, max_keep=1,
             capacities=capacities, sd_shape=sd_shape,
+            row_independent=row_independent,
         )
         feats = layer_norm(v["ln_post"], state.x[:, 0, :], LN_EPS)
         feats = jnp.dot(feats, v["proj"], preferred_element_type=jnp.float32)
@@ -247,6 +254,7 @@ def clip_encode_image(
         num_layers=cfg.vision_layers, num_heads=cfg.vision_heads,
         temperature=temperature, causal=False, space_dict=space_dict,
         prune_active=prune_active, max_keep=1, P0=P0, sd_shape=sd_shape,
+        row_independent=row_independent,
     )
     feats = layer_norm(v["ln_post"], state.x[:, 0, :], LN_EPS)
     feats = jnp.dot(feats, v["proj"], preferred_element_type=jnp.float32)
@@ -257,7 +265,7 @@ def clip_encode_image(
 
 def clip_encode_text(
     params, text: jnp.ndarray, cfg: CLIPConfig, *, space_dict=None,
-    temperature=0.0, prune_active=False,
+    temperature=0.0, prune_active=False, row_independent=False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Text tower (reference clip/model.py:485-503).
     ``text``: [B, context_length] token ids.  Returns (features [B,E],
@@ -266,7 +274,9 @@ def clip_encode_text(
     x = x + params["positional_embedding"].astype(x.dtype)[None]
 
     eot_pos = jnp.argmax(text, axis=-1)  # EOT has the highest token id
-    max_keep = jnp.max(eot_pos) + 2  # reference clip/model.py:492
+    # the EOT guard is itself batch-coupled in the reference
+    # (clip/model.py:492 takes the batch max); per-row in serving mode
+    max_keep = (eot_pos + 2) if row_independent else (jnp.max(eot_pos) + 2)
 
     P0 = x.shape[1] - 1
     state = init_token_state(x, depth=cfg.transformer_layers if prune_active else 0,
@@ -277,6 +287,7 @@ def clip_encode_text(
         num_layers=cfg.transformer_layers, num_heads=cfg.transformer_heads,
         temperature=temperature, causal=True, space_dict=space_dict,
         prune_active=prune_active, max_keep=max_keep, P0=P0, sd_shape=sd_shape,
+        row_independent=row_independent,
     )
     x = layer_norm(params["ln_final"], state.x, LN_EPS)
     feats = x[jnp.arange(x.shape[0]), eot_pos]  # identity-preserving EOT lookup

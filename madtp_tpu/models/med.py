@@ -156,8 +156,12 @@ def med_encoder(
     prune_active: bool = False,
     capacities: Optional[Tuple[int, ...]] = None,
     dropout_rng=None,
+    row_independent: bool = False,
 ) -> MedEncoderOut:
     """BertModel encoder pass (reference models/med.py:478-598, 788-929).
+
+    ``row_independent`` (static; serving mode): per-row DTP decisions and
+    per-row kept counts ``[L, B]`` — see prune/dtp.dtp_prune.
 
     Slot 0 (CLS/ENC token) is never pruned; the padding mask rides along as a
     finite additive bias exactly like the reference's extended mask.
@@ -188,6 +192,7 @@ def med_encoder(
             params, emb, pad_bias, cfg,
             mode=mode, encoder_state=encoder_state, encoder_state1=encoder_state1,
             space_dict=space_dict, temperature=temperature, capacities=capacities,
+            row_independent=row_independent,
         )
 
     state = init_token_state(emb, depth=L if prune_active else 0,
@@ -222,12 +227,15 @@ def med_encoder(
         )
         state = TokenState(h, alive, bias)
 
-        kept = jnp.sum(alive[0, 1:])
+        kept = (jnp.sum(alive[:, 1:], axis=1) if row_independent
+                else jnp.sum(alive[0, 1:]))
         if prune_active:
             signals = DTPSignals(
                 cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
             )
-            state, kept = dtp_prune(state, signals, temperature, 1 + (N - 1) + idx)
+            state, kept = dtp_prune(state, signals, temperature,
+                                    1 + (N - 1) + idx,
+                                    row_independent=row_independent)
 
         x, alive, bias = state
         if mode == "multimodal":
@@ -260,6 +268,7 @@ def med_encoder(
 def _med_encoder_gather(
     params, emb, pad_bias, cfg: MedConfig, *, mode, encoder_state,
     encoder_state1, space_dict, temperature, capacities,
+    row_independent: bool = False,
 ) -> MedEncoderOut:
     """Unrolled gather-mode text encoder (static per-layer capacities)."""
     from madtp_tpu.core.tree import layer_slice
@@ -289,7 +298,8 @@ def _med_encoder_gather(
         )
         cap = min(capacities[i], h.shape[1])
         state, kept, _ovf = dtp_prune_gather(
-            TokenState(h, alive, bias), signals, temperature, cap
+            TokenState(h, alive, bias), signals, temperature, cap,
+            row_independent=row_independent,
         )
         x, alive, bias = state
         if mode == "multimodal":

@@ -64,6 +64,7 @@ def vit_block(
     prune_active: bool,
     rng=None,
     dp_rate=0.0,
+    row_independent: bool = False,
 ):
     """One transformer block: attn -> (DTP) -> FFN
     (reference models/vit.py:183-207)."""
@@ -73,12 +74,16 @@ def vit_block(
     state, aux = _attn_part(p, state, cfg, need_scores=prune_active,
                             rng=r1, dp_rate=dp_rate)
 
-    kept = jnp.sum(state.alive[0, 1:])  # placeholder when not pruning
+    if row_independent:  # per-row placeholder/kept (serving mode)
+        kept = jnp.sum(state.alive[:, 1:], axis=1)
+    else:
+        kept = jnp.sum(state.alive[0, 1:])  # placeholder when not pruning
     if prune_active:
         signals = DTPSignals(
             cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
         )
-        state, kept = dtp_prune(state, signals, temperature, merge_slot)
+        state, kept = dtp_prune(state, signals, temperature, merge_slot,
+                                row_independent=row_independent)
 
     return _ffn_part(p, state, cfg, rng=r2, dp_rate=dp_rate), kept
 
@@ -93,8 +98,13 @@ def vit_forward(
     prune_active: bool = False,
     capacities: Optional[Tuple[int, ...]] = None,
     dropout_rng=None,
+    row_independent: bool = False,
 ) -> Tuple[TokenState, Optional[jnp.ndarray], jnp.ndarray]:
     """Reference models/vit.py:281-310.
+
+    ``row_independent`` (static; serving mode): per-row DTP decisions and
+    per-row kept counts — ``kept_counts`` becomes ``[depth, B]`` (see
+    prune/dtp.dtp_prune).
 
     ``prune_active`` must be a static bool (True iff temperature > 0); the
     temperature value itself is traced, so the compression controller never
@@ -126,6 +136,7 @@ def vit_forward(
         return _vit_forward_gather(
             params, x, cfg=cfg, space_dict=space_dict,
             temperature=temperature, capacities=capacities,
+            row_independent=row_independent,
         )
 
     pad_to = 8 if prune_active else 1
@@ -155,6 +166,7 @@ def vit_forward(
             prune_active=prune_active,
             rng=rng_l,
             dp_rate=dp_rate,
+            row_independent=row_independent,
         )
         return (state, sd_all), kept
 
@@ -209,7 +221,7 @@ def init_vit_params(cfg: ViTConfig, rng: np.random.RandomState, dtype=np.float32
 
 
 def _vit_forward_gather(params, x, *, cfg: ViTConfig, space_dict, temperature,
-                        capacities):
+                        capacities, row_independent: bool = False):
     """Unrolled gather-mode forward: per-layer physical compaction to the
     static capacity schedule.  Shapes differ per layer (by design), so the
     loop is unrolled rather than scanned; XLA still compiles each distinct
@@ -237,7 +249,9 @@ def _vit_forward_gather(params, x, *, cfg: ViTConfig, space_dict, temperature,
             cls_attn=aux.cls_attn, col_mass=aux.col_mass, token_attn=token_attn
         )
         cap = min(capacities[i], state.x.shape[1])
-        state, kept, _ovf = dtp_prune_gather(state, signals, temperature, cap)
+        state, kept, _ovf = dtp_prune_gather(
+            state, signals, temperature, cap,
+            row_independent=row_independent)
         state = _ffn_part(p, state, cfg)
         kept_list.append(kept)
 

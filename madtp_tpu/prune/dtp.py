@@ -149,6 +149,7 @@ def dtp_prune(
     *,
     variant: str = "vit",
     max_keep=None,  # CLIP text EOT guard (reference clip/model.py:220,492)
+    row_independent: bool = False,
 ) -> Tuple[TokenState, jnp.ndarray]:
     """One DTP step.  Returns ``(new_state, kept_patch_count)`` where
     ``kept_patch_count`` is the batch-uniform number of alive non-CLS slots
@@ -156,6 +157,15 @@ def dtp_prune(
 
     Guards (reference models/vit.py:148, med.py:372, clip/model.py:220): skip
     entirely when nothing or almost-everything would be pruned.
+
+    ``row_independent=True`` (serving mode, ``export_serving
+    --row_independent``) drops the reference's batch coupling: each row
+    keeps its OWN threshold count (exactly what a batch-1 call computes)
+    instead of the batch max, the guards apply per row, and the returned
+    kept count is per-row ``[B]``.  This makes a row's output independent
+    of its co-tenants — the property the serving dispatcher's dynamic-batch
+    merging requires (serve/server.py) — while the fused scoring kernel
+    stays engaged (the coupling lives HERE, not in the kernel).
     """
     x, alive, bias = state
     B, S, D = x.shape
@@ -168,8 +178,12 @@ def dtp_prune(
 
     keep_decision = palive & (score > thr[:, None])
     counts = jnp.sum(keep_decision, axis=1)  # [B]
-    topk_num = jnp.max(counts)  # traced scalar, batch-coupled like reference
-    alive_cnt = jnp.max(jnp.sum(palive, axis=1))  # batch-uniform by construction
+    if row_independent:
+        topk_num = counts  # [B] — each row exactly as at batch 1
+        alive_cnt = jnp.sum(palive, axis=1)  # [B]
+    else:
+        topk_num = jnp.max(counts)  # traced scalar, batch-coupled like reference
+        alive_cnt = jnp.max(jnp.sum(palive, axis=1))  # batch-uniform by construction
 
     if variant == "clip":
         mk = jnp.asarray(1 if max_keep is None else max_keep)
@@ -178,10 +192,12 @@ def dtp_prune(
         apply = (topk_num >= 1) & (alive_cnt - topk_num >= 2)
 
     # Per-sample keep set: top `topk_num` by score (batch-uniform count, so
-    # low-count samples retain below-threshold tokens — reference behavior).
+    # low-count samples retain below-threshold tokens — reference behavior;
+    # per-row count when row_independent).
     score_ranked = jnp.where(palive, score, NEG_INF)
     ranks = _rank_desc(score_ranked)
-    keep = palive & (ranks < topk_num)
+    keep = palive & (ranks < (topk_num[:, None] if row_independent
+                              else topk_num))
 
     # Merge all dropped tokens into one (reference models/vit.py:153-161).
     merge_mask = palive & ~keep
@@ -207,16 +223,20 @@ def dtp_prune(
         # rides along (models/med.py:377-390), so the merged token is
         # attendable iff that token was.
         order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, P]
+        rank_k = (topk_num[:, None] if row_independent
+                  else jnp.broadcast_to(topk_num[None, None], (B, 1)))
         rank_k_tok = jnp.take_along_axis(
-            order, jnp.broadcast_to(topk_num[None, None], (B, 1)), axis=1
+            order, jnp.minimum(rank_k, P - 1), axis=1
         )  # [B,1] patch index of the rank-topk token
         merged_bias = jnp.take_along_axis(bias[:, 1:], rank_k_tok, axis=1)[:, 0]
         new_bias = jnp.where(is_merge_slot, merged_bias[:, None], bias)
 
+    ax = apply[:, None, None] if row_independent else apply
+    aa = apply[:, None] if row_independent else apply
     out = TokenState(
-        x=jnp.where(apply, new_x, x),
-        alive=jnp.where(apply, new_alive, alive),
-        bias=new_bias if bias is None else jnp.where(apply, new_bias, bias),
+        x=jnp.where(ax, new_x, x),
+        alive=jnp.where(aa, new_alive, alive),
+        bias=new_bias if bias is None else jnp.where(aa, new_bias, bias),
     )
     kept = jnp.where(apply, topk_num + 1, alive_cnt)  # patches incl. merged
     return out, kept
@@ -254,6 +274,7 @@ def dtp_prune_gather(
     *,
     variant: str = "vit",
     max_keep=None,
+    row_independent: bool = False,
 ) -> Tuple[TokenState, jnp.ndarray, jnp.ndarray]:
     """DTP step + physical compaction to ``capacity`` slots (static shape).
 
@@ -283,8 +304,14 @@ def dtp_prune_gather(
 
     keep_decision = palive & (score > thr[:, None])
     counts = jnp.sum(keep_decision, axis=1)
-    topk_num = jnp.max(counts)
-    alive_cnt = jnp.max(jnp.sum(palive, axis=1))
+    if row_independent:
+        # serving mode: per-row counts/guards, no batch coupling — each row
+        # computes exactly its batch-1 result (see dtp_prune docstring)
+        topk_num = counts  # [B]
+        alive_cnt = jnp.sum(palive, axis=1)  # [B]
+    else:
+        topk_num = jnp.max(counts)
+        alive_cnt = jnp.max(jnp.sum(palive, axis=1))
 
     if variant == "clip":
         mk = jnp.asarray(1 if max_keep is None else max_keep)
@@ -295,12 +322,13 @@ def dtp_prune_gather(
     # Effective keep count in this buffer (clamped by capacity)
     eff_keep = jnp.where(apply, jnp.minimum(topk_num, cap_p), jnp.minimum(alive_cnt, cap_p))
     overflow = jnp.maximum(jnp.where(apply, topk_num, alive_cnt) - cap_p, 0)
+    eff_keep_col = eff_keep[:, None] if row_independent else eff_keep
 
     score_ranked = jnp.where(palive, score, NEG_INF)
     order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, S-1] desc
     sel = order[:, :cap_p]  # top cap_p patch indices (0-based into patches)
     ranks_sel = jnp.arange(cap_p)[None, :]
-    sel_alive = jnp.take_along_axis(palive, sel, axis=1) & (ranks_sel < eff_keep)
+    sel_alive = jnp.take_along_axis(palive, sel, axis=1) & (ranks_sel < eff_keep_col)
 
     gx = jnp.take_along_axis(x[:, 1:], sel[:, :, None], axis=1)  # [B,cap_p,D]
     gbias = None if bias is None else jnp.take_along_axis(bias[:, 1:], sel, axis=1)
@@ -308,7 +336,7 @@ def dtp_prune_gather(
     # merged token: everything alive and not effectively kept (ranks derived
     # from `order` — one sort fewer than calling _rank_desc again)
     rank_full = jnp.argsort(order, axis=-1, stable=True)
-    merge_mask = palive & (rank_full >= eff_keep)
+    merge_mask = palive & (rank_full >= eff_keep_col)
     w = jnp.where(merge_mask, score, 0.0)
     w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)
     merged = jnp.einsum(
@@ -318,14 +346,14 @@ def dtp_prune_gather(
 
     do_merge = apply | (overflow > 0)
     new_x = jnp.concatenate([x[:, :1], gx, merged[:, None, :]], axis=1)
-    new_alive = jnp.concatenate(
-        [alive[:, :1], sel_alive,
-         jnp.broadcast_to(do_merge[None, None], (B, 1))], axis=1,
-    )
+    merge_col = (do_merge[:, None] if row_independent
+                 else jnp.broadcast_to(do_merge[None, None], (B, 1)))
+    new_alive = jnp.concatenate([alive[:, :1], sel_alive, merge_col], axis=1)
     new_bias = None
     if bias is not None:
-        rank_k_tok = jnp.take_along_axis(
-            order, jnp.broadcast_to(eff_keep[None, None], (B, 1)), axis=1)
+        rank_k = (eff_keep[:, None] if row_independent
+                  else jnp.broadcast_to(eff_keep[None, None], (B, 1)))
+        rank_k_tok = jnp.take_along_axis(order, rank_k, axis=1)
         merged_bias = jnp.take_along_axis(bias[:, 1:], rank_k_tok, axis=1)
         new_bias = jnp.concatenate([bias[:, :1], gbias, merged_bias], axis=1)
     kept = eff_keep + do_merge.astype(eff_keep.dtype)

@@ -25,16 +25,18 @@ _EVAL_STEP_CACHE: BoundedCache = BoundedCache(maxsize=8)
 
 
 def make_eval_step(cfg: BlipConfig, prune_active: bool,
-                   capacities_v=None, capacities_t=None):
-    key = (cfg, prune_active, capacities_v, capacities_t)
+                   capacities_v=None, capacities_t=None,
+                   row_independent: bool = False):
+    key = (cfg, prune_active, capacities_v, capacities_t, row_independent)
     if key not in _EVAL_STEP_CACHE:
         _EVAL_STEP_CACHE[key] = _build_eval_step(
-            cfg, prune_active, capacities_v, capacities_t)
+            cfg, prune_active, capacities_v, capacities_t, row_independent)
     return _EVAL_STEP_CACHE[key]
 
 
 def _build_eval_step(cfg: BlipConfig, prune_active: bool,
-                     capacities_v=None, capacities_t=None):
+                     capacities_v=None, capacities_t=None,
+                     row_independent: bool = False):
     if capacities_v is not None:
         from madtp_tpu.models import med as M
         from madtp_tpu.models.blip import _split_state
@@ -48,6 +50,7 @@ def _build_eval_step(cfg: BlipConfig, prune_active: bool,
                 params["visual_encoder"], images, cfg=cfg.vit,
                 space_dict=params["space_dict"], temperature=t,
                 prune_active=True, capacities=capacities_v,
+                row_independent=row_independent,
             )
             st0, st1 = _split_state(vstate, B)
             out = M.med_encoder(
@@ -55,6 +58,7 @@ def _build_eval_step(cfg: BlipConfig, prune_active: bool,
                 mode="multimodal", encoder_state=st0, encoder_state1=st1,
                 space_dict=params["space_dict"], temperature=t,
                 prune_active=True, capacities=capacities_t,
+                row_independent=row_independent,
             )
             h = jax.nn.relu(linear(params["cls_head"]["fc1"], out.state.x[:, 0, :]))
             logits = linear(params["cls_head"]["fc2"], h)
@@ -65,6 +69,7 @@ def _build_eval_step(cfg: BlipConfig, prune_active: bool,
             logits, (vk, tk) = blip_nlvr_forward(
                 params, images, ids, mask, cfg,
                 temperature=t, prune_active=prune_active,
+                row_independent=row_independent,
             )
             return logits, vk, tk
 

@@ -502,11 +502,17 @@ def test_export_serving_cli(tmp_path, monkeypatch, capsys):
 
 
 def test_export_serving_row_independent(tmp_path, monkeypatch, capsys):
-    """--row_independent NLVR artifact: per-row batch-1 DTP semantics.
+    """--row_independent NLVR artifact: NATIVE per-row DTP semantics
+    (prune/dtp.py row_independent flag — the fused kernel stays engaged,
+    unlike the earlier vmap approach).
 
-    (a) each served row is BIT-equal to the base step run on that sample
-        ALONE (batch 1) — a row's result no longer depends on co-tenants;
-    (b) the artifact's spec flags row_independent, so the HTTP dispatcher
+    (a) a row's result does not depend on co-tenants: row j of a full-batch
+        call BIT-equals the same sample's solo 1-sample request (which the
+        server pads with the sample's own rows);
+    (b) consistency with the base step carrying the same flag at batch 1
+        (decisions exact; values to fp tolerance — different batch sizes
+        lower differently);
+    (c) the artifact's spec flags row_independent, so the HTTP dispatcher
         may merge distinct requests: two merged 1-sample requests return
         exactly their solo results in ONE device call."""
     from madtp_tpu.cli import export_serving
@@ -526,7 +532,8 @@ def test_export_serving_row_independent(tmp_path, monkeypatch, capsys):
     model = load_artifact(str(out))
     bat = model.meta["batching"]
     assert bat["row_independent"] is True
-    assert bat["outputs"] == [1, 1, 1]  # kept counts are per-row now
+    # kept counts are per-row now: vision [2B, L] (pair blocks), text [B, L]
+    assert bat["outputs"] == [1, 2, 1]
 
     blip_cfg = build_blip_cfg({"vit": "tiny", "image_size": 64}, 64,
                               twin_cross=True)
@@ -539,17 +546,23 @@ def test_export_serving_row_independent(tmp_path, monkeypatch, capsys):
     logits, vk, tk = (np.asarray(o) for o in model(
         jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask),
         jnp.float32(t)))
+    assert vk.shape[0] == 4 and tk.shape[0] == 2  # per-row kept counts
 
+    # (b) base step with the same flag at batch 1: decisions exact,
+    # values to fp tolerance
     base = jax.jit(lambda p, im, i, m, tt: blip_nlvr_forward(
-        p, im, i, m, blip_cfg, temperature=tt, prune_active=True))
+        p, im, i, m, blip_cfg, temperature=tt, prune_active=True,
+        row_independent=True))
     for j in range(2):
         solo_imgs = jnp.asarray(np.stack([images[j], images[2 + j]]))
         want, (wvk, wtk) = base(model.params, solo_imgs,
                                 jnp.asarray(ids[j:j + 1]),
                                 jnp.asarray(mask[j:j + 1]), jnp.float32(t))
-        np.testing.assert_array_equal(logits[j], np.asarray(want)[0])
-        np.testing.assert_array_equal(vk[j], np.asarray(wvk))
-        np.testing.assert_array_equal(tk[j], np.asarray(wtk))
+        np.testing.assert_allclose(logits[j], np.asarray(want)[0],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.stack([vk[j], vk[2 + j]], axis=1), np.asarray(wvk))
+        np.testing.assert_array_equal(tk[j], np.asarray(wtk)[:, 0])
 
     srv = ArtifactServer(str(out))
     srv.start_background()

@@ -4,15 +4,17 @@ Two questions only the real backend can answer (CPU tests bypass the
 fused Pallas kernel, and vmap-of-pallas_call takes a different lowering
 path than the plain batched kernel):
 
-1. does each vmapped row match the base step run on that sample alone —
-   DTP keep DECISIONS exactly, logits to bf16 numerics (the vmapped
-   lowering tiles matmuls differently than a literal batch-1 call)?
-2. what does per-row DTP semantics COST vs the batched step?  The
-   rowind trace takes the pure-XLA scoring path (Mosaic cannot lower
-   the squeezed-batch BlockSpecs vmap's batching rule produces for
-   pallas_call — first measured here, now baked into _rowind_wrap), so
-   the honest comparison is against BOTH the fused batched step (the
-   production batch path) and the XLA batched step (same scoring math).
+1. does each row of the NATIVE row-independent step (prune/dtp.py
+   row_independent=True — per-row keep counts instead of the batch max)
+   match the same step run on that sample alone — DTP keep DECISIONS
+   exactly, logits to bf16 numerics (different batch sizes lower
+   differently)?
+2. what does per-row DTP semantics COST vs the batch-coupled step?  The
+   native flag keeps the fused Pallas scoring kernel engaged (the
+   coupling lives in the DTP glue, not the kernel) — unlike the earlier
+   vmap implementation, which Mosaic refused to lower (squeezed-batch
+   BlockSpecs) and which therefore paid the pure-XLA path (measured
+   1.9x at these shapes; kept for history in COVERAGE.md r4).
 
 Run: python tools/bench_rowind.py [batch] [image_size]
 Prints one JSON line.
@@ -37,7 +39,6 @@ def main(batch=8, image_size=384, text_len=26):
     enable_compile_cache()
 
     from __graft_entry__ import _nlvr_setup
-    from madtp_tpu.cli.export_serving import _rowind_wrap
     from madtp_tpu.core.tree import cast_tree
     from madtp_tpu.models.blip import blip_nlvr_forward
 
@@ -52,21 +53,22 @@ def main(batch=8, image_size=384, text_len=26):
             params, images, ids, mask, cfg, temperature=t, prune_active=True)
         return logits, vk, tk
 
-    bat = {"batch": batch, "inputs": [2, 1, 1, 0], "outputs": [1, 0, 0]}
-    # the wrapper self-disables the fused kernel during its vmapped trace
-    # (Mosaic cannot lower vmapped pallas_call blocks — see _rowind_wrap)
-    rowind = jax.jit(_rowind_wrap(fn, bat))
+    def fn_ri(params, images, ids, mask, t):
+        logits, (vk, tk) = blip_nlvr_forward(
+            params, images, ids, mask, cfg, temperature=t, prune_active=True,
+            row_independent=True)
+        return logits, vk, tk
+
+    rowind = jax.jit(fn_ri)
     out_r = jax.block_until_ready(rowind(params, images, ids, mask, t))
 
-    batched = jax.jit(fn)  # fused kernel engaged (the production batch path)
+    batched = jax.jit(fn)  # batch-coupled reference semantics
     out_b = jax.block_until_ready(batched(params, images, ids, mask, t))
 
-    # semantics contract vs the base step at batch 1: the DTP DECISIONS
-    # (kept counts) must match exactly; logits agree to bf16 numerics (the
-    # vmapped lowering tiles matmuls differently than a literal batch-1
-    # call, so bit-equality only holds where lowering is deterministic,
-    # e.g. CPU)
-    one = jax.jit(fn)
+    # semantics contract vs the SAME row-independent step at batch 1:
+    # DTP DECISIONS exact; logits to bf16 numerics (different batch sizes
+    # lower differently)
+    one = jax.jit(fn_ri)
     decisions_equal = True
     logit_maxd = 0.0
     for j in range(min(batch, 3)):
@@ -74,8 +76,12 @@ def main(batch=8, image_size=384, text_len=26):
         lw, vkw, tkw = one(params, solo_imgs, ids[j:j + 1],
                            mask[j:j + 1], t)
         decisions_equal &= bool(
-            np.array_equal(np.asarray(out_r[1])[j], np.asarray(vkw))
-            and np.array_equal(np.asarray(out_r[2])[j], np.asarray(tkw)))
+            np.array_equal(
+                np.stack([np.asarray(out_r[1])[:, j],
+                          np.asarray(out_r[1])[:, batch + j]], axis=1),
+                np.asarray(vkw))
+            and np.array_equal(np.asarray(out_r[2])[:, j],
+                               np.asarray(tkw)[:, 0]))
         logit_maxd = max(logit_maxd, float(np.abs(
             np.asarray(out_r[0], np.float32)[j]
             - np.asarray(lw, np.float32)[0]).max()))
