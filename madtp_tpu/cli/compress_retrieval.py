@@ -242,7 +242,7 @@ def main():
         export_med, export_vit, save_torch_checkpoint,
     )
     from madtp_tpu.data.datasets import CaptionTrainDataset
-    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.loader import batched_loader, num_batches
     from madtp_tpu.cli.common import train_image_transform
     from madtp_tpu.data.transforms import PerSampleRng
     from madtp_tpu.prune.flops import retrieval_gflops
@@ -418,6 +418,16 @@ def main():
         pending_m = None  # one-deep metric lag (no per-step device sync)
         skip = resume_skip if epoch == start_epoch else 0
         done = skip
+        # reference compress_retrieval_dtp.py:49-53: epoch 0 ramps the
+        # soft-target mixing weight linearly over the epoch's batches;
+        # alpha is a TRACED scalar (like temperature) so this never
+        # recompiles.  `done` keeps the ramp position across mid-epoch
+        # resume (the reference restarts the ramp; exactly-once semantics
+        # here make continuing it the faithful reading).
+        alpha_cfg = float(config.get("alpha", 0.4))
+        epoch_len = num_batches(
+            len(train_ds), config.get("batch_size_train", 16),
+            num_shards=n_procs, drop_last=True)
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, drop_last=True,
@@ -429,8 +439,11 @@ def main():
             rng_key, sub = jrandom.split(rng_key)
             batch_d = put_train(images, tok["input_ids"],
                                 tok["attention_mask"], np.asarray(img_idx))
+            alpha = (alpha_cfg if epoch > 0
+                     else alpha_cfg * min(1.0, done / max(1, epoch_len)))
             state, metrics = step_fn(
-                state, sub, *batch_d, jnp.float32(temperature))
+                state, sub, *batch_d, jnp.float32(temperature),
+                jnp.float32(alpha))
             if pending_m is not None:
                 logger.update(**{k: float(v) for k, v in pending_m.items()})
             pending_m = metrics

@@ -337,7 +337,7 @@ def main():
     import random as _random
 
     from madtp_tpu.data.datasets import CaptionTrainDataset
-    from madtp_tpu.data.loader import batched_loader
+    from madtp_tpu.data.loader import batched_loader, num_batches
     from madtp_tpu.cli.common import train_image_transform
     from madtp_tpu.data.transforms import PerSampleRng
     from madtp_tpu.train.controller import TemperatureController
@@ -455,6 +455,13 @@ def main():
         pending_m = None  # one-deep metric lag (no per-step device sync)
         skip = resume_skip if epoch == start_epoch else 0
         done = skip
+        # reference compress_retrieval_clip_dtp.py:45-49: epoch-0 linear
+        # alpha warmup; traced scalar -> no recompile (see
+        # compress_retrieval.py for the resume-position note)
+        alpha_cfg = float(config.get("alpha", 0.4))
+        epoch_len = num_batches(
+            len(train_ds), config.get("batch_size_train", 16),
+            num_shards=n_procs, drop_last=True)
         for images, captions, img_idx in logger.log_every(
             batched_loader(train_ds, config.get("batch_size_train", 16),
                            shuffle=True, epoch=epoch, drop_last=True,
@@ -464,8 +471,11 @@ def main():
             50, f"Train [{epoch}]"):
             txt = clip_tokenize(tokzr, list(captions), cfg.context_length)
             batch_d = put_train(images, txt, np.asarray(img_idx))
+            alpha = (alpha_cfg if epoch > 0
+                     else alpha_cfg * min(1.0, done / max(1, epoch_len)))
             state, metrics = step_fn(
-                state, *batch_d, jnp.float32(temperature))
+                state, *batch_d, jnp.float32(temperature),
+                jnp.float32(alpha))
             if pending_m is not None:
                 logger.update(**{k: float(v) for k, v in pending_m.items()})
             pending_m = metrics

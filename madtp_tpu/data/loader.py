@@ -35,6 +35,17 @@ def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
     return idx[shard_id::num_shards]
 
 
+def num_batches(n: int, batch_size: int, *, num_shards: int = 1,
+                drop_last: bool = False) -> int:
+    """Per-shard batch count of :func:`batched_loader`'s schedule — the
+    TPU-side ``len(data_loader)`` (used e.g. for the reference's epoch-0
+    alpha warmup denominator, ``compress_retrieval_dtp.py:53``)."""
+    if drop_last:
+        return (n // num_shards) // batch_size
+    per_shard = -(-n // num_shards)
+    return -(-per_shard // batch_size)
+
+
 def default_collate(batch):
     first = batch[0]
     out = []

@@ -207,6 +207,13 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
       reference's ``concat_all_gather`` before ``_dequeue_and_enqueue``
       (``:172-173,334-345``).
 
+    ``alpha`` (the soft-target mixing weight) is the factory-level default;
+    the returned ``step`` also accepts a per-batch traced ``alpha`` so the
+    reference's first-epoch linear warmup
+    (``compress_retrieval_dtp.py:49-53``:
+    ``alpha = config['alpha'] * min(1, i/len(loader))`` at epoch 0) runs
+    without recompiling — like ``temperature``, it is a traced scalar.
+
     Sharded vs single-device runs of the same global batch are numerically
     identical (tests/test_spmd.py)."""
 
@@ -222,7 +229,7 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         return img_feat, vstate, sd_img, txt_feat, tout
 
     def loss_fn(params, params_m, queue, temp, rng, images, ids, mask, idx,
-                temperature):
+                temperature, alpha_t):
         B = ids.shape[0]
         img_feat, vstate, sd_img, txt_feat, tout = towers(
             params, images, ids, mask, temperature
@@ -242,9 +249,11 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         txt_m_all = jnp.concatenate([m_txt_feat.T, queue.text], axis=1)
 
         t_i2t = jax.lax.stop_gradient(
-            L.itc_soft_targets(m_img_feat, txt_m_all, sim_targets, temp, alpha))
+            L.itc_soft_targets(m_img_feat, txt_m_all, sim_targets, temp,
+                               alpha_t))
         t_t2i = jax.lax.stop_gradient(
-            L.itc_soft_targets(m_txt_feat, img_m_all, sim_targets, temp, alpha))
+            L.itc_soft_targets(m_txt_feat, img_m_all, sim_targets, temp,
+                               alpha_t))
         loss_ita = 0.5 * (
             L.itc_loss(img_feat, txt_m_all, t_i2t, temp)
             + L.itc_loss(txt_feat, img_m_all, t_t2i, temp)
@@ -297,7 +306,8 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
     # buffers), and XLA rejects donating one buffer twice.
     @jax.jit
     def step(state: RetrievalTrainState, rng, images, ids, mask, idx,
-             temperature):
+             temperature, alpha_t=None):
+        a = alpha if alpha_t is None else alpha_t  # None is trace-static
         temp = jnp.clip(state.temp, 0.001, 0.5)  # reference :100-101
         params_m = momentum_update(
             {k: state.params[k] for k in MOMENTUM_KEYS}, state.params_m,
@@ -306,7 +316,7 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
         (_, (metrics, m_img, m_txt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, params_m, state.queue, temp, rng, images, ids, mask,
-          idx, temperature)
+          idx, temperature, a)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         queue = enqueue(state.queue, m_img, m_txt, idx)
@@ -336,7 +346,11 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
 
     ``capacities_v`` (static tuple): --fast_train gather-mode vision tower
     (see :func:`make_nlvr_train_step`; the causal text tower stays
-    mask-mode)."""
+    mask-mode).
+
+    ``alpha``: factory default; ``step`` also takes a per-batch traced
+    ``alpha`` for the reference's epoch-0 linear warmup
+    (``compress_retrieval_clip_dtp.py:45-49``) — no recompile per batch."""
     from madtp_tpu.models.blip import fdt_alignment_loss
     from madtp_tpu.models.clip import clip_encode_image, clip_encode_text
 
@@ -353,7 +367,7 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
         return img, txt, sd_img, sd_txt
 
     def loss_fn(params, space_dict, params_m, queue, images, text, idx,
-                temperature):
+                temperature, alpha_t):
         logit_scale = jnp.exp(jnp.clip(params["logit_scale"], 0.0, 4.6052))
         img, txt, sd_img, sd_txt = towers(params, space_dict, images, text,
                                           temperature)
@@ -377,9 +391,11 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
         sim_i2t_m = logit_scale * (m_img @ txt_all)
         sim_t2i_m = logit_scale * (m_txt @ img_all)
         t_i2t = jax.lax.stop_gradient(
-            alpha * jax.nn.softmax(sim_i2t_m, axis=1) + (1 - alpha) * sim_targets)
+            alpha_t * jax.nn.softmax(sim_i2t_m, axis=1)
+            + (1 - alpha_t) * sim_targets)
         t_t2i = jax.lax.stop_gradient(
-            alpha * jax.nn.softmax(sim_t2i_m, axis=1) + (1 - alpha) * sim_targets)
+            alpha_t * jax.nn.softmax(sim_t2i_m, axis=1)
+            + (1 - alpha_t) * sim_targets)
 
         lp_i = jax.nn.log_softmax(logit_scale * (img @ txt_all), axis=1)
         lp_t = jax.nn.log_softmax(logit_scale * (txt @ img_all), axis=1)
@@ -398,14 +414,16 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
 
     # NOTE: no donation — ClipTrainState aliases params/params_m at init.
     @jax.jit
-    def step(state: ClipTrainState, images, text, idx, temperature):
+    def step(state: ClipTrainState, images, text, idx, temperature,
+             alpha_t=None):
+        a = alpha if alpha_t is None else alpha_t  # None is trace-static
         params_m = momentum_update(
             {k: state.params[k] for k in CLIP_MOMENTUM_KEYS}, state.params_m,
             momentum)
         (_, (metrics, img, txt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True, argnums=(0, 1)
         )(state.params, state.space_dict, params_m, state.queue, images, text,
-          idx, temperature)
+          idx, temperature, a)
         updates, opt_state = tx.update(
             {"params": grads[0], "space_dict": grads[1]}, state.opt_state,
             {"params": state.params, "space_dict": state.space_dict})

@@ -442,16 +442,37 @@ def test_retrieval_train_ita_fdt_losses_golden():
 
     t = tok(captions, padding="max_length", truncation=True, max_length=35,
             return_tensors="pt")
-    _, metrics = step(state, jax.random.PRNGKey(0),
-                      jnp.asarray(images), jnp.asarray(t.input_ids.numpy()),
-                      jnp.asarray(t.attention_mask.numpy()),
-                      jnp.asarray(idx), jnp.float32(T))
+    state2, metrics = step(state, jax.random.PRNGKey(0),
+                           jnp.asarray(images), jnp.asarray(t.input_ids.numpy()),
+                           jnp.asarray(t.attention_mask.numpy()),
+                           jnp.asarray(idx), jnp.float32(T))
     np.testing.assert_allclose(float(metrics["loss_ita"]), float(lita_ref),
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(float(metrics["loss_fdt"]), float(lfdt_ref),
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(float(metrics["loss_fdt_m"]),
                                float(lfdtm_ref), rtol=2e-4, atol=2e-5)
+
+    # ---- epoch-0 alpha warmup parity (compress_retrieval_dtp.py:49-53):
+    # second step at a mid-ramp alpha, passed as a TRACED per-batch scalar.
+    # Both sides carry their own post-step-1 state (EMA'd momentum towers +
+    # enqueued queues), so this also pins the state transition.
+    alpha_r = alpha * min(1, 3 / 10)  # batch i=3 of a 10-batch epoch 0
+    with torch.no_grad():
+        lita_r, _litm_r, lfdt_r, lfdtm_r = ref(
+            torch.from_numpy(images), captions, alpha_r,
+            torch.from_numpy(idx).view(-1, 1), temperature=T, train=True)
+    _, metrics_r = step(state2, jax.random.PRNGKey(1),
+                        jnp.asarray(images), jnp.asarray(t.input_ids.numpy()),
+                        jnp.asarray(t.attention_mask.numpy()),
+                        jnp.asarray(idx), jnp.float32(T),
+                        jnp.float32(alpha_r))
+    np.testing.assert_allclose(float(metrics_r["loss_ita"]), float(lita_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(metrics_r["loss_fdt"]), float(lfdt_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(metrics_r["loss_fdt_m"]),
+                               float(lfdtm_r), rtol=2e-4, atol=2e-5)
 
 
 def test_clip_train_ita_fdt_losses_golden():
@@ -560,14 +581,31 @@ def test_clip_train_ita_fdt_losses_golden():
             ptr=jnp.zeros((), jnp.int32)),
         space_dict=jnp.asarray(sd["space_dict"]),
     )
-    _, metrics = step(state, jnp.asarray(images), jnp.asarray(text),
-                      jnp.asarray(idxv), jnp.float32(T))
+    state2, metrics = step(state, jnp.asarray(images), jnp.asarray(text),
+                           jnp.asarray(idxv), jnp.float32(T))
     np.testing.assert_allclose(float(metrics["loss_ita"]), float(lita_ref),
                                rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(float(metrics["loss_fdt"]), float(lfdt_ref),
                                rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(float(metrics["loss_fdt_m"]),
                                float(lfdtm_ref), rtol=5e-4, atol=5e-5)
+
+    # ---- epoch-0 alpha warmup parity (compress_retrieval_clip_dtp.py:45-49):
+    # second step at a mid-ramp traced alpha, both sides stateful.
+    alpha_r = alpha * min(1, 2 / 8)  # batch i=2 of an 8-batch epoch 0
+    with torch.no_grad():
+        lita_r, lfdt_r, lfdtm_r = ref(
+            torch.from_numpy(images), ["x"] * B, alpha_r,
+            torch.from_numpy(idxv).view(-1, 1), temperature=T)
+    _, metrics_r = step(state2, jnp.asarray(images), jnp.asarray(text),
+                        jnp.asarray(idxv), jnp.float32(T),
+                        jnp.float32(alpha_r))
+    np.testing.assert_allclose(float(metrics_r["loss_ita"]), float(lita_r),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(metrics_r["loss_fdt"]), float(lfdt_r),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(metrics_r["loss_fdt_m"]),
+                               float(lfdtm_r), rtol=5e-4, atol=5e-5)
 
 
 def test_hard_negative_sampling_distribution_matches_reference():
