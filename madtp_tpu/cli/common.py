@@ -400,6 +400,11 @@ def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
     # presets because a BLIP-base training step does not fit 16G HBM without
     # remat (forward-only eval is unaffected by jax.checkpoint)
     remat = bool(config.get("vit_grad_ckpt", preset != "tiny"))
+    # reference yaml key vit_ckpt_layer (models/vit.py:255): remat only the
+    # last N ViT blocks; honored exactly when the user's yaml carries it
+    # (incl. the grad_ckpt=True + ckpt_layer=0 -> no remat quirk).  Absent
+    # key -> -1 = all blocks (this repo's default when remat is on).
+    ckpt_layers = int(config.get("vit_ckpt_layer", -1))
 
     def make_med(**kw):
         # optional custom BERT arch json — the reference's med_config
@@ -415,7 +420,8 @@ def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
 
     if preset == "large":
         vit = dataclasses.replace(ViTConfig.large(image_size),
-                                  grad_checkpoint=remat)
+                                  grad_checkpoint=remat,
+                                  ckpt_layers=ckpt_layers)
         med = make_med(twin_cross=twin_cross, encoder_width=vit.embed_dim)
         return BlipConfig(vit=vit, med=med,
                           sd_num=config.get("sd_num", 100),
@@ -423,14 +429,15 @@ def build_blip_cfg(config: dict, image_size: int, *, twin_cross: bool = False):
     if preset == "tiny":
         vit = ViTConfig(image_size=image_size, patch_size=16, embed_dim=64,
                         depth=2, num_heads=4, sd_dim=64,
-                        grad_checkpoint=remat)
+                        grad_checkpoint=remat, ckpt_layers=ckpt_layers)
         med = make_med(twin_cross=twin_cross, encoder_width=64,
                        hidden_size=64, num_hidden_layers=2,
                        num_attention_heads=4, intermediate_size=256,
                        vocab_size=config.get("vocab_size", 30524), sd_dim=64)
         return BlipConfig(vit=vit, med=med,
                           sd_num=config.get("sd_num", 100), sd_dim=64)
-    vit = ViTConfig(image_size=image_size, grad_checkpoint=remat)
+    vit = ViTConfig(image_size=image_size, grad_checkpoint=remat,
+                    ckpt_layers=ckpt_layers)
     med = make_med(twin_cross=twin_cross, encoder_width=vit.embed_dim)
     return BlipConfig(vit=vit, med=med,
                       sd_num=config.get("sd_num", 100),

@@ -27,10 +27,16 @@ class ViTConfig:
     # stochastic depth at train time (reference create_vit drop_path_rate:
     # 0.1 for NLVR/VQA, 0 for caption/retrieval, models/blip.py:228-247)
     drop_path_rate: float = 0.0
-    # rematerialize each block in the backward pass (the reference's
-    # fairscale checkpoint_wrapper, models/vit.py:119-121; configs ship it
-    # off: vit_grad_ckpt False)
+    # rematerialize blocks in the backward pass (the reference's fairscale
+    # checkpoint_wrapper, models/vit.py:119-121; configs ship it off:
+    # vit_grad_ckpt False)
     grad_checkpoint: bool = False
+    # reference yaml key vit_ckpt_layer (models/vit.py:255: blocks with
+    # i >= depth - ckpt_layer are wrapped): remat only the LAST N blocks.
+    # -1 = all blocks (this repo's memory-driven default); note the
+    # reference quirk that vit_grad_ckpt=True + vit_ckpt_layer=0 remats
+    # NOTHING — honored exactly.
+    ckpt_layers: int = -1
     # DTP execution
     dtype: str = "float32"
 

@@ -175,12 +175,27 @@ def vit_forward(
         if use_fdt
         else jnp.zeros((), jnp.float32)
     )
-    scan_body = jax.checkpoint(body) if cfg.grad_checkpoint else body
-    (state, sd_all), kept_counts = jax.lax.scan(
-        scan_body,
-        (state, sd_all0),
-        (params["blocks"], jnp.arange(depth)),
-    )
+    n_remat = depth if cfg.ckpt_layers < 0 else min(cfg.ckpt_layers, depth)
+    if not cfg.grad_checkpoint:
+        n_remat = 0
+    if n_remat in (0, depth):
+        scan_body = jax.checkpoint(body) if n_remat else body
+        (state, sd_all), kept_counts = jax.lax.scan(
+            scan_body,
+            (state, sd_all0),
+            (params["blocks"], jnp.arange(depth)),
+        )
+    else:
+        # vit_ckpt_layer semantics (reference models/vit.py:255): only the
+        # LAST n_remat blocks rematerialize — two scans over sliced stacks
+        split = depth - n_remat
+        head = jax.tree_util.tree_map(lambda a: a[:split], params["blocks"])
+        tail = jax.tree_util.tree_map(lambda a: a[split:], params["blocks"])
+        carry, kept_a = jax.lax.scan(
+            body, (state, sd_all0), (head, jnp.arange(split)))
+        (state, sd_all), kept_b = jax.lax.scan(
+            jax.checkpoint(body), carry, (tail, jnp.arange(split, depth)))
+        kept_counts = jnp.concatenate([kept_a, kept_b], axis=0)
 
     x = layer_norm(params["norm"], state.x, cfg.layer_norm_eps)
     state = TokenState(x, state.alive, state.bias)

@@ -67,3 +67,40 @@ def test_evaluate_flags_match_reference(name):
                      ("--output_dir", r"--output_dir (\S+)")]:
         assert _extract(r, pat) == _extract(o, pat), f"{name}: {key}"
     assert "--evaluate" in o, f"{name}: missing --evaluate"
+
+
+def test_reference_yaml_ckpt_keys_are_honored():
+    """A reference user's UNEDITED yaml must load with zero silently-ignored
+    keys: vit_grad_ckpt / vit_ckpt_layer (reference configs/nlvr.yaml:11-12,
+    retrieval_coco.yaml:13-14) flow into ViTConfig.grad_checkpoint /
+    .ckpt_layers — including the grad_ckpt=True + ckpt_layer=0 quirk that
+    remats NOTHING (reference models/vit.py:255)."""
+    import yaml
+
+    from madtp_tpu.cli.common import build_blip_cfg
+
+    ref_cfg = yaml.safe_load(
+        open("/root/reference/configs/retrieval_coco.yaml"))
+    assert ref_cfg["vit_grad_ckpt"] is False
+    assert ref_cfg["vit_ckpt_layer"] == 4
+    cfg = build_blip_cfg(ref_cfg, ref_cfg["image_size"])
+    assert cfg.vit.grad_checkpoint is False
+    assert cfg.vit.ckpt_layers == 4
+
+    ref_cfg["vit_grad_ckpt"] = True  # the paired-key semantics
+    assert build_blip_cfg(ref_cfg, 384).vit.grad_checkpoint is True
+    assert build_blip_cfg(ref_cfg, 384).vit.ckpt_layers == 4
+
+    nlvr = yaml.safe_load(open("/root/reference/configs/nlvr.yaml"))
+    cfg = build_blip_cfg(nlvr, nlvr["image_size"], twin_cross=True)
+    assert cfg.vit.grad_checkpoint is False
+    assert cfg.vit.ckpt_layers == 0  # True+0 would remat nothing
+
+    # our shipped yamls omit the keys on purpose (16G-HBM default: remat
+    # all blocks); absent keys -> memory-safe defaults
+    ours = yaml.safe_load(open(
+        os.path.join(os.path.dirname(OURS), "configs", "nlvr.yaml")))
+    assert "vit_grad_ckpt" not in ours
+    cfg = build_blip_cfg(ours, ours["image_size"], twin_cross=True)
+    assert cfg.vit.grad_checkpoint is True
+    assert cfg.vit.ckpt_layers == -1

@@ -138,9 +138,15 @@ def test_grad_checkpoint_same_grads():
         return loss
 
     g0 = jax.grad(make_loss(CFG))(jp)
-    g1 = jax.grad(make_loss(replace(CFG, grad_checkpoint=True)))(jp)
-    a = jax.tree_util.tree_leaves(g0)
-    b = jax.tree_util.tree_leaves(g1)
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=1e-5, atol=1e-5)
+    # all blocks, last-1 block (vit_ckpt_layer=1, reference models/vit.py:255
+    # last-N semantics), and the grad_ckpt=True + ckpt_layer=0 -> no-remat
+    # quirk: values/grads identical in every mode
+    for kw in ({"grad_checkpoint": True},
+               {"grad_checkpoint": True, "ckpt_layers": 1},
+               {"grad_checkpoint": True, "ckpt_layers": 0}):
+        g1 = jax.grad(make_loss(replace(CFG, **kw)))(jp)
+        a = jax.tree_util.tree_leaves(g0)
+        b = jax.tree_util.tree_leaves(g1)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)
