@@ -28,11 +28,17 @@ batches — synthetic images by default, or ``--probe_npz`` with a real batch
 for production calibration; drift is quantified in
 tests/test_calibration_drift.py).
 
-``--row_independent`` (nlvr/clip/retrieval) exports per-row batch-1 DTP
+``--row_independent`` (all five tasks) exports per-row batch-1 DTP
 semantics: every row computes as if served alone (the batch-max keep-count
 coupling of reference batched eval is traded away), which lets the HTTP
 server merge different requests into one device call (dynamic batching —
-serve/server.py gates merging on the recorded flag).
+serve/server.py gates merging on the recorded flag).  Caption and VQA are
+per-row downstream of the towers by construction (beams attend only to
+their own row's tokens; answer ranking tiles each question's memory), so
+the flag covers them too; NLVR additionally decouples the two images of a
+pair (recorded in meta).  Gather-mode row-independent kept counts report
+the per-row DECISION, so the server can surface capacity overflow in
+/stats (meta batching.kept_outputs).
 """
 
 from __future__ import annotations
@@ -100,9 +106,16 @@ def _probe_text(args, batch, text_len, tokenize=None):
             np.ones((batch, text_len), np.int32))
 
 
-def _mark_row_independent(meta, outputs):
+def _mark_row_independent(meta, outputs, kept_outputs=None, note=""):
     """--row_independent bookkeeping: per-row outputs mults + the flag the
     serving dispatcher gates dynamic-batch merging on (serve/server.py).
+
+    ``kept_outputs`` maps output index -> "vision"|"text": which capacity
+    schedule (meta["capacities_*"]) that kept-counts output is calibrated
+    against.  Row-independent gather kept counts report the per-row DTP
+    DECISION (prune/dtp.dtp_prune_gather docstring), so the server derives
+    overflow = max(0, kept - (cap - 1)) per layer and surfaces it in
+    /stats — a mis-calibrated schedule is observable, never silent.
 
     The per-row semantics themselves are NATIVE: the model fns take
     ``row_independent=True`` (prune/dtp.py) — each row keeps its OWN
@@ -116,9 +129,11 @@ def _mark_row_independent(meta, outputs):
     bat = dict(meta["batching"])
     bat["outputs"] = list(outputs)
     bat["row_independent"] = True
-    note = " [row-independent: per-row DTP decisions]"
+    if kept_outputs:
+        bat["kept_outputs"] = {str(k): v for k, v in kept_outputs.items()}
+    tag = " [row-independent: per-row DTP decisions" + note + "]"
     return {**meta, "batching": bat,
-            "outputs": meta.get("outputs", "") + note}
+            "outputs": meta.get("outputs", "") + tag}
 
 
 def _param_subtree(params, *keys):
@@ -218,7 +233,16 @@ def _export_nlvr(args, config, platforms):
             # vision [L, 2B] -> [2B, L] (two pair blocks), text -> [B, L]
             return logits, vk.T, tk.T
 
-        meta = _mark_row_independent(meta, [1, 2, 1])
+        # ADVICE r4: the NLVR pair decouples too — the vision tower runs on
+        # the [2B] image stack, so each image of a pair prunes on its OWN
+        # counts; a batch-1 call on a batch-coupled artifact still couples
+        # the pair through the batch max.  Recorded for artifact consumers
+        # (models/blip.py:84-96 docstring + MIGRATION.md).
+        meta = _mark_row_independent(
+            meta, [1, 2, 1], kept_outputs={1: "vision", 2: "text"},
+            note="; NLVR pair images also prune independently of each "
+                 "other — scores can differ slightly from batched/"
+                 "reference eval")
     save_artifact(args.output_dir, fn, params, (images, ids, mask, t),
                   meta=meta, platforms=platforms)
     print(f"exported NLVR serving artifact -> {args.output_dir} "
@@ -323,8 +347,10 @@ def _export_clip(args, config, platforms):
         # RN towers run unpruned and return an EMPTY kept array — it stays
         # an unbatched output (mult 0)
         img_meta = _mark_row_independent(
-            img_meta, [1, 0 if cfg.is_resnet else 1])
-        txt_meta = _mark_row_independent(txt_meta, [1, 1])
+            img_meta, [1, 0 if cfg.is_resnet else 1],
+            kept_outputs=None if cfg.is_resnet else {1: "vision"})
+        txt_meta = _mark_row_independent(txt_meta, [1, 1],
+                                         kept_outputs={1: "text"})
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn,
                   _param_subtree(params, "visual", "space_dict"),
@@ -391,32 +417,42 @@ def _export_caption(args, config, platforms):
         caps_v, _ = fast_capacity_schedule(np.asarray(vk), None, args.cap_mode)
         caps_v = tuple(caps_v)
 
+    ri = args.row_independent
+
     def fn(params, images, prompt_ids, t):
         vstate, _, vkept = blip_caption_encode_image(
             params, images, cfg, temperature=t, prune_active=prune,
-            capacities=caps_v)
+            capacities=caps_v, row_independent=ri)
         seqs = beam_generate(
             params["text_decoder"], vstate, prompt_ids, cfg,
             num_beams=args.num_beams, max_length=args.max_length,
             min_length=args.min_length, eos_token_id=args.eos_id,
             pad_token_id=args.pad_id)
-        return seqs, vkept
+        # row_independent: per-row kept counts, batch-leading [B, L]
+        return seqs, (vkept.T if ri else vkept)
 
+    meta = {
+        "task": "caption",
+        "temperature": float(temperature),
+        "mode": "gather" if caps_v is not None else
+                ("mask" if prune else "dense"),
+        "capacities_vision": None if caps_v is None else list(caps_v),
+        "num_beams": args.num_beams, "max_length": args.max_length,
+        "min_length": args.min_length, "eos_id": args.eos_id,
+        "pad_id": args.pad_id,
+        "outputs": "(sequences [B,max_length] incl. prompt, vision_kept)",
+        "batching": {"batch": B, "inputs": [1, 1, 0],
+                     "outputs": [1, 0]},
+    }
+    if ri:
+        # sound per-row semantics: DTP runs only on the image tokens, and
+        # the beam search is per-row by construction (each row's beams
+        # attend only to that row's token state — tasks/caption.py)
+        meta = _mark_row_independent(meta, [1, 1],
+                                     kept_outputs={1: "vision"})
     save_artifact(
         args.output_dir, fn, params, (images, prompt_ids, t),
-        meta={
-            "task": "caption",
-            "temperature": float(temperature),
-            "mode": "gather" if caps_v is not None else
-                    ("mask" if prune else "dense"),
-            "capacities_vision": None if caps_v is None else list(caps_v),
-            "num_beams": args.num_beams, "max_length": args.max_length,
-            "min_length": args.min_length, "eos_id": args.eos_id,
-            "pad_id": args.pad_id,
-            "outputs": "(sequences [B,max_length] incl. prompt, vision_kept)",
-            "batching": {"batch": B, "inputs": [1, 1, 0],
-                         "outputs": [1, 0]},
-        },
+        meta=meta,
         platforms=platforms,
     )
     print(f"exported caption serving artifact -> {args.output_dir} "
@@ -476,32 +512,44 @@ def _export_vqa(args, config, platforms):
         caps_v, caps_t = fast_capacity_schedule(
             np.asarray(vk), np.asarray(out.kept_counts), args.cap_mode)
 
+    ri = args.row_independent
+
     def fn(params, images, q_ids, q_mask, a_ids, a_mask, t):
         out, _, vkept = blip_vqa_encode(
             params, images, q_ids, q_mask, cfg,
             temperature=t, prune_active=prune,
-            capacities_v=caps_v, capacities_t=caps_t)
+            capacities_v=caps_v, capacities_t=caps_t, row_independent=ri)
         best, topk = rank_answers(
             params["text_decoder"], out.state, a_ids, a_mask, cfg,
             k=k, pad_token_id=args.pad_id)
+        if ri:  # per-row kept counts, batch-leading [B, L]
+            return best, topk, vkept.T, out.kept_counts.T
         return best, topk, vkept, out.kept_counts
 
+    meta = {
+        "task": "vqa_rank",
+        "temperature": float(temperature),
+        "mode": "gather" if caps_v is not None else
+                ("mask" if prune else "dense"),
+        "capacities_vision": None if caps_v is None else list(caps_v),
+        "capacities_text": None if caps_t is None else list(caps_t),
+        "k_test": k,
+        "outputs": "(best answer index [B], topk candidate ids [B,k], "
+                   "vision_kept, text_kept)",
+        # the answer list is NOT batched (inputs 3/4)
+        "batching": {"batch": B, "inputs": [1, 1, 1, 0, 0, 0],
+                     "outputs": [1, 1, 0, 0]},
+    }
+    if ri:
+        # sound per-row semantics: both towers take the native per-row DTP
+        # flag, and rank_answers tiles each question's memory independently
+        # (tasks/vqa.py) — requests merge only when their answer lists (the
+        # unbatched inputs) are equal, enforced by the dispatcher
+        meta = _mark_row_independent(
+            meta, [1, 1, 1, 1], kept_outputs={2: "vision", 3: "text"})
     save_artifact(
         args.output_dir, fn, params, (images, q_ids, q_mask, a_ids, a_mask, t),
-        meta={
-            "task": "vqa_rank",
-            "temperature": float(temperature),
-            "mode": "gather" if caps_v is not None else
-                    ("mask" if prune else "dense"),
-            "capacities_vision": None if caps_v is None else list(caps_v),
-            "capacities_text": None if caps_t is None else list(caps_t),
-            "k_test": k,
-            "outputs": "(best answer index [B], topk candidate ids [B,k], "
-                       "vision_kept, text_kept)",
-            # the answer list is NOT batched (inputs 3/4)
-            "batching": {"batch": B, "inputs": [1, 1, 1, 0, 0, 0],
-                         "outputs": [1, 1, 0, 0]},
-        },
+        meta=meta,
         platforms=platforms,
     )
     print(f"exported VQA rank serving artifact -> {args.output_dir} "
@@ -641,7 +689,8 @@ def _export_retrieval(args, config, platforms):
         **meta}
     if ri:
         img_meta = _mark_row_independent(img_meta, [1, 1, 1])
-        txt_meta = _mark_row_independent(txt_meta, [1, 1])
+        txt_meta = _mark_row_independent(txt_meta, [1, 1],
+                                         kept_outputs={1: "text"})
         rr_meta = _mark_row_independent(rr_meta, [1])
     save_artifact(os.path.join(args.output_dir, "image_encoder"),
                   img_fn,
@@ -716,7 +765,7 @@ def main():
     p.add_argument("--bert_vocab", default="",
                    help="BERT vocab.txt for --probe_sentences tokenization")
     p.add_argument("--row_independent", action="store_true",
-                   help="nlvr/clip/retrieval: export per-row (batch-1) DTP "
+                   help="export per-row (batch-1) DTP "
                         "semantics — every row computes as if served alone, "
                         "so the HTTP server may merge different requests "
                         "into one device call (dynamic batching; "

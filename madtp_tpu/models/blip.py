@@ -131,14 +131,20 @@ def blip_nlvr_forward(
 
 def blip_caption_encode_image(params, images, cfg: BlipConfig, *,
                               temperature=0.0, prune_active=False,
-                              dropout_rng=None, capacities=None):
+                              dropout_rng=None, capacities=None,
+                              row_independent=False):
     """Visual half of BLIP_Decoder (pruning happens once on image tokens,
-    reference models/blip.py:161-163)."""
+    reference models/blip.py:161-163).
+
+    ``row_independent`` (serving): per-row DTP on the image tokens; the
+    beam decode downstream is per-row by construction (each row's beams
+    attend only to that row's tokens), so the whole caption step becomes
+    row-exact — different requests may merge into one device call."""
     return vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, dropout_rng=dropout_rng,
-        capacities=capacities,
+        capacities=capacities, row_independent=row_independent,
     )
 
 
@@ -174,23 +180,30 @@ def blip_caption_forward(
 def blip_vqa_encode(
     params, images, q_ids, q_mask, cfg: BlipConfig, *,
     temperature=0.0, prune_active=False, capacities_v=None, capacities_t=None,
+    row_independent=False,
 ):
     """Image encoder + question encoder with image cross-attention
     (reference models/blip_vqa.py:60-82,118-125).  Returns the question
     encoder output (its ``.state`` is the cross-attn memory for the answer
     decoder), FDT features, and the ViT tower's per-layer kept counts (the
     analytic-FLOPs input — discarding them forced callers to re-run the
-    vision tower or mis-account GFLOPs with dense counts)."""
+    vision tower or mis-account GFLOPs with dense counts).
+
+    ``row_independent`` (serving): per-row DTP in both towers; the answer
+    rank downstream tiles each question's memory independently, so the
+    whole VQA rank step becomes row-exact."""
     vstate, sd_img_ft, v_kept = vit_forward(
         params["visual_encoder"], images, cfg=cfg.vit,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, capacities=capacities_v,
+        row_independent=row_independent,
     )
     out = M.med_encoder(
         params["text_encoder"], q_ids, q_mask, cfg.med,
         mode="multimodal", encoder_state=vstate,
         space_dict=params["space_dict"], temperature=temperature,
         prune_active=prune_active, capacities=capacities_t,
+        row_independent=row_independent,
     )
     return out, sd_img_ft, v_kept
 

@@ -291,6 +291,16 @@ def dtp_prune_gather(
     the returned ``overflow`` count (traced scalar) lets callers log it
     (SURVEY.md §5 "no silent caps").
 
+    In ``row_independent`` serving mode ``kept`` reports the per-row
+    DECISION count (``eff_keep + overflow + merge``) rather than the
+    physically-resident count: it then equals mask-mode ``kept`` under any
+    schedule, and a served row whose kept exceeds ``capacity - 1`` IS the
+    overflow signal — the HTTP server derives overflow stats from exactly
+    this (serve/server.py /stats), so a mis-calibrated schedule is
+    observable in production instead of silently merging extra tokens.
+    Batch-coupled mode keeps the physical count (capacity-clamped), which
+    calibration/drift tests pin.
+
     Returns ``(new_state, kept_patch_count, overflow)``.
     """
     x, alive, bias = state
@@ -357,6 +367,8 @@ def dtp_prune_gather(
         merged_bias = jnp.take_along_axis(bias[:, 1:], rank_k_tok, axis=1)
         new_bias = jnp.concatenate([bias[:, :1], gbias, merged_bias], axis=1)
     kept = eff_keep + do_merge.astype(eff_keep.dtype)
+    if row_independent:  # decision count (see docstring): overflow observable
+        kept = kept + overflow.astype(kept.dtype)
     return TokenState(new_x, new_alive, new_bias), kept, overflow
 
 

@@ -22,7 +22,10 @@ Wire protocol (``<name>`` may be omitted when one artifact is served):
     (per-input shape/dtype) a client needs to build requests.  With
     several artifacts and no name: ``{name: meta}``.
 ``GET /stats[/<name>]``
-    request/device-call/merge counters (per model, or ``{name: stats}``).
+    request/device-call/merge counters (per model, or ``{name: stats}``);
+    row-independent gather artifacts add ``overflow_rows``/``overflow_max``
+    (capacity-schedule overflow observed in served rows — see
+    ``_ModelRuntime.__init__``).
 ``POST /predict[/<name>]``
     body: an ``.npz`` whose arrays, in file order, are the call inputs
     (same order as ``meta["inputs"]``).  Arrays are cast to the exported
@@ -231,6 +234,23 @@ class _ModelRuntime:
                                and self._bat.get("row_independent"))
         self._request_timeout = request_timeout
         self.stats = {"requests": 0, "calls": 0, "merged": 0}
+        # gather-mode row-independent artifacts report per-row DECISION
+        # kept counts (prune/dtp.dtp_prune_gather docstring); comparing
+        # them to the calibrated capacities (meta batching.kept_outputs ->
+        # capacities_<which>) makes schedule overflow OBSERVABLE in
+        # production: /stats carries overflow_rows (served rows whose keep
+        # decision exceeded some layer's capacity; their extra tokens were
+        # folded into the merge token) and overflow_max (worst per-layer
+        # token excess seen).
+        self._overflow_checks = []
+        if self._bat and self._bat.get("row_independent"):
+            for idx, which in (self._bat.get("kept_outputs") or {}).items():
+                caps = self.model.meta.get(f"capacities_{which}")
+                if caps:  # mask/dense exports have no capacities: no cap
+                    self._overflow_checks.append(
+                        (int(idx), np.asarray(caps, np.int64) - 1))
+        if self._overflow_checks:
+            self.stats.update({"overflow_rows": 0, "overflow_max": 0})
         self._queue: List[_Pending] = []
         self._cond = threading.Condition()
         self._closing = False
@@ -417,6 +437,23 @@ class _ModelRuntime:
         leaves = self._call(packed)
         if bat is None or group[0].n is None:
             return [leaves]
+        if self._overflow_checks:
+            rows = sum(p.n for p in group)  # real rows (padding replicas
+            B = bat["batch"]                # duplicate a real row's counts)
+            ovf_rows = ovf_max = 0
+            for idx, cap1 in self._overflow_checks:
+                m = bat["outputs"][idx]
+                for j in range(m):
+                    seg = np.asarray(leaves[idx][j * B: j * B + rows],
+                                     np.int64)
+                    ex = seg - cap1[None, :]
+                    ovf_rows += int(np.sum(np.any(ex > 0, axis=1)))
+                    ovf_max = max(ovf_max, int(ex.max(initial=0)))
+            if ovf_rows:
+                with self._cond:
+                    self.stats["overflow_rows"] += ovf_rows
+                    self.stats["overflow_max"] = max(
+                        self.stats["overflow_max"], ovf_max)
         results, off = [], 0
         for p in group:
             out = []

@@ -601,3 +601,119 @@ def test_export_serving_row_independent(tmp_path, monkeypatch, capsys):
                 np.testing.assert_array_equal(g, w)
     finally:
         srv.shutdown()
+
+
+def test_export_serving_row_independent_caption_vqa(tmp_path, monkeypatch,
+                                                    capsys):
+    """--row_independent for the last two task families (caption beam decode
+    and VQA answer ranking): downstream of the towers both are per-row by
+    construction (beams attend only to their row's tokens; ranking tiles
+    each question's memory), so the flag makes the whole step row-exact.
+    Proof: swap row 1's inputs — row 0's outputs are unchanged bit-for-bit
+    (on a batch-coupled artifact the batch-max keep counts would shift)."""
+    from madtp_tpu.cli import export_serving
+
+    # ---- caption ----
+    out_c = tmp_path / "cap"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "caption", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out_c), "--batch", "2", "--prompt_len", "3",
+         "--max_length", "8", "--min_length", "2", "--eos_id", "90",
+         "--row_independent"])
+    export_serving.main()
+    cap = load_artifact(str(out_c))
+    bat = cap.meta["batching"]
+    assert bat["row_independent"] is True
+    assert bat["outputs"] == [1, 1]
+    assert bat["kept_outputs"] == {"1": "vision"}
+
+    rng = np.random.RandomState(11)
+    images = rng.randn(2, 3, 64, 64).astype(np.float32)
+    prompt = rng.randint(1, 80, (2, 3)).astype(np.int32)
+    t = jnp.float32(1.0)
+    seqs, vk = (np.asarray(o) for o in cap(
+        jnp.asarray(images), jnp.asarray(prompt), t))
+    assert vk.shape[0] == 2  # batch-leading per-row kept counts
+
+    images2, prompt2 = images.copy(), prompt.copy()
+    images2[1] = rng.randn(3, 64, 64)
+    prompt2[1] = rng.randint(1, 80, 3)
+    seqs2, vk2 = (np.asarray(o) for o in cap(
+        jnp.asarray(images2), jnp.asarray(prompt2), t))
+    np.testing.assert_array_equal(seqs[0], seqs2[0])
+    np.testing.assert_array_equal(vk[0], vk2[0])
+
+    # ---- vqa ----
+    out_v = tmp_path / "vqa"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "vqa", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out_v), "--batch", "2", "--text_len", "10",
+         "--num_answers", "12", "--answer_len", "6", "--k_test", "4",
+         "--row_independent"])
+    export_serving.main()
+    capsys.readouterr()
+    vqa = load_artifact(str(out_v))
+    bat = vqa.meta["batching"]
+    assert bat["row_independent"] is True
+    assert bat["outputs"] == [1, 1, 1, 1]
+    assert bat["kept_outputs"] == {"2": "vision", "3": "text"}
+
+    q_ids = rng.randint(1, 80, (2, 10)).astype(np.int32)
+    q_mask = np.ones((2, 10), np.int32)
+    a_ids = jnp.asarray(rng.randint(1, 80, (12, 6)).astype(np.int32))
+    a_mask = jnp.ones((12, 6), jnp.int32)
+    one = [np.asarray(o) for o in vqa(
+        jnp.asarray(images), jnp.asarray(q_ids), jnp.asarray(q_mask),
+        a_ids, a_mask, t)]
+    assert one[2].shape[0] == 2 and one[3].shape[0] == 2  # per-row kept
+    q_ids2 = q_ids.copy()
+    q_ids2[1] = rng.randint(1, 80, 10)
+    two = [np.asarray(o) for o in vqa(
+        jnp.asarray(images2), jnp.asarray(q_ids2), jnp.asarray(q_mask),
+        a_ids, a_mask, t)]
+    for a, b in zip(one, two):
+        np.testing.assert_array_equal(a[0], b[0])  # row 0 untouched
+
+
+def test_row_independent_gather_overflow_surfaces_in_stats(tmp_path,
+                                                           monkeypatch,
+                                                           capsys):
+    """ADVICE r4: a mis-calibrated gather schedule must be observable in
+    production.  Force a deliberately tight capacity schedule on a
+    row-independent caption export: the per-row kept counts report the DTP
+    DECISION (> capacity-1), and the server's /stats gains
+    overflow_rows/overflow_max."""
+    from madtp_tpu.cli import export_serving
+    from madtp_tpu.serve.server import ArtifactServer
+
+    monkeypatch.setenv("MADTP_FORCE_CAPS_V", "6,6")
+    out = tmp_path / "cap_ovf"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--task", "caption", "--config", _tiny_yaml(tmp_path),
+         "--output_dir", str(out), "--batch", "2", "--prompt_len", "3",
+         "--max_length", "8", "--min_length", "2", "--eos_id", "90",
+         "--temperature", "0.2", "--fast_eval", "--row_independent"])
+    export_serving.main()
+    capsys.readouterr()
+    meta = load_artifact(str(out)).meta
+    assert meta["mode"] == "gather"
+    assert meta["capacities_vision"] == [6, 6]
+
+    rng = np.random.RandomState(13)
+    images = rng.randn(1, 3, 64, 64).astype(np.float32)
+    prompt = rng.randint(1, 80, (1, 3)).astype(np.int32)
+
+    srv = ArtifactServer(str(out), warmup=False, aggregate=False)
+    try:
+        seqs, vk = srv.predict([images, prompt, np.float32(0.2)])
+        # premise: at T=0.2 the tiny tower wants to keep more than the
+        # 5 tokens (cap-1) the forced schedule allows
+        assert int(np.asarray(vk).max()) > 5
+        st = srv.default.stats
+        assert st["overflow_rows"] >= 1
+        assert st["overflow_max"] >= int(np.asarray(vk).max()) - 5
+    finally:
+        srv.server_close()
