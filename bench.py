@@ -251,8 +251,33 @@ def _backend_reachable(attempts: int = 3, probe_timeout: int = 240) -> bool:
     return False
 
 
+def _backend_reachable_with_late_retry() -> bool:
+    """Round 4's official bench artifact was voided by a ~2h transient
+    outage that ended after the run gave up — so after the quick probe
+    fails, wait out up to two more windows (default 30+30 min, override
+    ``MADTP_BENCH_RETRY_MIN=m1,m2,...``; ``=0`` disables) re-probing before
+    declaring the round's measurement lost.  Still bounded: worst case
+    ~75 min, then rc=3."""
+    import os
+
+    if _backend_reachable():
+        return True
+    waits = os.environ.get("MADTP_BENCH_RETRY_MIN", "30,30")
+    mins = [float(w) for w in waits.split(",") if w and float(w) > 0]
+    for i, m in enumerate(mins):
+        print(f"bench: backend down — late retry {i + 1}/{len(mins)}: "
+              f"sleeping {m:g} min before re-probing "
+              f"(MADTP_BENCH_RETRY_MIN={waits})", file=sys.stderr)
+        time.sleep(m * 60)
+        if _backend_reachable(attempts=2):
+            print(f"bench: backend RECOVERED after late retry {i + 1}",
+                  file=sys.stderr)
+            return True
+    return False
+
+
 if __name__ == "__main__":
-    if not _backend_reachable():
+    if not _backend_reachable_with_late_retry():
         # Loud, bounded failure: non-zero rc + a tail the harness records.
         # (Do NOT print a fake JSON metric — a fabricated value would be
         # recorded as this round's measurement.)
