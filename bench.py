@@ -283,8 +283,8 @@ if __name__ == "__main__":
         # recorded as this round's measurement.)
         print("bench: TPU backend UNREACHABLE (outage — jax.devices() "
               "hangs; nothing on the framework side causes or fixes it). "
-              "Last good on-chip run: 543.6 samples/s pruned vs 229.9 "
-              "dense bf16 (vs_baseline 2.37) — see BENCH_r02.json / "
-              "COVERAGE.md.", file=sys.stderr)
+              "Last good on-chip run: 548.66 samples/s pruned vs 231.5 "
+              "dense bf16 (vs_baseline 2.37, MFU 0.372) — see "
+              "BENCH_r03.json / COVERAGE.md.", file=sys.stderr)
         sys.exit(3)
     main()

@@ -35,6 +35,7 @@ BENCHES = [
     ("retrieval", [sys.executable, "tools/bench_retrieval.py"], 2400),
     ("clip", [sys.executable, "tools/bench_clip.py"], 2400),
     ("p_sweep", [sys.executable, "tools/bench_p_sweep.py"], 3600),
+    ("batch_sweep", [sys.executable, "tools/bench_batch_sweep.py"], 3600),
 ]
 QUICK = {"nlvr_headline", "train", "vqa", "caption"}
 
