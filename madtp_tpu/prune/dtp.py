@@ -133,12 +133,42 @@ def dtp_threshold(
     return jnp.min(score_weight, axis=1)  # [B]
 
 
+def _invert_permutation(order: jnp.ndarray) -> jnp.ndarray:
+    """inv[b, order[b, i]] = i — the inverse of a batched permutation, as a
+    second stable argsort (argsort of a permutation is its inverse).
+
+    Measured refusal (r5, tools/bench_glue.py on-chip A/B): the "obvious"
+    O(P) reformulation — a single int32 scatter
+    (``zeros.at[arange(B)[:,None], order].set(iota, unique_indices=True)``)
+    instead of this O(P log P) second sort — is 3.2% SLOWER end-to-end on
+    the NLVR gather eval step (58.6 -> 60.5 ms/batch, reproduced across
+    runs): XLA:TPU's bitonic sort is vector-unit-friendly while scatter
+    serializes.  Keep the sort; this helper is the monkeypatch seam the A/B
+    tool uses."""
+    return jnp.argsort(order, axis=-1, stable=True)
+
+
+def _merge_dropped(w: jnp.ndarray, patches: jnp.ndarray) -> jnp.ndarray:
+    """Score-weighted sum of dropped tokens (reference models/vit.py:155-160)
+    with fp32 accumulation regardless of buffer dtype.
+
+    Measured neutral (r5, tools/bench_glue.py on-chip A/B): reading the
+    token buffer as bf16 into the MXU (fp32 via preferred_element_type)
+    instead of up-casting to fp32 first A/B'd at 1.0004x — XLA already
+    fuses the cast into the contraction, so the explicit astype costs
+    nothing; keep the simpler always-fp32 form (bit-identical on every
+    golden path)."""
+    return jnp.einsum(
+        "bp,bpd->bd", w, patches.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(patches.dtype)
+
+
 def _rank_desc(score_masked: jnp.ndarray) -> jnp.ndarray:
     """rank[b, n] = position of token n in a stable descending sort of scores
     (ties broken by lower index, matching torch.topk determinism)."""
     order = jnp.argsort(-score_masked, axis=-1, stable=True)
-    ranks = jnp.argsort(order, axis=-1, stable=True)
-    return ranks
+    return _invert_permutation(order)
 
 
 def dtp_prune(
@@ -195,7 +225,8 @@ def dtp_prune(
     # low-count samples retain below-threshold tokens — reference behavior;
     # per-row count when row_independent).
     score_ranked = jnp.where(palive, score, NEG_INF)
-    ranks = _rank_desc(score_ranked)
+    order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, P]
+    ranks = _invert_permutation(order)
     keep = palive & (ranks < (topk_num[:, None] if row_independent
                               else topk_num))
 
@@ -203,10 +234,7 @@ def dtp_prune(
     merge_mask = palive & ~keep
     w = jnp.where(merge_mask, score, 0.0)
     w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)
-    merged = jnp.einsum(
-        "bp,bpd->bd", w, x[:, 1:].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)  # [B,D]
+    merged = _merge_dropped(w, x[:, 1:])  # [B,D]
 
     merge_slot = jnp.asarray(merge_slot, jnp.int32)
     slot_iota = jnp.arange(S)
@@ -221,8 +249,7 @@ def dtp_prune(
         # merged slot inherits the bias of the best DROPPED token (rank
         # topk_num): the reference gathers topk_num+1 indices and the mask
         # rides along (models/med.py:377-390), so the merged token is
-        # attendable iff that token was.
-        order = jnp.argsort(-score_ranked, axis=-1, stable=True)  # [B, P]
+        # attendable iff that token was.  (`order` from the keep-set sort.)
         rank_k = (topk_num[:, None] if row_independent
                   else jnp.broadcast_to(topk_num[None, None], (B, 1)))
         rank_k_tok = jnp.take_along_axis(
@@ -345,14 +372,11 @@ def dtp_prune_gather(
 
     # merged token: everything alive and not effectively kept (ranks derived
     # from `order` — one sort fewer than calling _rank_desc again)
-    rank_full = jnp.argsort(order, axis=-1, stable=True)
+    rank_full = _invert_permutation(order)
     merge_mask = palive & (rank_full >= eff_keep_col)
     w = jnp.where(merge_mask, score, 0.0)
     w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-8)
-    merged = jnp.einsum(
-        "bp,bpd->bd", w, x[:, 1:].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    merged = _merge_dropped(w, x[:, 1:])
 
     do_merge = apply | (overflow > 0)
     new_x = jnp.concatenate([x[:, :1], gx, merged[:, None, :]], axis=1)
