@@ -75,6 +75,14 @@ def base_parser(default_config: str, default_pretrained: str = "",
                    help="force a JAX platform (the env var JAX_PLATFORMS is "
                         "read before driver code under sitecustomize; this "
                         "flag applies jax.config.update early instead)")
+    p.add_argument("--amp", action="store_true",
+                   help="mixed-precision training (reference "
+                        "compress_*_dtp.py '--amp': fp16 autocast + "
+                        "GradScaler).  TPU-native equivalent: bf16 compute "
+                        "against fp32 master params/optimizer state; no loss "
+                        "scaler needed (bf16 keeps fp32's exponent range). "
+                        "Training-only, like the reference (scaler is built "
+                        "'if not args.evaluate and args.amp')")
     p.add_argument("--uint8_feed", action="store_true",
                    help="ship images (eval AND train) host->device as uint8 "
                         "HWC (4x less transfer + no host normalize); the "

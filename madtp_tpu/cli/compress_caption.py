@@ -276,7 +276,7 @@ def main():
     target = ORI_GFLOPS * (1.0 - config["p"])
     tx = make_adamw_injectable(config.get("weight_decay", 0.05))
     opt_state = tx.init(params)
-    train_step = make_caption_train_step(cfg, tx)
+    train_step = make_caption_train_step(cfg, tx, amp=args.amp)
     controller = TemperatureController(target_gflops=target)
 
     import random as _random
@@ -368,7 +368,8 @@ def main():
         cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_caption_train_step(cfg, tx,
-                                                     capacities_v=cv)
+                                                     capacities_v=cv,
+                                                     amp=args.amp)
         return step_cache[cv], cv
 
     from madtp_tpu.cli.common import load_resume, save_resume

@@ -260,7 +260,7 @@ def main():
         tmesh = global_data_mesh()
     tx = make_adamw_injectable(config.get("weight_decay", 0.05))
     opt_state = tx.init(params)
-    train_step = make_nlvr_train_step(cfg, tx)
+    train_step = make_nlvr_train_step(cfg, tx, amp=args.amp)
     from madtp_tpu.utils.cache import BoundedCache
 
     step_cache = BoundedCache()  # capacity schedule -> compiled train step
@@ -295,7 +295,8 @@ def main():
         key = (caps_v, caps_t)
         if key not in step_cache:
             step_cache[key] = make_nlvr_train_step(
-                cfg, tx, capacities_v=caps_v, capacities_t=caps_t)
+                cfg, tx, capacities_v=caps_v, capacities_t=caps_t,
+                amp=args.amp)
         return step_cache[key], key
 
     controller = TemperatureController(target_gflops=target_gflops)

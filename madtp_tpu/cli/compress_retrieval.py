@@ -271,7 +271,8 @@ def main():
         cfg, tx, alpha=config.get("alpha", 0.4),
         enc_token_id=tokenizer.enc_token_id,
         negative_all_rank=config.get("negative_all_rank", False),
-        data_shards=tmesh.shape["data"] if tmesh is not None else 1)
+        data_shards=tmesh.shape["data"] if tmesh is not None else 1,
+        amp=args.amp)
     state = RetrievalTrainState(
         params=params,
         params_m={k: params[k] for k in MOMENTUM_KEYS},
@@ -376,7 +377,7 @@ def main():
                 enc_token_id=tokenizer.enc_token_id,
                 negative_all_rank=config.get("negative_all_rank", False),
                 data_shards=tmesh.shape["data"] if tmesh is not None else 1,
-                capacities_v=cv, capacities_t=ct)
+                capacities_v=cv, capacities_t=ct, amp=args.amp)
         return step_cache[key], key
 
     from madtp_tpu.cli.common import load_resume, save_resume

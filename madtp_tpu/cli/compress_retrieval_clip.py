@@ -350,7 +350,8 @@ def main():
 
     target = ORI_GFLOPS * (1.0 - config["p"])
     tx = make_adamw_injectable(config.get("weight_decay", 0.2))
-    train_step = make_clip_train_step(cfg, tx, alpha=config.get("alpha", 0.4))
+    train_step = make_clip_train_step(cfg, tx, alpha=config.get("alpha", 0.4),
+                                      amp=args.amp)
     state = ClipTrainState(
         params=params,
         params_m={k: params[k] for k in CLIP_MOMENTUM_KEYS},
@@ -415,7 +416,8 @@ def main():
         cv, _ = fast_capacity_schedule(vk, None, args.cap_mode)
         if cv not in step_cache:
             step_cache[cv] = make_clip_train_step(
-                cfg, tx, alpha=config.get("alpha", 0.4), capacities_v=cv)
+                cfg, tx, alpha=config.get("alpha", 0.4), capacities_v=cv,
+                amp=args.amp)
         return step_cache[cv], cv
 
     from madtp_tpu.cli.common import load_resume, save_resume

@@ -303,7 +303,8 @@ def main():
     tx = make_adamw_injectable(config.get("weight_decay", 0.05))
     opt_state = tx.init(params)
     MAX_A = 10  # VQAv2 has 10 annotators; soft-weight lists fit in 10
-    train_step = make_vqa_train_step(cfg, tx, max_answers_per_q=MAX_A)
+    train_step = make_vqa_train_step(cfg, tx, max_answers_per_q=MAX_A,
+                                     amp=args.amp)
     controller = TemperatureController(target_gflops=target)
 
     _trng = PerSampleRng(args.seed)
@@ -371,7 +372,7 @@ def main():
         if key not in step_cache:
             step_cache[key] = make_vqa_train_step(
                 cfg, tx, max_answers_per_q=MAX_A,
-                capacities_v=cv, capacities_t=ct)
+                capacities_v=cv, capacities_t=ct, amp=args.amp)
         return step_cache[key], key
 
     from madtp_tpu.cli.common import load_resume, save_resume

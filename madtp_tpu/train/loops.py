@@ -30,6 +30,7 @@ from madtp_tpu.models.blip import (
     blip_vqa_encode,
     fdt_alignment_loss,
 )
+from madtp_tpu.core.tree import cast_tree
 from madtp_tpu.ops.layers import linear
 from madtp_tpu.prune.dtp import TokenState
 from madtp_tpu.train import losses as L
@@ -38,9 +39,29 @@ from madtp_tpu.train.momentum import FeatureQueue, enqueue, momentum_update
 FDT_WEIGHT = 0.1
 
 
+def _amp_cast(amp: bool, params, images):
+    """--amp (reference ``compress_nlvr_dtp.py:46-59``: GradScaler +
+    autocast): the TPU-native equivalent is bf16 COMPUTE against fp32
+    master params — cast the param tree and the image batch to bfloat16
+    at the loss-function boundary.  Matmuls then hit the MXU's bf16 path
+    with fp32 accumulation (``preferred_element_type`` throughout
+    ops/), every loss upcasts its logits to fp32 before log_softmax/CE
+    (train/losses.py, models/med.lm_loss), the MAG ``sd`` accumulators
+    are fp32 buffers (models/med.py:257), and gradients arrive fp32 (the
+    cast's VJP restores the master dtype) — so optimizer state, EMA
+    momentum updates and feature queues stay full-precision.  No
+    GradScaler counterpart is needed: bf16 carries fp32's exponent
+    range, so loss scaling is pointless on TPU (the reference needs it
+    only for fp16 CUDA autocast)."""
+    if not amp:
+        return params, images
+    return cast_tree(params, jnp.bfloat16), images.astype(jnp.bfloat16)
+
+
 def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                          prune_active: bool = True, use_dropout: bool = False,
-                         capacities_v=None, capacities_t=None):
+                         capacities_v=None, capacities_t=None,
+                         amp: bool = False):
     """``use_dropout`` enables the reference training recipe (BERT dropout
     0.1, ViT stochastic depth per cfg.vit.drop_path_rate).
 
@@ -51,9 +72,12 @@ def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
     every step, gather mode banks the reduction at the cost of one
     recompile per distinct schedule.  Gradients are identical to mask mode
     at lossless capacities (tests/test_train.py::
-    test_gather_mode_training_grads_match_mask_mode)."""
+    test_gather_mode_training_grads_match_mask_mode).
+
+    ``amp``: bf16-compute mixed precision (see :func:`_amp_cast`)."""
 
     def loss_fn(params, images, ids, mask, targets, temperature, rng):
+        params, images = _amp_cast(amp, params, images)
         loss_ori, loss_fdt, logits = blip_nlvr_forward(
             params, images, ids, mask, cfg,
             temperature=temperature, prune_active=prune_active,
@@ -82,7 +106,7 @@ def make_nlvr_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                             prune_active: bool = True,
                             use_dropout: bool = False,
-                            capacities_v=None):
+                            capacities_v=None, amp: bool = False):
     """Reference models/blip.py:111-159: LM loss + FDT (image side only; the
     decoder runs unpruned so sd_txt_ft is None -> loss_fdt falls back to
     loss_lm exactly like the reference's default).
@@ -91,6 +115,7 @@ def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
     (see :func:`make_nlvr_train_step`)."""
 
     def loss_fn(params, images, ids, mask, labels, temperature, rng):
+        params, images = _amp_cast(amp, params, images)
         loss_lm, sd_img_ft, _ = blip_caption_forward(
             params, images, ids, mask, cfg,
             temperature=temperature, prune_active=prune_active, labels=labels,
@@ -118,7 +143,8 @@ def make_caption_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 
 def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                         max_answers_per_q: int, prune_active: bool = True,
-                        capacities_v=None, capacities_t=None):
+                        capacities_v=None, capacities_t=None,
+                        amp: bool = False):
     """Reference models/blip_vqa.py:67-115.  The ragged per-question answer
     lists are padded to ``max_answers_per_q`` with zero weights (static
     shapes); weighted per-answer LM losses sum to the reference's
@@ -129,6 +155,7 @@ def make_vqa_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 
     def loss_fn(params, images, q_ids, q_mask, a_ids, a_mask, weights,
                 temperature):
+        params, images = _amp_cast(amp, params, images)
         B = q_ids.shape[0]
         K = max_answers_per_q
         out, sd_img_ft, _ = blip_vqa_encode(
@@ -187,7 +214,8 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                               enc_token_id: int, prune_active: bool = True,
                               negative_all_rank: bool = False,
                               data_shards: int = 1,
-                              capacities_v=None, capacities_t=None):
+                              capacities_v=None, capacities_t=None,
+                              amp: bool = False):
     """Full ITC+ITM compression step (reference models/blip_retrieval.py:99-282):
     momentum towers + queue soft targets, hard-negative ITM, FDT losses from
     both online and momentum towers.
@@ -230,6 +258,9 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
 
     def loss_fn(params, params_m, queue, temp, rng, images, ids, mask, idx,
                 temperature, alpha_t):
+        params, images = _amp_cast(amp, params, images)
+        if amp:  # momentum towers compute in bf16 too (stop-grad, no VJP)
+            params_m = cast_tree(params_m, jnp.bfloat16)
         B = ids.shape[0]
         img_feat, vstate, sd_img, txt_feat, tout = towers(
             params, images, ids, mask, temperature
@@ -299,7 +330,10 @@ def make_retrieval_train_step(cfg: BlipConfig, tx: optax.GradientTransformation,
                 + FDT_WEIGHT * loss_fdt + FDT_WEIGHT * loss_fdt_m)
         metrics = {"loss": loss, "loss_ita": loss_ita, "loss_itm": loss_itm,
                    "loss_fdt": loss_fdt, "loss_fdt_m": loss_fdt_m}
-        return loss, (metrics, m_img_feat, m_txt_feat)
+        # queue features stay fp32 regardless of amp (the reference's queue
+        # buffers are fp32 and autocast outputs are cast on copy_)
+        return loss, (metrics, m_img_feat.astype(jnp.float32),
+                      m_txt_feat.astype(jnp.float32))
 
     # NOTE: no donation here — RetrievalTrainState aliases params/params_m
     # leaves at init (momentum towers start as references to the same
@@ -339,7 +373,8 @@ CLIP_MOMENTUM_KEYS = ("visual", "token_embedding", "positional_embedding",
 
 def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
                          alpha: float = 0.4, momentum: float = 0.995,
-                         prune_active: bool = True, capacities_v=None):
+                         prune_active: bool = True, capacities_v=None,
+                         amp: bool = False):
     """CLIP compression step (reference clip/model.py:529-595): queue-based
     soft-target InfoNCE on both towers + FDT alignment from online AND
     momentum towers; logit_scale clamped to [0, 4.6052] (:530-531).
@@ -368,7 +403,15 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
 
     def loss_fn(params, space_dict, params_m, queue, images, text, idx,
                 temperature, alpha_t):
-        logit_scale = jnp.exp(jnp.clip(params["logit_scale"], 0.0, 4.6052))
+        # logit_scale read in fp32 BEFORE the amp cast (exp in bf16 would
+        # quantize the temperature; the reference keeps it fp32 under
+        # autocast too — scalar params are autocast-exempt)
+        logit_scale = jnp.exp(jnp.clip(params["logit_scale"].astype(
+            jnp.float32), 0.0, 4.6052))
+        params, images = _amp_cast(amp, params, images)
+        if amp:
+            params_m = cast_tree(params_m, jnp.bfloat16)
+            space_dict = space_dict.astype(jnp.bfloat16)
         img, txt, sd_img, sd_txt = towers(params, space_dict, images, text,
                                           temperature)
         # reference quirk, mirrored for parity (clip/model.py:508-526):
@@ -410,7 +453,9 @@ def make_clip_train_step(cfg, tx: optax.GradientTransformation, *,
         loss = loss_ita + FDT_WEIGHT * loss_fdt + FDT_WEIGHT * loss_fdt_m
         metrics = {"loss": loss, "loss_ita": loss_ita, "loss_fdt": loss_fdt,
                    "loss_fdt_m": loss_fdt_m}
-        return loss, (metrics, img, txt)
+        # queue buffers stay fp32 under amp (see make_retrieval_train_step)
+        return loss, (metrics, img.astype(jnp.float32),
+                      txt.astype(jnp.float32))
 
     # NOTE: no donation — ClipTrainState aliases params/params_m at init.
     @jax.jit

@@ -12,6 +12,7 @@ drivers):
   - dense training step (prune off)          [the no-compression baseline]
   - mask-mode pruned training step           [driver default]
   - gather-mode pruned training step         [--fast_train candidate]
+  - dense + gather under --amp               [bf16 compute / fp32 masters]
 
 Run: python tools/bench_train.py
 """
@@ -50,8 +51,12 @@ def main(batch=8, image_size=384, text_len=26, reps=3, pipeline=4):
     opt_state = tx.init(params)
     t_star = jnp.float32(3.4785)  # the p=0.5 bench temperature
 
-    def make_step(prune_active, capacities_v=None, capacities_t=None):
+    from madtp_tpu.train.loops import _amp_cast
+
+    def make_step(prune_active, capacities_v=None, capacities_t=None,
+                  amp=False):
         def loss_fn(params, images, ids, mask, targets, temperature):
+            params, images = _amp_cast(amp, params, images)
             loss_ori, loss_fdt, _ = blip_nlvr_forward(
                 params, images, ids, mask, cfg,
                 temperature=temperature, prune_active=prune_active,
@@ -117,6 +122,20 @@ def main(batch=8, image_size=384, text_len=26, reps=3, pipeline=4):
     res["gather_speedup_vs_dense"] = round(
         res["dense_step_ms"] / res["gather_step_ms"], 3)
 
+    # --amp (r5): bf16 compute / fp32 masters, the drivers' mixed-precision
+    # switch (train/loops._amp_cast).  amp-gather vs amp-dense is the
+    # matched-precision training comparison (same convention as bench.py's
+    # bf16-vs-bf16 eval headline).
+    res["dense_amp_step_ms"] = round(timed(make_step(False, amp=True)), 1)
+    res["gather_amp_step_ms"] = round(
+        timed(make_step(True, caps_v, caps_t, amp=True)), 1)
+    res["amp_speedup_dense"] = round(
+        res["dense_step_ms"] / res["dense_amp_step_ms"], 3)
+    res["amp_speedup_gather"] = round(
+        res["gather_step_ms"] / res["gather_amp_step_ms"], 3)
+    res["gather_amp_speedup_vs_dense_amp"] = round(
+        res["dense_amp_step_ms"] / res["gather_amp_step_ms"], 3)
+
     # A/B the fused Pallas BACKWARD vs the XLA-recompute VJP in the same
     # process (r3; the env var gates the custom-vjp dispatch at TRACE time,
     # and a fresh python function gets a fresh jit cache entry)
@@ -157,6 +176,12 @@ def main(batch=8, image_size=384, text_len=26, reps=3, pipeline=4):
      res["train_mfu_mask"]) = train_stats(res["mask_step_ms"], g_pruned)
     (res["train_samples_per_sec_dense"],
      res["train_mfu_dense"]) = train_stats(res["dense_step_ms"], g_dense)
+    (res["train_samples_per_sec_gather_amp"],
+     res["train_mfu_gather_amp"]) = train_stats(
+        res["gather_amp_step_ms"], g_pruned)
+    (res["train_samples_per_sec_dense_amp"],
+     res["train_mfu_dense_amp"]) = train_stats(
+        res["dense_amp_step_ms"], g_dense)
     res["train_flops_convention"] = "4x fwd (fwd+bwd+remat), MACs x2"
     print(json.dumps(res, indent=1))
 
