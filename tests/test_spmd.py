@@ -398,3 +398,69 @@ def test_tensor_parallel_med_attention_heads_match():
     # the q/k/v kernels really are head-sharded; the ViT fused qkv is not
     q = p_tp["layers"]["attention"]["self"]["query"]["kernel"]
     assert q.sharding.spec == P(None, None, "model")
+
+
+def test_amp_nlvr_train_step_on_mesh_keeps_fp32_masters():
+    """--amp composes with GSPMD: the bf16-compute NLVR train step sharded
+    over 'data' reproduces the single-device amp run (XLA's inserted grad
+    collectives operate on the fp32 gradients the cast's VJP returns), and
+    the updated masters stay fp32 on the mesh."""
+    import optax
+
+    from madtp_tpu.core.config import MedConfig, ViTConfig
+    from madtp_tpu.models.blip import BlipConfig
+    from madtp_tpu.models.med import init_med_params
+    from madtp_tpu.models.vit import init_vit_params
+    from madtp_tpu.train.loops import make_nlvr_train_step
+
+    vit = ViTConfig(image_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4, sd_dim=32)
+    med = MedConfig(vocab_size=60, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=64,
+                    max_position_embeddings=32, encoder_width=32, sd_dim=32,
+                    twin_cross=True)
+    cfg = BlipConfig(vit=vit, med=med, sd_dim=32)
+    rng = np.random.RandomState(11)
+    params = jax.tree.map(jnp.asarray, {
+        "visual_encoder": init_vit_params(vit, rng),
+        "text_encoder": init_med_params(med, rng),
+        "space_dict": rng.randn(10, 32).astype(np.float32),
+        "cls_head": {
+            "fc1": {"kernel": rng.randn(32, 32).astype(np.float32) * 0.02,
+                    "bias": np.zeros(32, np.float32)},
+            "fc2": {"kernel": rng.randn(32, 2).astype(np.float32) * 0.02,
+                    "bias": np.zeros(2, np.float32)},
+        },
+    })
+    B = 8
+    images = jnp.asarray(rng.randn(2 * B, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, (B, 8)))
+    mask = jnp.ones((B, 8), jnp.int32)
+    targets = jnp.asarray(rng.randint(0, 2, B))
+
+    tx = optax.adamw(1e-4)
+    step = make_nlvr_train_step(cfg, tx, amp=True)
+    p1, _, m1 = step(jax.tree.map(jnp.copy, params), tx.init(params), images,
+                     ids, mask, targets, jnp.float32(1.0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        # NLVR images stack the pair as [2B]: shard so each device gets its
+        # samples' two images (the drivers interleave via the same spec)
+        p_rep = jax.device_put(jax.tree.map(jnp.copy, params),
+                               NamedSharding(mesh, P()))
+        dspec = NamedSharding(mesh, P("data"))
+        step2 = make_nlvr_train_step(cfg, tx, amp=True)
+        p2, _, m2 = step2(p_rep, tx.init(p_rep), jax.device_put(images, dspec),
+                          jax.device_put(ids, dspec),
+                          jax.device_put(mask, dspec),
+                          jax.device_put(targets, dspec), jnp.float32(1.0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    for leaf in jax.tree_util.tree_leaves(p2):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(p1["cls_head"]["fc1"]["kernel"]),
+        np.asarray(p2["cls_head"]["fc1"]["kernel"]), rtol=1e-4, atol=1e-5)

@@ -124,6 +124,11 @@ def main() -> None:
         "train_samples_per_sec_gather": tr.get("train_samples_per_sec_gather"),
         "train_mfu_gather": tr.get("train_mfu_gather"),
         "train_gather_vs_dense": tr.get("gather_speedup_vs_dense"),
+        "train_samples_per_sec_gather_amp":
+            tr.get("train_samples_per_sec_gather_amp"),
+        "train_mfu_gather_amp": tr.get("train_mfu_gather_amp"),
+        "train_gather_amp_vs_dense_amp":
+            tr.get("gather_amp_speedup_vs_dense_amp"),
     }
     print(f"[sweep summary] {json.dumps(summary)}", file=sys.stderr,
           flush=True)
