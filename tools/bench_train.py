@@ -136,8 +136,18 @@ def main(batch=16, image_size=384, text_len=26, reps=3, pipeline=4):
                            t_star)
             break
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e) + type(e).__name__ or pb <= 4:
+            if "RESOURCE_EXHAUSTED" not in str(e) + type(e).__name__:
                 raise
+            if pb <= 4:
+                # an earlier OOM'd variant can wedge the backend (observed:
+                # even a host slice then OOMs) — emit what we measured
+                # rather than dying with a traceback
+                print("bench_train: backend out of memory even at the "
+                      "minimum probe batch; emitting partial result",
+                      file=sys.stderr, flush=True)
+                res["oom_truncated"] = True
+                print(json.dumps(res, indent=1))
+                return
             pb //= 2
             print(f"bench_train: probe OOM, retrying at probe batch {pb}",
                   file=sys.stderr, flush=True)

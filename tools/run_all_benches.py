@@ -28,7 +28,9 @@ sys.path.insert(0, REPO)  # for `from bench import _backend_reachable`
 # still yields the headline number
 BENCHES = [
     ("nlvr_headline", [sys.executable, "bench.py"], 1800),
-    ("train", [sys.executable, "tools/bench_train.py"], 1800),
+    # train: batch-16 default (r5) times 8 variants + probe — needs more
+    # headroom than the others when the compile cache is cold
+    ("train", [sys.executable, "tools/bench_train.py"], 2700),
     ("serve", [sys.executable, "tools/bench_serve.py"], 2400),
     ("vqa", [sys.executable, "tools/bench_vqa.py"], 1800),
     ("caption", [sys.executable, "tools/bench_caption.py"], 1800),
